@@ -1,0 +1,225 @@
+"""pgen-tpu command-line interface.
+
+Flag-surface parity with the reference CLI (/root/reference/src/cli.rs:5-62):
+
+  pgen-tpu query  PFILE_PREFIX -f/--fstring EXPR [-i/--include EXPR] [-s/--samples]
+  pgen-tpu filter PFILE_PREFIX [--include-var EXPR] [--include-sam EXPR] [-o/--out FILE]
+
+plus TPU-native extensions absent in the reference:
+
+  pgen-tpu describe PGEN_FILE          # general-header introspection (the
+                                       # reference's dead Pgen path, pgen.rs)
+  --provider auto|native|device|numpy  # execution provider for filter
+  --shards N / --shard-index I         # variant-sharded filtering (parallel/)
+
+Dispatch parity (/root/reference/src/main.rs:92-127): query -> psam reader if
+-s else pvar reader -> query_metadata; filter -> output default
+``{prefix}.pgen-rs.vcf`` -> filter. Errors exit nonzero with a message on
+stderr (the reference panics; SURVEY.md §5 fail-fast).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pgen-tpu",
+        description="Query and filter PLINK2 .pgen filesets (TPU-native pgen engine).",
+    )
+    p.add_argument("--version", action="version", version=_version())
+    sub = p.add_subparsers(dest="command", required=True)
+
+    q = sub.add_parser(
+        "query",
+        help="Queries the pgen, outputting to stdout.",
+        description=(
+            "Queries the pgen, outputting to stdout. All expressions have as "
+            "variables the metadata being queried; e.g. when querying "
+            "variants, CHROM and ID hold their respective values."
+        ),
+    )
+    q.add_argument(
+        "pfile_prefix",
+        help=(
+            "The prefix of the pgen file triples. There should be three files "
+            "PFILE_PREFIX.pgen, PFILE_PREFIX.psam, and PFILE_PREFIX.pvar."
+        ),
+    )
+    q.add_argument(
+        "-f",
+        "--fstring",
+        dest="query_fstring",
+        required=True,
+        help="An expression specifying what to output to stdout.",
+    )
+    q.add_argument(
+        "-i",
+        "--include",
+        dest="query",
+        default=None,
+        help=(
+            "An expression specifying which variants (default) or samples "
+            "(if -s is passed) to keep."
+        ),
+    )
+    q.add_argument(
+        "-s",
+        "--samples",
+        dest="query_samples",
+        action="store_true",
+        help=(
+            "When passed, the query is over the samples. Otherwise it is "
+            "over the variants. Defaults false."
+        ),
+    )
+
+    f = sub.add_parser(
+        "filter",
+        help="Filters the pgen, outputting to a VCF.",
+        description=(
+            "Filters the pgen, outputting to a VCF. All expressions have as "
+            "variables the variant metadata."
+        ),
+    )
+    f.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    f.add_argument(
+        "--include-var",
+        dest="var_query",
+        default=None,
+        help="An expression specifying which variants to keep. If not passed, keeps all variants.",
+    )
+    f.add_argument(
+        "--include-sam",
+        dest="sam_query",
+        default=None,
+        help="An expression specifying which samples to keep. If not passed, keeps all samples.",
+    )
+    f.add_argument(
+        "-o",
+        "--out",
+        dest="out_file",
+        default=None,
+        help="The output file name (defaults to PFILE_PREFIX.pgen-rs.vcf)",
+    )
+    f.add_argument(
+        "--provider",
+        choices=["auto", "native", "device", "numpy"],
+        default="auto",
+        help="Execution provider for genotype decode + text emission.",
+    )
+    f.add_argument(
+        "--block-variants",
+        type=int,
+        default=None,
+        help="Variants per streamed block (default 65536).",
+    )
+    f.add_argument(
+        "--shards",
+        type=int,
+        default=None,
+        help="Split the variant dimension into N shards (multi-host filtering).",
+    )
+    f.add_argument(
+        "--shard-index",
+        type=int,
+        default=None,
+        help="Emit only shard I of --shards (writes into the shared output at its offset).",
+    )
+    f.add_argument(
+        "--stats",
+        action="store_true",
+        help="Print per-stage timing/bandwidth to stderr.",
+    )
+
+    d = sub.add_parser(
+        "describe",
+        help="Introspect a .pgen header (any storage mode).",
+        description=(
+            "Parses and validates the general variable-record pgen header "
+            "layout; prints counts, record type/length widths, and the "
+            "variant block index summary."
+        ),
+    )
+    d.add_argument("pgen_file", help="Path to a .pgen file.")
+    return p
+
+
+def _version() -> str:
+    from pgen_tpu import __version__
+
+    return f"pgen-tpu {__version__}"
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    try:
+        if args.command == "query":
+            from pgen_tpu.pipeline.query import query_metadata
+
+            query_metadata(
+                args.pfile_prefix,
+                query_fstring=args.query_fstring,
+                query=args.query,
+                query_samples=args.query_samples,
+            )
+            return 0
+        if args.command == "filter":
+            kwargs = {}
+            if args.block_variants:
+                kwargs["block_variants"] = args.block_variants
+            if args.shards is not None:
+                from pgen_tpu.parallel.shard import filter_to_vcf_sharded
+
+                result = filter_to_vcf_sharded(
+                    args.pfile_prefix,
+                    var_query=args.var_query,
+                    sam_query=args.sam_query,
+                    out_file=args.out_file,
+                    provider=args.provider,
+                    num_shards=args.shards,
+                    shard_index=args.shard_index,
+                    **kwargs,
+                )
+            else:
+                from pgen_tpu.pipeline.filter import filter_to_vcf
+
+                result = filter_to_vcf(
+                    args.pfile_prefix,
+                    var_query=args.var_query,
+                    sam_query=args.sam_query,
+                    out_file=args.out_file,
+                    provider=args.provider,
+                    **kwargs,
+                )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            return 0
+        if args.command == "describe":
+            from pgen_tpu.formats.describe import describe_pgen
+            from pgen_tpu.formats.header import read_pgen_header
+
+            try:
+                print(describe_pgen(args.pgen_file).summary())
+            except Exception:
+                # mode-0x02 files have no block index; describe them directly
+                h = read_pgen_header(args.pgen_file)
+                print(
+                    f"pgen: {h.path}\nstorage mode: 0x02 (fixed-width hard calls)\n"
+                    f"variants: {h.num_variants}\nsamples: {h.num_samples}\n"
+                    f"record size: {h.record_size} bytes\n"
+                    f"records offset: {h.records_offset}"
+                )
+            return 0
+    except BrokenPipeError:
+        return 141
+    except Exception as e:  # fail-fast semantics, clean exit
+        print(f"pgen-tpu: error: {e}", file=sys.stderr)
+        return 1
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

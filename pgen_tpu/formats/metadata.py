@@ -1,0 +1,201 @@
+"""Columnar .pvar/.psam metadata loader.
+
+Parity notes (reference: /root/reference/src/pfile.rs):
+
+* Header location rule (pfile.rs:248-268): the leading run of ``#`` lines ends
+  the header; the LAST ``#`` line holds the column names, and the reference
+  seeks to just past its ``#`` before handing the file to csv. Consequence:
+  expression variable names are the column names with the leading ``#``
+  stripped from the first column (``CHROM``, ``POS``, …, ``IID``, …).
+* VCF passthrough (pfile.rs:202-220): every leading ``#`` line except the last
+  is copied verbatim into the output VCF; the last becomes the ``#CHROM…``
+  column line.
+* The reference parses rows with a strict tab-delimited csv reader
+  (pfile.rs:270-283); rows whose field count differs from the header are a
+  hard error there, and are here too.
+
+TPU-native design: instead of the reference's per-row csv iteration, the whole
+data region is loaded once and field boundaries are recovered with vectorized
+byte scans (one pass); per-column padded byte matrices are materialized lazily
+for the predicate compiler (SURVEY.md C5/C7). Raw row bytes are kept so the
+VCF writer can emit pvar columns byte-exactly without re-joining.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+
+class MetadataFormatError(ValueError):
+    """A .pvar/.psam file violated a format invariant."""
+
+
+@dataclass
+class MetadataTable:
+    path: str
+    comments: str  # leading '#' lines except the last, verbatim (incl. newlines)
+    header_line: str  # the last '#' line, without trailing newline, incl. '#'
+    columns: tuple  # column names; first has '#' stripped
+    num_rows: int
+    # Data region internals (vectorized access):
+    _buf: np.ndarray = field(repr=False)  # uint8 view of the data region
+    _field_starts: np.ndarray = field(repr=False)  # (rows, cols) int64
+    _field_ends: np.ndarray = field(repr=False)  # (rows, cols) int64
+    _line_starts: np.ndarray = field(repr=False)  # (rows,) int64
+    _line_ends: np.ndarray = field(repr=False)  # (rows,) int64, excl. newline
+    _col_cache: dict = field(default_factory=dict, repr=False)
+
+    # -- column access ------------------------------------------------------
+
+    def column_index(self, name: str) -> int:
+        try:
+            return self.columns.index(name)
+        except ValueError:
+            raise MetadataFormatError(
+                f"{name} not among the headers of {self.path}"
+            ) from None
+
+    def get_column_padded(self, name: str):
+        """Return (codes, lengths): a (rows, width) uint8 matrix of the
+        column's bytes padded with zeros, and per-row byte lengths.
+
+        This is the device-friendly representation the predicate compiler
+        ships to TPU (zero-padded u8 tiles; SURVEY.md C7).
+        """
+        key = ("padded", name)
+        if key not in self._col_cache:
+            j = self.column_index(name)
+            starts = self._field_starts[:, j]
+            ends = self._field_ends[:, j]
+            lens = ends - starts
+            width = max(int(lens.max(initial=0)), 1)
+            offs = np.arange(width, dtype=np.int64)
+            idx = starts[:, None] + offs[None, :]
+            np.minimum(idx, len(self._buf) - 1, out=idx)
+            mat = self._buf[idx]
+            mat[offs[None, :] >= lens[:, None]] = 0
+            self._col_cache[key] = (mat, lens.astype(np.int32))
+        return self._col_cache[key]
+
+    def get_column_bytes(self, name: str) -> np.ndarray:
+        """Column as a numpy 'S' fixed-width bytes array (host predicates)."""
+        key = ("S", name)
+        if key not in self._col_cache:
+            mat, _ = self.get_column_padded(name)
+            width = mat.shape[1]
+            arr = np.ascontiguousarray(mat).view(f"S{width}").ravel()
+            self._col_cache[key] = arr
+        return self._col_cache[key]
+
+    def get_column_strs(self, name: str) -> list:
+        """Column as Python strings (row-interpreter fallback path)."""
+        key = ("str", name)
+        if key not in self._col_cache:
+            self._col_cache[key] = [
+                b.decode("utf-8") for b in self.get_column_bytes(name)
+            ]
+        return self._col_cache[key]
+
+    # -- row access ---------------------------------------------------------
+
+    def row_bytes(self, i: int) -> bytes:
+        """Raw bytes of data row i (no trailing newline)."""
+        return self._buf[self._line_starts[i] : self._line_ends[i]].tobytes()
+
+    def row_fields(self, i: int) -> list:
+        s, e = self._field_starts[i], self._field_ends[i]
+        return [self._buf[s[j] : e[j]].tobytes().decode("utf-8") for j in range(len(s))]
+
+    def row_line_spans(self) -> tuple:
+        """(starts, ends) of every data row within the data buffer."""
+        return self._line_starts, self._line_ends
+
+    @property
+    def data_buffer(self) -> np.ndarray:
+        return self._buf
+
+
+def _locate_header(raw: bytes, path: str) -> tuple:
+    """Return (comments, header_line, data_offset) per the reference rule."""
+    pos = 0
+    comment_spans = []
+    n = len(raw)
+    while pos < n and raw[pos : pos + 1] == b"#":
+        nl = raw.find(b"\n", pos)
+        end = n if nl < 0 else nl + 1
+        comment_spans.append((pos, end))
+        pos = end
+    if not comment_spans:
+        raise MetadataFormatError(
+            f"{path}: no '#' header line found; the last leading '#' line must "
+            f"hold the column names"
+        )
+    hdr_start, hdr_end = comment_spans[-1]
+    comments = raw[: hdr_start].decode("utf-8")
+    header_line = raw[hdr_start:hdr_end].decode("utf-8").rstrip("\r\n")
+    return comments, header_line, pos
+
+
+def read_metadata(path: str | Path) -> MetadataTable:
+    path = str(path)
+    with open(path, "rb") as f:
+        raw = f.read()
+    if b"\r\n" in raw:
+        # plink2 writes bare-\n files; normalize the rare CRLF case up front so
+        # downstream byte-exact passthrough has a single convention.
+        raw = raw.replace(b"\r\n", b"\n")
+    comments, header_line, data_off = _locate_header(raw, path)
+
+    # Column names: the header line minus its leading '#'.
+    columns = tuple(header_line[1:].split("\t"))
+    ncols = len(columns)
+
+    buf = np.frombuffer(raw, dtype=np.uint8)[data_off:]
+    nl_pos = np.flatnonzero(buf == ord("\n"))
+    if len(buf) and (len(nl_pos) == 0 or nl_pos[-1] != len(buf) - 1):
+        # final line lacks a trailing newline; treat end-of-buffer as a break
+        nl_pos = np.append(nl_pos, len(buf))
+    line_starts = np.concatenate(([0], nl_pos[:-1] + 1)) if len(nl_pos) else np.empty(0, np.int64)
+    line_ends = nl_pos
+    # drop empty trailing lines (e.g. file ending in '\n')
+    keep = line_ends > line_starts
+    line_starts, line_ends = line_starts[keep].astype(np.int64), line_ends[keep].astype(np.int64)
+    nrows = len(line_starts)
+
+    tab_pos = np.flatnonzero(buf == ord("\t"))
+    if nrows:
+        # Count tabs per line to enforce the reference's strict field count.
+        row_of_tab = np.searchsorted(line_ends, tab_pos, side="left")
+        in_line = (tab_pos >= line_starts[np.minimum(row_of_tab, nrows - 1)]) & (row_of_tab < nrows)
+        tab_pos = tab_pos[in_line]
+        row_of_tab = row_of_tab[in_line]
+        tabs_per_row = np.bincount(row_of_tab, minlength=nrows)
+        bad = np.flatnonzero(tabs_per_row != ncols - 1)
+        if len(bad):
+            i = int(bad[0])
+            raise MetadataFormatError(
+                f"{path}: row {i} has {int(tabs_per_row[i]) + 1} fields, "
+                f"header has {ncols}"
+            )
+        tabs = tab_pos.reshape(nrows, ncols - 1) if ncols > 1 else np.empty((nrows, 0), np.int64)
+        field_starts = np.concatenate([line_starts[:, None], tabs + 1], axis=1)
+        field_ends = np.concatenate([tabs, line_ends[:, None]], axis=1)
+    else:
+        field_starts = np.empty((0, ncols), np.int64)
+        field_ends = np.empty((0, ncols), np.int64)
+
+    return MetadataTable(
+        path=path,
+        comments=comments,
+        header_line=header_line,
+        columns=columns,
+        num_rows=nrows,
+        _buf=buf,
+        _field_starts=field_starts.astype(np.int64),
+        _field_ends=field_ends.astype(np.int64),
+        _line_starts=line_starts,
+        _line_ends=line_ends,
+    )

@@ -1,0 +1,3 @@
+from pgen_tpu.native.lib import HAVE_NATIVE, native
+
+__all__ = ["HAVE_NATIVE", "native"]

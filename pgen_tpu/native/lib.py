@@ -1,0 +1,258 @@
+"""ctypes bindings for the C++ host runtime.
+
+Builds pgen_native.so from pgen_native.cpp on first import (cached by source
+hash under ~/.cache/pgen_tpu). If no C++ toolchain is available the pipeline
+falls back to the vectorized numpy path — slower, but behavior-identical
+(tests cover both).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+from pgen_tpu.utils.log import get_logger
+
+log = get_logger("native")
+
+_SRC = Path(__file__).with_name("pgen_native.cpp")
+_CACHE_DIR = Path(
+    os.environ.get("PGEN_TPU_CACHE", os.path.expanduser("~/.cache/pgen_tpu"))
+)
+
+
+def _build() -> Path | None:
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    so_path = _CACHE_DIR / f"pgen_native_{tag}.so"
+    if so_path.exists():
+        return so_path
+    with tempfile.TemporaryDirectory() as td:
+        tmp_so = Path(td) / "pgen_native.so"
+        cmd = [
+            "g++",
+            "-O3",
+            "-march=native",
+            "-shared",
+            "-fPIC",
+            "-o",
+            str(tmp_so),
+            str(_SRC),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError) as e:
+            detail = getattr(e, "stderr", b"")
+            log.warning("native build failed (%s %s); using numpy fallback", e, detail)
+            return None
+        os.replace(tmp_so, so_path)
+    return so_path
+
+
+class _Native:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.pgen_emit_vcf_rows.restype = ctypes.c_int64
+        lib.pgen_emit_vcf_rows.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, i32p,
+            ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.pgen_emit_vcf_rows_buf.restype = ctypes.c_int64
+        lib.pgen_emit_vcf_rows_buf.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, i32p,
+            ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.pgen_emit_vcf_rows_meta.restype = ctypes.c_int64
+        lib.pgen_emit_vcf_rows_meta.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, i64p, i32p,
+            ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.pgen_assemble_rows_buf.restype = ctypes.c_int64
+        lib.pgen_assemble_rows_buf.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, u8p, ctypes.c_int64,
+        ]
+        lib.pgen_unpack_codes.restype = None
+        lib.pgen_unpack_codes.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p,
+        ]
+        lib.pgen_pack_codes.restype = None
+        lib.pgen_pack_codes.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p,
+        ]
+
+    @staticmethod
+    def _u8(a: np.ndarray):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def emit_vcf_rows(
+        self,
+        packed: np.ndarray,
+        rec_size: int,
+        prefix_buf: np.ndarray,
+        prefix_off: np.ndarray,
+        sample_idx: np.ndarray | None,
+        n_samples: int,
+        fd: int,
+    ) -> int:
+        n_var = len(prefix_off) - 1
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        prefix_off = np.ascontiguousarray(prefix_off, dtype=np.int64)
+        sp = (
+            np.ascontiguousarray(sample_idx, dtype=np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)
+            )
+            if sample_idx is not None
+            else None
+        )
+        ret = self._lib.pgen_emit_vcf_rows(
+            self._u8(packed),
+            n_var,
+            rec_size,
+            self._u8(np.ascontiguousarray(prefix_buf, dtype=np.uint8)),
+            prefix_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sp,
+            n_samples,
+            fd,
+        )
+        if ret < 0:
+            raise OSError("native VCF emission failed (write error)")
+        return int(ret)
+
+    def emit_vcf_rows_buf(
+        self,
+        packed: np.ndarray,
+        rec_size: int,
+        prefix_buf: np.ndarray,
+        prefix_off: np.ndarray,
+        sample_idx: np.ndarray | None,
+        n_samples: int,
+        out: np.ndarray,
+    ) -> int:
+        n_var = len(prefix_off) - 1
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        prefix_off = np.ascontiguousarray(prefix_off, dtype=np.int64)
+        sp = (
+            np.ascontiguousarray(sample_idx, dtype=np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)
+            )
+            if sample_idx is not None
+            else None
+        )
+        ret = self._lib.pgen_emit_vcf_rows_buf(
+            self._u8(packed),
+            n_var,
+            rec_size,
+            self._u8(np.ascontiguousarray(prefix_buf, dtype=np.uint8)),
+            prefix_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sp,
+            n_samples,
+            self._u8(out),
+            out.nbytes,
+        )
+        if ret < 0:
+            raise ValueError("native VCF emission: output buffer too small")
+        return int(ret)
+
+    def emit_vcf_rows_meta(
+        self,
+        packed: np.ndarray,
+        rec_size: int,
+        meta_buf: np.ndarray,
+        line_starts: np.ndarray,
+        line_ends: np.ndarray,
+        sample_idx: np.ndarray | None,
+        n_samples: int,
+        out: np.ndarray,
+    ) -> int:
+        n_var = len(line_starts)
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        line_starts = np.ascontiguousarray(line_starts, dtype=np.int64)
+        line_ends = np.ascontiguousarray(line_ends, dtype=np.int64)
+        sp = (
+            np.ascontiguousarray(sample_idx, dtype=np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)
+            )
+            if sample_idx is not None
+            else None
+        )
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        ret = self._lib.pgen_emit_vcf_rows_meta(
+            self._u8(packed),
+            n_var,
+            rec_size,
+            self._u8(meta_buf),
+            line_starts.ctypes.data_as(i64p),
+            line_ends.ctypes.data_as(i64p),
+            sp,
+            n_samples,
+            self._u8(out),
+            out.nbytes,
+        )
+        if ret < 0:
+            raise ValueError("native VCF emission: output buffer too small")
+        return int(ret)
+
+    def assemble_rows_buf(
+        self,
+        gt_text: np.ndarray,
+        prefix_buf: np.ndarray,
+        prefix_off: np.ndarray,
+        out: np.ndarray,
+    ) -> int:
+        gt_text = np.ascontiguousarray(gt_text, dtype=np.uint8)
+        n_var, gt_len = gt_text.shape
+        prefix_off = np.ascontiguousarray(prefix_off, dtype=np.int64)
+        ret = self._lib.pgen_assemble_rows_buf(
+            self._u8(gt_text),
+            gt_len,
+            n_var,
+            self._u8(np.ascontiguousarray(prefix_buf, dtype=np.uint8)),
+            prefix_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._u8(out),
+            out.nbytes,
+        )
+        if ret < 0:
+            raise ValueError("native row assembly: output buffer too small")
+        return int(ret)
+
+    def unpack_codes(self, packed: np.ndarray, n_samples: int) -> np.ndarray:
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        n_var, rec = packed.shape
+        out = np.empty((n_var, n_samples), dtype=np.uint8)
+        self._lib.pgen_unpack_codes(self._u8(packed), n_var, rec, n_samples, self._u8(out))
+        return out
+
+    def pack_codes(self, codes: np.ndarray) -> np.ndarray:
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        n_var, n_samples = codes.shape
+        rec = (2 * n_samples + 7) // 8
+        out = np.empty((n_var, rec), dtype=np.uint8)
+        self._lib.pgen_pack_codes(self._u8(codes), n_var, n_samples, self._u8(out))
+        return out
+
+
+def _load():
+    if os.environ.get("PGEN_TPU_NO_NATIVE"):
+        return None
+    so = _build()
+    if so is None:
+        return None
+    try:
+        return _Native(ctypes.CDLL(str(so)))
+    except OSError as e:
+        log.warning("failed to load native lib: %s", e)
+        return None
+
+
+native = _load()
+HAVE_NATIVE = native is not None

@@ -1,0 +1,286 @@
+// pgen_tpu native host runtime: single-pass VCF row emission + 2-bit codecs.
+//
+// TPU-native framework split (SURVEY.md §7 "Hard parts" #1): the genotype
+// matrix math runs on device (Pallas kernels in ops/), but the byte-exact
+// VCF text must ultimately stream through the host to the filesystem. The
+// reference spends most of its keep-all wall time in per-sample write calls
+// (/root/reference/src/pfile.rs:171-188, 18.9 s sys on chr22 — SURVEY.md §6).
+// This runtime makes that host stage a single memory pass:
+//
+//   record byte (4 hard calls) --LUT--> 16 output bytes "\t0/0\t0/1..."
+//
+// so emission runs at memcpy speed. Exposed via a plain C ABI for ctypes.
+//
+// Semantics replicated exactly (pfile.rs:156-191):
+//   row := prefix bytes (pvar cols + "\tGT")
+//        + per kept sample "\t" + token, token in {0/0, 0/1, 1/1, ./.}
+//        + "\n"
+//   code extraction: (byte >> ((s % 4) * 2)) & 3, LSB-first (pfile.rs:171-175).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <unistd.h>
+#include <errno.h>
+
+namespace {
+
+// 4-byte tokens per 2-bit code, each preceded by '\t' (pfile.rs:177-187).
+const unsigned char kTok[4][4] = {
+    {'\t', '0', '/', '0'},
+    {'\t', '0', '/', '1'},
+    {'\t', '1', '/', '1'},
+    {'\t', '.', '/', '.'},
+};
+
+// 256-entry LUT: one packed byte -> 16 text bytes (4 samples).
+struct Lut16 {
+  unsigned char t[256][16];
+  Lut16() {
+    for (int b = 0; b < 256; ++b)
+      for (int k = 0; k < 4; ++k)
+        std::memcpy(&t[b][4 * k], kTok[(b >> (2 * k)) & 3], 4);
+  }
+};
+const Lut16 kLut;
+
+// 256x4 LUT: packed byte -> 4 codes.
+struct LutCodes {
+  unsigned char t[256][4];
+  LutCodes() {
+    for (int b = 0; b < 256; ++b)
+      for (int k = 0; k < 4; ++k) t[b][k] = (b >> (2 * k)) & 3;
+  }
+};
+const LutCodes kCodes;
+
+constexpr int64_t kBufCap = 8 << 20;  // 8 MiB output buffer
+
+struct OutBuf {
+  unsigned char* buf;
+  int64_t len = 0;
+  int fd;
+  int64_t written = 0;
+  bool error = false;
+
+  explicit OutBuf(int fd_) : fd(fd_) { buf = (unsigned char*)std::malloc(kBufCap); }
+  ~OutBuf() { std::free(buf); }
+
+  bool flush() {
+    int64_t off = 0;
+    while (off < len) {
+      ssize_t n = ::write(fd, buf + off, (size_t)(len - off));
+      if (n < 0) {
+        if (errno == EINTR) continue;
+        error = true;
+        return false;
+      }
+      off += n;
+    }
+    written += len;
+    len = 0;
+    return true;
+  }
+  inline unsigned char* reserve(int64_t n) {
+    if (len + n > kBufCap) {
+      if (!flush()) return nullptr;
+    }
+    return buf + len;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Emit VCF body rows for n_var variants. packed points at the (gathered)
+// variant records, rec_size bytes each. prefix_buf/prefix_off give each
+// row's leading text (pvar columns + "\tGT"). sample_idx==nullptr means all
+// n_samples samples in file order (fast LUT path); otherwise n_samples
+// entries of kept sample indices. Returns total bytes written, or -1 on a
+// write error.
+int64_t pgen_emit_vcf_rows(const unsigned char* packed, int64_t n_var,
+                           int64_t rec_size, const unsigned char* prefix_buf,
+                           const int64_t* prefix_off,
+                           const int32_t* sample_idx, int64_t n_samples,
+                           int fd) {
+  OutBuf out(fd);
+  if (!out.buf) return -1;
+
+  const int64_t full_bytes = n_samples / 4;   // only for the all-samples path
+  const int tail = (int)(n_samples % 4);
+  const int64_t gt_len =
+      sample_idx ? 4 * n_samples : 4 * n_samples;  // 4 text bytes per sample
+
+  for (int64_t v = 0; v < n_var; ++v) {
+    const int64_t plen = prefix_off[v + 1] - prefix_off[v];
+    const int64_t row_len = plen + gt_len + 1;
+    unsigned char* dst = out.reserve(row_len);
+    if (!dst) return -1;
+    std::memcpy(dst, prefix_buf + prefix_off[v], (size_t)plen);
+    dst += plen;
+    const unsigned char* rec = packed + v * rec_size;
+    if (!sample_idx) {
+      for (int64_t j = 0; j < full_bytes; ++j) {
+        std::memcpy(dst, kLut.t[rec[j]], 16);
+        dst += 16;
+      }
+      if (tail) {
+        std::memcpy(dst, kLut.t[rec[full_bytes]], (size_t)(4 * tail));
+        dst += 4 * tail;
+      }
+    } else {
+      for (int64_t i = 0; i < n_samples; ++i) {
+        const int32_t s = sample_idx[i];
+        const unsigned char code = kCodes.t[rec[s >> 2]][s & 3];
+        std::memcpy(dst, kTok[code], 4);
+        dst += 4;
+      }
+    }
+    *dst++ = '\n';
+    out.len += row_len;
+  }
+  if (!out.flush()) return -1;
+  return out.written;
+}
+
+// Same row assembly, but into a caller-provided buffer instead of an fd.
+// Returns bytes produced, or -1 if cap is too small.
+int64_t pgen_emit_vcf_rows_buf(const unsigned char* packed, int64_t n_var,
+                               int64_t rec_size,
+                               const unsigned char* prefix_buf,
+                               const int64_t* prefix_off,
+                               const int32_t* sample_idx, int64_t n_samples,
+                               unsigned char* out, int64_t cap) {
+  const int64_t full_bytes = n_samples / 4;
+  const int tail = (int)(n_samples % 4);
+  unsigned char* dst = out;
+  unsigned char* end = out + cap;
+  for (int64_t v = 0; v < n_var; ++v) {
+    const int64_t plen = prefix_off[v + 1] - prefix_off[v];
+    if (dst + plen + 4 * n_samples + 1 > end) return -1;
+    std::memcpy(dst, prefix_buf + prefix_off[v], (size_t)plen);
+    dst += plen;
+    const unsigned char* rec = packed + v * rec_size;
+    if (!sample_idx) {
+      for (int64_t j = 0; j < full_bytes; ++j) {
+        std::memcpy(dst, kLut.t[rec[j]], 16);
+        dst += 16;
+      }
+      if (tail) {
+        std::memcpy(dst, kLut.t[rec[full_bytes]], (size_t)(4 * tail));
+        dst += 4 * tail;
+      }
+    } else {
+      for (int64_t i = 0; i < n_samples; ++i) {
+        const int32_t s = sample_idx[i];
+        const unsigned char code = kCodes.t[rec[s >> 2]][s & 3];
+        std::memcpy(dst, kTok[code], 4);
+        dst += 4;
+      }
+    }
+    *dst++ = '\n';
+  }
+  return dst - out;
+}
+
+// Fused row emission straight from the metadata buffer: for each kept
+// variant v, the row prefix is the raw .pvar line bytes
+// [line_starts[v], line_ends[v]) + "\tGT" — no intermediate prefix buffer
+// (large temporary allocations pay a kernel page-zeroing tax). Returns
+// bytes produced, or -1 if cap is too small.
+int64_t pgen_emit_vcf_rows_meta(const unsigned char* packed, int64_t n_var,
+                                int64_t rec_size,
+                                const unsigned char* meta_buf,
+                                const int64_t* line_starts,
+                                const int64_t* line_ends,
+                                const int32_t* sample_idx, int64_t n_samples,
+                                unsigned char* out, int64_t cap) {
+  const int64_t full_bytes = n_samples / 4;
+  const int tail = (int)(n_samples % 4);
+  unsigned char* dst = out;
+  unsigned char* end = out + cap;
+  for (int64_t v = 0; v < n_var; ++v) {
+    const int64_t plen = line_ends[v] - line_starts[v];
+    if (dst + plen + 3 + 4 * n_samples + 1 > end) return -1;
+    std::memcpy(dst, meta_buf + line_starts[v], (size_t)plen);
+    dst += plen;
+    *dst++ = '\t';
+    *dst++ = 'G';
+    *dst++ = 'T';
+    const unsigned char* rec = packed + v * rec_size;
+    if (!sample_idx) {
+      for (int64_t j = 0; j < full_bytes; ++j) {
+        std::memcpy(dst, kLut.t[rec[j]], 16);
+        dst += 16;
+      }
+      if (tail) {
+        std::memcpy(dst, kLut.t[rec[full_bytes]], (size_t)(4 * tail));
+        dst += 4 * tail;
+      }
+    } else {
+      for (int64_t i = 0; i < n_samples; ++i) {
+        const int32_t s = sample_idx[i];
+        const unsigned char code = kCodes.t[rec[s >> 2]][s & 3];
+        std::memcpy(dst, kTok[code], 4);
+        dst += 4;
+      }
+    }
+    *dst++ = '\n';
+  }
+  return dst - out;
+}
+
+// Assemble rows from an already-produced GT text matrix (device kernel
+// output): row := prefix + gt_text_row (gt_len bytes) + '\n'. Returns bytes
+// produced, or -1 if cap is too small.
+int64_t pgen_assemble_rows_buf(const unsigned char* gt_text, int64_t gt_len,
+                               int64_t n_var,
+                               const unsigned char* prefix_buf,
+                               const int64_t* prefix_off, unsigned char* out,
+                               int64_t cap) {
+  unsigned char* dst = out;
+  unsigned char* end = out + cap;
+  for (int64_t v = 0; v < n_var; ++v) {
+    const int64_t plen = prefix_off[v + 1] - prefix_off[v];
+    if (dst + plen + gt_len + 1 > end) return -1;
+    std::memcpy(dst, prefix_buf + prefix_off[v], (size_t)plen);
+    dst += plen;
+    std::memcpy(dst, gt_text + v * gt_len, (size_t)gt_len);
+    dst += gt_len;
+    *dst++ = '\n';
+  }
+  return dst - out;
+}
+
+// Unpack n_var records into a (n_var, n_samples) u8 code matrix.
+void pgen_unpack_codes(const unsigned char* packed, int64_t n_var,
+                       int64_t rec_size, int64_t n_samples,
+                       unsigned char* codes) {
+  const int64_t full = n_samples / 4;
+  const int tail = (int)(n_samples % 4);
+  for (int64_t v = 0; v < n_var; ++v) {
+    const unsigned char* rec = packed + v * rec_size;
+    unsigned char* dst = codes + v * n_samples;
+    for (int64_t j = 0; j < full; ++j) {
+      std::memcpy(dst + 4 * j, kCodes.t[rec[j]], 4);
+    }
+    if (tail) std::memcpy(dst + 4 * full, kCodes.t[rec[full]], (size_t)tail);
+  }
+}
+
+// Pack a (n_var, n_samples) u8 code matrix into mode-0x02 records.
+void pgen_pack_codes(const unsigned char* codes, int64_t n_var,
+                     int64_t n_samples, unsigned char* packed) {
+  const int64_t rec_size = (2 * n_samples + 7) / 8;
+  for (int64_t v = 0; v < n_var; ++v) {
+    const unsigned char* src = codes + v * n_samples;
+    unsigned char* rec = packed + v * rec_size;
+    std::memset(rec, 0, (size_t)rec_size);
+    for (int64_t s = 0; s < n_samples; ++s) {
+      rec[s >> 2] |= (unsigned char)((src[s] & 3) << ((s & 3) * 2));
+    }
+  }
+}
+
+}  // extern "C"

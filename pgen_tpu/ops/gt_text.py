@@ -1,0 +1,89 @@
+"""Genotype text emission: codes -> VCF GT column bytes, on device.
+
+The reference formats genotypes one sample at a time with a scalar match and
+two BufWriter.write calls per sample (/root/reference/src/pfile.rs:171-188),
+which makes VCF text assembly its real bottleneck (SURVEY.md §6: the keep-all
+chr22 filter spends 18.9 s of sys time writing). Here the whole GT region of
+a variant block is produced as one device byte tensor:
+
+    sample s contributes 4 output bytes [\t, b0, /, b1] at columns 4s..4s+3
+      code 0 -> \t0/0   code 1 -> \t0/1   code 2 -> \t1/1   code 3 -> \t./.
+
+Relayout-free design (see unpack.py): each code becomes ONE uint32 word
+``TAB | b0<<8 | SLASH<<16 | b1<<24`` — elementwise, no lookup table, since
+b0/b1 are 2-way selects on the code — and the word array is bitcast to bytes
+at the XLA boundary. The fused packed->text path composes the unpack-words
+kernel with this one; both stream at HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pgen_tpu.ops.unpack import _block_rows, unpack_words, words_to_bytes
+
+_TAB = ord("\t")
+_SLASH = ord("/")
+_ZERO = ord("0")
+_ONE = ord("1")
+_DOT = ord(".")
+
+
+def _text_word(c: jnp.ndarray) -> jnp.ndarray:
+    """code (u32, values 0..3) -> u32 word of the 4 text bytes (LE)."""
+    b0 = jnp.where(c < 2, _ZERO, jnp.where(c == 2, _ONE, _DOT)).astype(jnp.uint32)
+    b1 = jnp.where(c == 0, _ZERO, jnp.where(c == 3, _DOT, _ONE)).astype(jnp.uint32)
+    return _TAB | (b0 << 8) | (_SLASH << 16) | (b1 << 24)
+
+
+def _codes_kernel(in_ref, out_ref):
+    out_ref[:] = _text_word(in_ref[:].astype(jnp.uint32))
+
+
+def _text_words_from_codes(codes: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    nvar, nsamp = codes.shape
+    tv = _block_rows(nsamp * (1 + 4 + 4 * 6))
+    grid = (pl.cdiv(nvar, tv),)
+    return pl.pallas_call(
+        _codes_kernel,
+        out_shape=jax.ShapeDtypeStruct((nvar, nsamp), jnp.uint32),
+        grid=grid,
+        in_specs=[pl.BlockSpec((tv, nsamp), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tv, nsamp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(codes)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def genotype_text_from_codes(codes: jnp.ndarray, interpret: bool = False):
+    """(V, S) u8 codes -> (V, 4S) u8 VCF text ("\\t" + 3-byte token per call)."""
+    nvar, nsamp = codes.shape
+    if nvar == 0 or nsamp == 0:
+        return jnp.zeros((nvar, 4 * nsamp), dtype=jnp.uint8)
+    return words_to_bytes(_text_words_from_codes(codes, interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
+def genotype_text(packed: jnp.ndarray, num_samples: int, interpret: bool = False):
+    """Fused packed-records -> VCF GT text.
+
+    (V, rec_size) u8 -> (V, 4*num_samples) u8: unpack-words kernel, free
+    bitcast to the code matrix, text-words kernel, free bitcast to bytes.
+    This is the keep-all-samples fast path.
+    """
+    if packed.shape[0] == 0 or num_samples == 0:
+        return jnp.zeros((packed.shape[0], 4 * num_samples), dtype=jnp.uint8)
+    codes = words_to_bytes(unpack_words(packed, interpret))
+    return genotype_text_from_codes(codes, interpret=interpret)[:, : 4 * num_samples]
+
+
+def genotype_text_reference(codes: np.ndarray) -> np.ndarray:
+    """Numpy oracle: codes (V,S) -> text (V,4S) via an explicit token table."""
+    table = np.frombuffer(b"\t0/0\t0/1\t1/1\t./.", dtype=np.uint8).reshape(4, 4)
+    return table[np.asarray(codes)].reshape(codes.shape[0], -1)

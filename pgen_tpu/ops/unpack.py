@@ -1,0 +1,108 @@
+"""2-bit genotype unpack: the performance-critical decode kernel.
+
+Reference semantics (/root/reference/src/pfile.rs:171-175): each record byte
+holds 4 hard calls, LSB-first — sample ``s`` reads byte ``s // 4`` and
+extracts ``(byte >> ((s % 4) * 2)) & 0b11``. The reference does this one
+sample at a time in scalar Rust; here one Pallas program unpacks a whole
+(variants x record_bytes) tile at once.
+
+TPU-native trick: a lane-interleaving expansion (byte j -> output lanes
+4j..4j+3) is a relayout Mosaic can't fuse, so the kernel never interleaves.
+Instead each input byte produces ONE uint32 word whose 4 little-endian bytes
+are the 4 codes:
+
+    word_j = sum_k ((x_j >> 2k) & 3) << 8k        (pure VPU elementwise)
+
+and the (V, R) u32 output is bitcast to (V, 4R) u8 at the XLA level, which
+is a free row-major relabeling. The op is HBM-bandwidth bound (1 byte read,
+4 written); compute is a handful of VPU byte ops.
+
+Code values: 0=hom-ref(0/0) 1=het(0/1) 2=hom-alt(1/1) 3=missing(./.)
+(pfile.rs:177-183).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def unpack_codes_reference(packed: np.ndarray, num_samples: int) -> np.ndarray:
+    """Scalar-style numpy oracle for tests: (V, R) u8 -> (V, S) u8 codes."""
+    packed = np.asarray(packed, dtype=np.uint8)
+    out = np.empty((packed.shape[0], num_samples), dtype=np.uint8)
+    for s in range(num_samples):
+        out[:, s] = (packed[:, s // 4] >> ((s % 4) * 2)) & 0b11
+    return out
+
+
+def _unpack_words(x: jnp.ndarray) -> jnp.ndarray:
+    """(TV, R) u8 -> (TV, R) u32; word j's bytes (LE) = codes of samples 4j..4j+3."""
+    xi = x.astype(jnp.uint32)
+    w = (xi & 0x3)
+    w |= ((xi >> 2) & 0x3) << 8
+    w |= ((xi >> 4) & 0x3) << 16
+    w |= ((xi >> 6) & 0x3) << 24
+    return w
+
+
+def _unpack_kernel(in_ref, out_ref):
+    out_ref[:] = _unpack_words(in_ref[:])
+
+
+def words_to_bytes(words: jnp.ndarray) -> jnp.ndarray:
+    """(V, R) u32 -> (V, 4R) u8, little-endian within each word (XLA-level)."""
+    v, r = words.shape
+    b = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (V, R, 4)
+    return b.reshape(v, 4 * r)
+
+
+def bytes_to_words(b: jnp.ndarray) -> jnp.ndarray:
+    """(V, 4R) u8 -> (V, R) u32, inverse of words_to_bytes (XLA-level)."""
+    v, n = b.shape
+    return jax.lax.bitcast_convert_type(b.reshape(v, n // 4, 4), jnp.uint32)
+
+
+def _block_rows(lane_bytes: int, budget: int = 4 * 1024 * 1024) -> int:
+    """Tile height fitting a VMEM budget given bytes per row in flight.
+
+    ``lane_bytes`` should count input + output + compiler temporaries per
+    row; Mosaic double-buffers grid blocks and allocates scoped scratch for
+    elementwise intermediates, so stay well under the 16 MB VMEM limit.
+    """
+    rows = max(8, min(2048, budget // max(lane_bytes, 1)))
+    return 1 << (rows.bit_length() - 1)
+
+
+def unpack_words(packed: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """(V, R) u8 packed records -> (V, R) u32 code words (Pallas)."""
+    nvar, rec = packed.shape
+    tv = _block_rows(rec * (1 + 4 + 4 * 4))
+    grid = (pl.cdiv(nvar, tv),)
+    return pl.pallas_call(
+        _unpack_kernel,
+        out_shape=jax.ShapeDtypeStruct((nvar, rec), jnp.uint32),
+        grid=grid,
+        in_specs=[pl.BlockSpec((tv, rec), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tv, rec), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(packed)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
+def unpack_codes(packed: jnp.ndarray, num_samples: int, interpret: bool = False):
+    """Unpack (V, rec_size) u8 records to (V, num_samples) u8 codes on device."""
+    if packed.shape[0] == 0 or packed.shape[1] == 0:
+        return jnp.zeros((packed.shape[0], num_samples), dtype=jnp.uint8)
+    return words_to_bytes(unpack_words(packed, interpret))[:, :num_samples]
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def unpack_codes_xla(packed: jnp.ndarray, num_samples: int):
+    """Pure-XLA unpack (no Pallas): baseline for kernel benchmarking."""
+    return words_to_bytes(_unpack_words(packed))[:, :num_samples]

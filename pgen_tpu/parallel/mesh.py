@@ -1,0 +1,124 @@
+"""Device-mesh sharded filter step: the multi-chip compute path.
+
+The workload has one long axis — variants (SURVEY.md §5 "Long-context"):
+the genotype matrix shards over it as P('v', None) on a 1-D
+``jax.sharding.Mesh``; the sample axis stays whole per chip (it is the lane
+dimension of the decode kernels). One jitted step runs, per shard:
+
+    predicate mask (device, over sharded padded column tensors)
+    -> stable compacting reorder (kept variants first, original order)
+    -> 2-bit unpack -> GT text words
+    -> all_gather of kept counts over 'v'  (the ordered-merge collective:
+       every shard learns every shard's kept count, hence its own global
+       output row offset — SURVEY.md §7 L4)
+
+Outputs stay sharded; hosts write their shards at the derived offsets.
+Communication rides ICI only (a ndev-long i32 all-gather per step — the
+variant text itself never crosses chips).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pgen_tpu.ops.gt_text import _text_word
+from pgen_tpu.ops.unpack import _unpack_words
+
+VARIANT_AXIS = "v"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D mesh over the variant axis (all local devices by default)."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (VARIANT_AXIS,))
+
+
+def _local_step(packed, mask):
+    """Per-shard compute: compact kept rows, decode, format; count kept."""
+    # stable partition: kept rows first, in original variant order
+    order = jnp.argsort(jnp.logical_not(mask), stable=True)
+    gathered = jnp.take(packed, order, axis=0)
+    words = _unpack_words(gathered)  # (v_local, R) u32: 4 codes per word
+    v, r = words.shape
+    codes = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(v, 4 * r)
+    text_words = _text_word(codes.astype(jnp.uint32))  # (v_local, 4R) u32
+    count = jnp.sum(mask.astype(jnp.int32))
+    return text_words, count
+
+
+def build_sharded_filter_step(mesh: Mesh):
+    """Jitted (packed, mask) -> (text_words, counts, offsets) over the mesh.
+
+    packed: (V, R) u8 sharded P('v', None); mask: (V,) bool sharded P('v').
+    Returns per-shard-compacted text words (V, 4R) u32 sharded P('v', None),
+    kept counts (ndev,) and global row offsets (ndev,) — replicated.
+    """
+
+    def step(packed, mask):
+        def inner(packed_l, mask_l):
+            text_words, count = _local_step(packed_l, mask_l)
+            counts = jax.lax.all_gather(count, VARIANT_AXIS)  # (ndev,)
+            offsets = jnp.cumsum(counts) - counts
+            return text_words, counts, offsets
+
+        return jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(VARIANT_AXIS, None), P(VARIANT_AXIS)),
+            out_specs=(P(VARIANT_AXIS, None), P(), P()),
+            check_vma=False,
+        )(packed, mask)
+
+    in_shardings = (
+        NamedSharding(mesh, P(VARIANT_AXIS, None)),
+        NamedSharding(mesh, P(VARIANT_AXIS)),
+    )
+    return jax.jit(step, in_shardings=in_shardings)
+
+
+def build_sharded_predicate_and_filter_step(mesh: Mesh, expr_ast, col_names):
+    """Full step with the predicate fused in: column tensors -> text.
+
+    col_names orders the (mat, lens) pairs passed positionally (pytrees of
+    sharded arrays); the include-expression lowers to device ops inside the
+    same jit (query/compile_device.py).
+    """
+    from pgen_tpu.query.compile_device import lower_device
+
+    def step(packed, cols):
+        def inner(packed_l, cols_l):
+            mask_l = lower_device(expr_ast, cols_l) if expr_ast is not None else jnp.ones(
+                packed_l.shape[0], dtype=bool
+            )
+            text_words, count = _local_step(packed_l, mask_l)
+            counts = jax.lax.all_gather(count, VARIANT_AXIS)
+            offsets = jnp.cumsum(counts) - counts
+            return text_words, counts, offsets
+
+        col_specs = {k: (P(VARIANT_AXIS, None), P(VARIANT_AXIS)) for k in cols}
+        return jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(VARIANT_AXIS, None), col_specs),
+            out_specs=(P(VARIANT_AXIS, None), P(), P()),
+            check_vma=False,
+        )(packed, cols)
+
+    return jax.jit(step)
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
+    """Zero-pad along axis so the dim divides the mesh size."""
+    n = arr.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths)

@@ -1,0 +1,353 @@
+"""The flagship filter path: decode -> mask -> gather -> format -> write.
+
+Reference call stack replicated (SURVEY.md §3.1; /root/reference/src/
+pfile.rs:104-194 `output_vcf` + main.rs:114-124 dispatch):
+
+  1. parse the 12-byte pgen header
+  2. read pvar comments for VCF passthrough
+  3. locate the psam IID column (hard error if absent, pfile.rs:125-126)
+  4. evaluate --include-var over pvar rows, --include-sam over psam rows
+     (vectorized predicate masks instead of per-row evalexpr)
+  5. write the VCF header
+  6. for each kept variant, emit pvar columns + GT + per-sample tokens
+
+Instead of the reference's per-variant seek/read and per-sample write, the
+kept variants stream through in blocks: packed rows are gathered from a
+memory map, and each block's text is produced by one of three execution
+providers:
+
+  native  — fused C++ LUT emission (one memory pass; default on hosts)
+  device  — Pallas unpack/text kernels on the JAX default backend, host
+            assembly of row prefixes
+  numpy   — pure-numpy oracle/fallback
+
+Output bytes are identical across providers (tests assert it).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from pgen_tpu.formats.header import read_pgen_header
+from pgen_tpu.formats.metadata import read_metadata
+from pgen_tpu.pipeline.vcf import (
+    DEFAULT_SOURCE_TAG,
+    emit_rows_numpy,
+    vcf_header_bytes,
+)
+from pgen_tpu.query.compile import compile_predicate
+from pgen_tpu.utils.log import get_logger
+from pgen_tpu.utils.timer import StageTimer
+
+log = get_logger("filter")
+
+DEFAULT_BLOCK_VARIANTS = 1 << 16
+
+
+def _resolve_provider(provider: str) -> str:
+    if provider != "auto":
+        return provider
+    from pgen_tpu.native import HAVE_NATIVE
+
+    return "native" if HAVE_NATIVE else "numpy"
+
+
+@dataclass
+class FilterResult:
+    out_path: str
+    num_variants_kept: int
+    num_samples_kept: int
+    bytes_written: int
+    timer: StageTimer
+
+
+def _emit_block_meta(
+    provider: str,
+    packed_block: np.ndarray,
+    meta_buf: np.ndarray,
+    line_starts: np.ndarray,
+    line_ends: np.ndarray,
+    sample_idx,
+    n_kept_samples: int,
+    out_view: np.ndarray,
+) -> int:
+    """Emit VCF body rows for one block, prefixes taken straight from the
+    metadata buffer (zero intermediate copies on the native path)."""
+    if provider == "native":
+        from pgen_tpu.native import native
+
+        return native.emit_vcf_rows_meta(
+            packed_block,
+            packed_block.shape[1],
+            meta_buf,
+            line_starts,
+            line_ends,
+            sample_idx,
+            n_kept_samples,
+            out_view,
+        )
+    # non-native providers: materialize this block's prefixes (vectorized
+    # ragged gather, block-sized temporaries), then emit
+    n = len(line_starts)
+    line_lens = line_ends - line_starts
+    lens = line_lens + 3
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    pbuf = np.empty(int(off[-1]), dtype=np.uint8)
+    if n:
+        rows = np.repeat(np.arange(n), line_lens)
+        line_pos = np.arange(int(line_lens.sum()), dtype=np.int64)
+        starts_cum = np.concatenate(([0], np.cumsum(line_lens)[:-1]))
+        within = line_pos - starts_cum[rows]
+        pbuf[off[rows] + within] = meta_buf[line_starts[rows] + within]
+        gt_idx = off[1:, None] - np.array([3, 2, 1], dtype=np.int64)
+        pbuf[gt_idx[:, 0]] = ord("\t")
+        pbuf[gt_idx[:, 1]] = ord("G")
+        pbuf[gt_idx[:, 2]] = ord("T")
+    return _emit_block(
+        provider, packed_block, pbuf, off, sample_idx, n_kept_samples, out_view
+    )
+
+
+def _emit_block(
+    provider: str,
+    packed_block: np.ndarray,
+    prefix_buf: np.ndarray,
+    prefix_off: np.ndarray,
+    sample_idx,
+    n_kept_samples: int,
+    out_view: np.ndarray,
+) -> int:
+    """Produce VCF body rows for one variant block into out_view."""
+    if provider == "native":
+        from pgen_tpu.native import native
+
+        return native.emit_vcf_rows_buf(
+            packed_block,
+            packed_block.shape[1],
+            prefix_buf,
+            prefix_off,
+            sample_idx,
+            n_kept_samples,
+            out_view,
+        )
+    if provider == "device":
+        import jax.numpy as jnp
+
+        from pgen_tpu.native import HAVE_NATIVE, native
+        from pgen_tpu.ops.gt_text import genotype_text, genotype_text_from_codes
+        from pgen_tpu.ops.unpack import unpack_codes
+        from pgen_tpu.pipeline.device import is_interpret_backend
+
+        interp = is_interpret_backend()
+        dev_packed = jnp.asarray(packed_block)
+        if sample_idx is None:
+            text = genotype_text(dev_packed, n_kept_samples, interpret=interp)
+        else:
+            codes = unpack_codes(dev_packed, int(packed_block.shape[1] * 4), interpret=interp)
+            codes = codes[:, jnp.asarray(sample_idx)]
+            text = genotype_text_from_codes(codes, interpret=interp)
+        text_host = np.asarray(text)
+        if HAVE_NATIVE:
+            return native.assemble_rows_buf(text_host, prefix_buf, prefix_off, out_view)
+        return _assemble_rows_numpy(text_host, prefix_buf, prefix_off, out_view)
+    if provider == "numpy":
+        return emit_rows_numpy(
+            packed_block, prefix_buf, prefix_off, sample_idx, n_kept_samples, out_view
+        )
+    raise ValueError(f"unknown provider {provider!r}")
+
+
+def _assemble_rows_numpy(text, prefix_buf, prefix_off, out):
+    n_var, gt_len = text.shape
+    plens = np.diff(prefix_off)
+    row_lens = plens + gt_len + 1
+    out_off = np.zeros(n_var + 1, dtype=np.int64)
+    np.cumsum(row_lens, out=out_off[1:])
+    total = int(out_off[-1])
+    if total > out.nbytes:
+        raise ValueError("output buffer too small")
+    rows = np.repeat(np.arange(n_var), plens)
+    src_pos = np.arange(int(prefix_off[-1]), dtype=np.int64)
+    out[out_off[rows] + (src_pos - prefix_off[rows])] = prefix_buf
+    gstart = out_off[:-1] + plens
+    chunk = max(1, (64 << 20) // max(gt_len * 8, 1))
+    for lo in range(0, n_var, chunk):
+        hi = min(lo + chunk, n_var)
+        idx = gstart[lo:hi, None] + np.arange(gt_len, dtype=np.int64)[None, :]
+        out[idx] = text[lo:hi]
+    out[out_off[1:] - 1] = ord("\n")
+    return total
+
+
+def filter_to_vcf(
+    pfile_prefix: str,
+    var_query: str | None = None,
+    sam_query: str | None = None,
+    out_file: str | Path | None = None,
+    provider: str = "auto",
+    block_variants: int = DEFAULT_BLOCK_VARIANTS,
+    source_tag: str = DEFAULT_SOURCE_TAG,
+) -> FilterResult:
+    """Filter a pgen fileset to a VCF (reference `filter` subcommand)."""
+    provider = _resolve_provider(provider)
+    timer = StageTimer()
+    if out_file is None:
+        # default output name parity: main.rs:121-122
+        out_file = f"{pfile_prefix}.pgen-rs.vcf"
+    out_file = str(out_file)
+
+    with timer.stage("metadata_load"):
+        header = read_pgen_header(f"{pfile_prefix}.pgen")
+        pvar = read_metadata(f"{pfile_prefix}.pvar")
+        psam = read_metadata(f"{pfile_prefix}.psam")
+    # IID lookup precedes filtering, so a missing IID column errors even when
+    # queries would keep nothing (pfile.rs:111-126 order).
+    psam.column_index("IID")
+
+    with timer.stage("predicates"):
+        var_mask = compile_predicate(var_query, pvar)
+        sam_mask = compile_predicate(sam_query, psam)
+    var_idx = np.flatnonzero(var_mask)
+    sam_idx = np.flatnonzero(sam_mask)
+    all_iids = psam.get_column_strs("IID")
+    sample_ids = [all_iids[i] for i in sam_idx]
+    n_kept_samples = len(sam_idx)
+    # Fast sequential-LUT emission only when the kept set is exactly the
+    # pgen's full sample range; otherwise index per sample. (A psam with
+    # fewer rows than the pgen is fine — the reference only indexes bytes
+    # for rows that exist; more rows than fit a record is an error there
+    # too, via the record_buf index panic at pfile.rs:173.)
+    keep_all_fast = n_kept_samples == psam.num_rows == header.num_samples
+    sample_idx_arg = None if keep_all_fast else sam_idx.astype(np.int32)
+
+    header_bytes = vcf_header_bytes(pvar, sample_ids, source_tag)
+
+    # Row prefixes are raw pvar line bytes + "\tGT"; only their spans are
+    # materialized here (the emitter reads straight from the metadata
+    # buffer — large temporary buffers pay this VM's page-zeroing tax).
+    line_starts_all, line_ends_all = pvar.row_line_spans()
+    v_starts = line_starts_all[var_idx]
+    v_ends = line_ends_all[var_idx]
+    prefix_sizes = np.zeros(len(var_idx) + 1, dtype=np.int64)
+    np.cumsum(v_ends - v_starts + 3, out=prefix_sizes[1:])
+    row_fixed = 4 * n_kept_samples + 1
+    total = len(header_bytes) + int(prefix_sizes[-1]) + len(var_idx) * row_fixed
+
+    pgen_mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    rec = header.record_size
+    expected = 12 + header.num_variants * rec
+    if pgen_mm.shape[0] < expected:
+        raise ValueError(
+            f"{pfile_prefix}.pgen is {pgen_mm.shape[0]} bytes; header implies {expected}"
+        )
+    records = pgen_mm[12:expected].reshape(header.num_variants, rec)
+    if len(var_idx) and var_idx[-1] >= header.num_variants:
+        raise ValueError(
+            f"{pfile_prefix}.pvar row {int(var_idx[-1])} is beyond the pgen's "
+            f"{header.num_variants} variant records"
+        )
+    if len(sam_idx) and int(sam_idx[-1]) // 4 >= rec:
+        raise ValueError(
+            f"{pfile_prefix}.psam row {int(sam_idx[-1])} is beyond the pgen's "
+            f"{header.num_samples}-sample records"
+        )
+
+    bytes_written = 0
+    use_mmap = _can_mmap(out_file)
+    if use_mmap:
+        # Reuse the existing file's pages when the size matches: truncation
+        # would drop the page cache and pay kernel page allocation again.
+        if os.path.isfile(out_file) and os.path.getsize(out_file) == total:
+            out_mm = np.memmap(out_file, dtype=np.uint8, mode="r+")
+        else:
+            out_mm = np.memmap(out_file, dtype=np.uint8, mode="w+", shape=(total,))
+        out_mm[: len(header_bytes)] = np.frombuffer(header_bytes, dtype=np.uint8)
+        pos = len(header_bytes)
+        for lo in range(0, len(var_idx), block_variants):
+            hi = min(lo + block_variants, len(var_idx))
+            idx_blk = var_idx[lo:hi]
+            with timer.stage("gather", nbytes=int((hi - lo) * rec)):
+                packed_blk = _gather_rows(records, idx_blk)
+            cap = int(prefix_sizes[hi] - prefix_sizes[lo]) + (hi - lo) * row_fixed
+            with timer.stage("emit") as st:
+                n = _emit_block_meta(
+                    provider,
+                    packed_blk,
+                    pvar.data_buffer,
+                    v_starts[lo:hi],
+                    v_ends[lo:hi],
+                    sample_idx_arg,
+                    n_kept_samples,
+                    out_mm[pos : pos + cap],
+                )
+                st.bytes_moved += n
+            pos += n
+        assert pos == total, f"size accounting bug: wrote {pos}, expected {total}"
+        # no msync: let the OS write back lazily (the reference doesn't
+        # fsync either); del just unmaps.
+        del out_mm
+        bytes_written = total
+    else:
+        fd = os.open(out_file, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+        try:
+            os.write(fd, header_bytes)
+            bytes_written = len(header_bytes)
+            scratch = None
+            for lo in range(0, len(var_idx), block_variants):
+                hi = min(lo + block_variants, len(var_idx))
+                idx_blk = var_idx[lo:hi]
+                packed_blk = _gather_rows(records, idx_blk)
+                cap = int(prefix_sizes[hi] - prefix_sizes[lo]) + (hi - lo) * row_fixed
+                if scratch is None or scratch.nbytes < cap:
+                    scratch = np.empty(cap, dtype=np.uint8)
+                with timer.stage("emit") as st:
+                    n = _emit_block_meta(
+                        provider,
+                        packed_blk,
+                        pvar.data_buffer,
+                        v_starts[lo:hi],
+                        v_ends[lo:hi],
+                        sample_idx_arg,
+                        n_kept_samples,
+                        scratch,
+                    )
+                    st.bytes_moved += n
+                os.write(fd, memoryview(scratch[:n]))
+                bytes_written += n
+        finally:
+            os.close(fd)
+
+    log.info("filter: %s", timer.report())
+    return FilterResult(
+        out_path=out_file,
+        num_variants_kept=len(var_idx),
+        num_samples_kept=n_kept_samples,
+        bytes_written=bytes_written,
+        timer=timer,
+    )
+
+
+def _gather_rows(records: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Row gather that stays zero-copy for contiguous kept ranges (the
+    keep-all fast path reads straight from the .pgen memory map)."""
+    if len(idx) and int(idx[-1]) - int(idx[0]) + 1 == len(idx):
+        return records[int(idx[0]) : int(idx[-1]) + 1]
+    return records[idx]
+
+
+def _can_mmap(path: str) -> bool:
+    """mmap emission needs a regular (seekable) output file."""
+    try:
+        st = os.stat(path)
+    except FileNotFoundError:
+        # new file in a writable directory: fine
+        parent = os.path.dirname(path) or "."
+        return os.path.isdir(parent)
+    import stat as stat_mod
+
+    return stat_mod.S_ISREG(st.st_mode)

@@ -1,0 +1,48 @@
+"""The metadata-only query path.
+
+Reference parity (/root/reference/src/pfile.rs:78-102, main.rs:95-113):
+``query`` touches ONLY the .pvar (default) or .psam (-s) metadata file —
+never the .pgen records — which is the reference's stated scaling advantage
+over bcftools (README.md:158-160). The pgen header is still opened first
+(Pfile::from_prefix runs before the reader is chosen, main.rs:101), so a
+missing/invalid .pgen errors here too.
+
+Instead of the reference's per-row context rebuild + evalexpr walk, the
+include predicate and fstring compile once to whole-column vector ops; rows
+stream to the writer in one pass.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from pgen_tpu.formats.header import read_pgen_header
+from pgen_tpu.formats.metadata import read_metadata
+from pgen_tpu.query.compile import compile_fstring, compile_predicate
+
+
+def query_metadata(
+    pfile_prefix: str,
+    query_fstring: str,
+    query: str | None = None,
+    query_samples: bool = False,
+    out=None,
+) -> int:
+    """Print one fstring result per kept metadata row (to stdout by default).
+
+    Returns the number of rows printed.
+    """
+    read_pgen_header(f"{pfile_prefix}.pgen")  # from_prefix validation parity
+    meta_path = f"{pfile_prefix}.psam" if query_samples else f"{pfile_prefix}.pvar"
+    table = read_metadata(meta_path)
+    mask = compile_predicate(query, table)
+    rows = np.flatnonzero(mask)
+    results = compile_fstring(query_fstring, table, rows)
+    out = sys.stdout if out is None else out
+    # one write call: rows joined by '\n' (println! per row in the reference)
+    if results:
+        out.write("\n".join(results))
+        out.write("\n")
+    return len(results)

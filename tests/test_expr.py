@@ -1,0 +1,216 @@
+"""Expression engine: parser, interpreter semantics, and the vectorized
+compiler's exact agreement with the row interpreter (SURVEY.md C7)."""
+
+import numpy as np
+import pytest
+
+from pgen_tpu.formats.metadata import read_metadata
+from pgen_tpu.query.ast import ExprError, ParseError
+from pgen_tpu.query.compile import compile_fstring, compile_predicate
+from pgen_tpu.query.interp import eval_boolean, eval_string, eval_value
+from pgen_tpu.query.parser import parse
+
+CTX = {"CHROM": "19", "POS": "260912", "ID": "rs81", "ALT": "G", "EMPTY": ""}
+
+
+# -- parser ----------------------------------------------------------------
+
+
+def test_precedence_or_and():
+    # && binds tighter than ||
+    assert eval_boolean('ALT == "G" || ALT == "T" && CHROM == "nope"', CTX)
+
+
+def test_parens():
+    assert not eval_boolean('(ALT == "G" || ALT == "T") && CHROM == "nope"', CTX)
+
+
+def test_string_escapes():
+    assert eval_string('"a\\"b" + "\\\\"', {}) == 'a"b\\'
+
+
+def test_parse_errors():
+    for bad in ["ID ==", '"unterminated', "(ID", "ID = 1", "a b", "~x"]:
+        with pytest.raises(ParseError):
+            parse(bad)
+
+
+def test_numeric_literals():
+    assert eval_value(parse("1 + 2 * 3"), {}) == 7
+    assert eval_value(parse("2 ^ 3"), {}) == 8.0
+    assert eval_value(parse("7 / 2"), {}) == 3  # int division truncates
+    assert eval_value(parse("-7 / 2"), {}) == -3  # toward zero (Rust)
+    assert eval_value(parse("-7 % 2"), {}) == -1
+    assert eval_value(parse("1.5 + 1"), {}) == 2.5
+
+
+# -- interpreter semantics (evalexpr parity) -------------------------------
+
+
+def test_string_equality():
+    assert eval_boolean('POS == "260912"', CTX)
+    assert not eval_boolean('POS == "9"', CTX)
+
+
+def test_cross_type_equality_is_false_not_error():
+    # README.md:279-280 — all variables are strings; numeric compare is
+    # string compare, and Int vs String is simply unequal
+    assert not eval_boolean("POS == 260912", CTX)
+    assert eval_boolean("POS != 260912", CTX)
+    assert not eval_boolean("true == 1", {})
+
+
+def test_string_ordering_lexicographic():
+    assert eval_boolean('"10" < "9"', {})
+    assert eval_boolean('POS >= "260912"', CTX)
+    assert eval_boolean('"abc" < "abd"', {})
+    assert eval_boolean('"ab" < "abc"', {})
+
+
+def test_ordering_type_error():
+    with pytest.raises(ExprError):
+        eval_boolean('POS < 5', CTX)
+
+
+def test_boolean_ops_require_booleans():
+    with pytest.raises(ExprError):
+        eval_boolean('ALT && true', CTX)
+    with pytest.raises(ExprError):
+        eval_boolean('!ALT', CTX)
+
+
+def test_concat():
+    assert eval_string('CHROM + " " + POS', CTX) == "19 260912"
+    with pytest.raises(ExprError):
+        eval_value(parse('CHROM + 1'), CTX)
+
+
+def test_result_type_enforced():
+    with pytest.raises(ExprError):
+        eval_boolean('CHROM', CTX)  # String where Boolean needed
+    with pytest.raises(ExprError):
+        eval_string('CHROM == "19"', CTX)  # Boolean where String needed
+
+
+def test_unbound_variable():
+    with pytest.raises(ExprError, match="not bound"):
+        eval_boolean('NOPE == "1"', CTX)
+
+
+def test_builtins():
+    assert eval_value(parse('len("abcd")'), {}) == 4
+    assert eval_value(parse('str::to_lowercase("AbC")'), {}) == "abc"
+    assert eval_value(parse("min(3, 1, 2)"), {}) == 1
+    assert eval_value(parse('contains("hello", "ell")'), {})
+    with pytest.raises(ExprError, match="not bound"):
+        eval_value(parse("nosuch(1)"), {})
+
+
+# -- vectorized compiler agreement -----------------------------------------
+
+
+@pytest.fixture()
+def table(tmp_path):
+    rng = np.random.default_rng(5)
+    alts = rng.choice(["A", "C", "G", "T"], 200)
+    pos = rng.integers(1, 120, 200)
+    rows = "".join(
+        f"1\t{pos[i]}\trs{i % 17}\tA\t{alts[i]}\n" for i in range(200)
+    )
+    p = tmp_path / "t.pvar"
+    p.write_text("#CHROM\tPOS\tID\tREF\tALT\n" + rows)
+    return read_metadata(p)
+
+
+EXPRS = [
+    'ALT == "G"',
+    'ALT != "G"',
+    'ALT == "G" || ALT == "T"',
+    'ALT == "G" && POS == "7"',
+    '!(ALT == "G")',
+    'POS < "50"',  # lexicographic!
+    'POS >= "50"',
+    'ID <= "rs3"',
+    'ALT == REF',
+    'ALT != REF',
+    'CHROM + POS == "17"',
+    'POS == 7',  # cross-type: all-false
+    'true || ALT == "zzz"',
+    'false && ALT == "G"',
+    'ALT > "C"',
+    '(ALT + ID) == ("G" + "rs3")',
+]
+
+
+@pytest.mark.parametrize("expr", EXPRS)
+def test_compile_matches_interp(table, expr):
+    mask = compile_predicate(expr, table)
+    node = parse(expr)
+    for i in range(table.num_rows):
+        ctx = {c: table.get_column_strs(c)[i] for c in table.columns}
+        assert mask[i] == eval_boolean(node, ctx), f"row {i}: {ctx}"
+
+
+@pytest.mark.parametrize(
+    "fstring",
+    ['CHROM + " " + POS', 'ID', 'ALT + "/" + REF', '"const"'],
+)
+def test_fstring_matches_interp(table, fstring):
+    rows = np.arange(0, table.num_rows, 3)
+    got = compile_fstring(fstring, table, rows)
+    node = parse(fstring)
+    for out, i in zip(got, rows):
+        ctx = {c: table.get_column_strs(c)[i] for c in table.columns}
+        assert out == eval_string(node, ctx)
+
+
+def test_compile_none_keeps_all(table):
+    assert compile_predicate(None, table).all()
+
+
+def test_compile_type_error_matches(table):
+    with pytest.raises(ExprError):
+        compile_predicate('ALT && true', table)
+    with pytest.raises(ExprError):
+        compile_predicate('ALT', table)
+
+
+def test_compile_fallback_function_call(table):
+    # len() is outside the vectorized subset -> row-interpreter fallback
+    mask = compile_predicate('len(ID) == 3', table)
+    for i in range(table.num_rows):
+        assert mask[i] == (len(table.get_column_strs("ID")[i]) == 3)
+
+
+def test_empty_table_never_evaluates(tmp_path):
+    p = tmp_path / "e.pvar"
+    p.write_text("#A\tB\n")
+    t = read_metadata(p)
+    # ill-typed expression succeeds vacuously on zero rows (reference never
+    # evaluates the expression when there are no records)
+    assert compile_predicate('A && true', t).shape == (0,)
+
+
+# -- device lowering agreement ---------------------------------------------
+
+DEVICE_EXPRS = [
+    'ALT == "G"',
+    'ALT != "G"',
+    'ALT == "G" || POS == "7"',
+    '!(ALT == "G") && ID == "rs3"',
+    'POS < "50"',
+    'POS >= "50"',
+    'ID <= "rs3"',
+    'ALT == REF',
+    'ALT > "C"',
+    'POS == 7',
+]
+
+
+@pytest.mark.parametrize("expr", DEVICE_EXPRS)
+def test_device_lowering_matches_host(table, expr):
+    from pgen_tpu.query.compile_device import compile_predicate_device
+
+    host = compile_predicate(expr, table)
+    dev = np.asarray(compile_predicate_device(expr, table))
+    assert (host == dev).all()
