@@ -105,6 +105,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="The output file name (defaults to PFILE_PREFIX.pgen-rs.vcf)",
     )
     f.add_argument(
+        "--out-format",
+        choices=["vcf", "pgen"],
+        default="vcf",
+        help=(
+            "Output format: vcf (default, reference-compatible) or pgen "
+            "(write a filtered OUT.pgen/.pvar/.psam fileset; -o is the "
+            "output prefix)."
+        ),
+    )
+    f.add_argument(
         "--provider",
         choices=["auto", "native", "device", "numpy"],
         default="auto",
@@ -121,6 +131,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         help="Split the variant dimension into N shards (multi-host filtering).",
+    )
+    f.add_argument(
+        "--workers",
+        type=int,
+        default=None,
+        help="Run N parallel worker processes, one variant shard each.",
     )
     f.add_argument(
         "--shard-index",
@@ -170,7 +186,33 @@ def main(argv=None) -> int:
             kwargs = {}
             if args.block_variants:
                 kwargs["block_variants"] = args.block_variants
-            if args.shards is not None:
+            if args.out_format == "pgen":
+                from pgen_tpu.pipeline.pgen_out import filter_to_pgen
+
+                result = filter_to_pgen(
+                    args.pfile_prefix,
+                    var_query=args.var_query,
+                    sam_query=args.sam_query,
+                    out_prefix=args.out_file,
+                    provider=args.provider,
+                    **kwargs,
+                )
+                if args.stats:
+                    print(result.timer.report(), file=sys.stderr)
+                return 0
+            if args.workers is not None:
+                from pgen_tpu.parallel.shard import filter_to_vcf_parallel
+
+                result = filter_to_vcf_parallel(
+                    args.pfile_prefix,
+                    var_query=args.var_query,
+                    sam_query=args.sam_query,
+                    out_file=args.out_file,
+                    provider=args.provider,
+                    num_workers=args.workers,
+                    **kwargs,
+                )
+            elif args.shards is not None:
                 from pgen_tpu.parallel.shard import filter_to_vcf_sharded
 
                 result = filter_to_vcf_sharded(

@@ -162,25 +162,32 @@ def read_metadata(path: str | Path) -> MetadataTable:
     line_ends = nl_pos
     # drop empty trailing lines (e.g. file ending in '\n')
     keep = line_ends > line_starts
-    line_starts, line_ends = line_starts[keep].astype(np.int64), line_ends[keep].astype(np.int64)
+    if not keep.all():
+        line_starts, line_ends = line_starts[keep], line_ends[keep]
+    line_starts = np.asarray(line_starts, dtype=np.int64)
+    line_ends = np.asarray(line_ends, dtype=np.int64)
     nrows = len(line_starts)
 
     tab_pos = np.flatnonzero(buf == ord("\t"))
     if nrows:
-        # Count tabs per line to enforce the reference's strict field count.
-        row_of_tab = np.searchsorted(line_ends, tab_pos, side="left")
-        in_line = (tab_pos >= line_starts[np.minimum(row_of_tab, nrows - 1)]) & (row_of_tab < nrows)
-        tab_pos = tab_pos[in_line]
-        row_of_tab = row_of_tab[in_line]
-        tabs_per_row = np.bincount(row_of_tab, minlength=nrows)
-        bad = np.flatnonzero(tabs_per_row != ncols - 1)
-        if len(bad):
-            i = int(bad[0])
-            raise MetadataFormatError(
-                f"{path}: row {i} has {int(tabs_per_row[i]) + 1} fields, "
-                f"header has {ncols}"
-            )
-        tabs = tab_pos.reshape(nrows, ncols - 1) if ncols > 1 else np.empty((nrows, 0), np.int64)
+        # Fast path: a well-formed file has exactly ncols-1 tabs per row, so
+        # the sorted tab positions reshape directly; the bounds check below
+        # catches any misalignment (then the slow path names the bad row).
+        if len(tab_pos) == nrows * (ncols - 1):
+            if ncols > 1:
+                tabs = tab_pos.reshape(nrows, ncols - 1)
+                # first tab may sit AT line start (empty first field); all
+                # tabs sorted, so first/last in-bounds => all in-bounds
+                ok = (tabs[:, 0] >= line_starts).all() and (
+                    tabs[:, -1] < line_ends
+                ).all()
+            else:
+                tabs = np.empty((nrows, 0), np.int64)
+                ok = True
+        else:
+            ok = False
+        if not ok:
+            _raise_ragged_row(path, ncols, tab_pos, line_starts, line_ends)
         field_starts = np.concatenate([line_starts[:, None], tabs + 1], axis=1)
         field_ends = np.concatenate([tabs, line_ends[:, None]], axis=1)
     else:
@@ -194,8 +201,25 @@ def read_metadata(path: str | Path) -> MetadataTable:
         columns=columns,
         num_rows=nrows,
         _buf=buf,
-        _field_starts=field_starts.astype(np.int64),
-        _field_ends=field_ends.astype(np.int64),
+        _field_starts=field_starts,
+        _field_ends=field_ends,
         _line_starts=line_starts,
         _line_ends=line_ends,
+    )
+
+
+def _raise_ragged_row(path, ncols, tab_pos, line_starts, line_ends):
+    """Slow path: locate and report the first row whose field count differs
+    from the header's (strict-csv error parity with the reference)."""
+    nrows = len(line_starts)
+    row_of_tab = np.searchsorted(line_ends, tab_pos, side="left")
+    in_line = (row_of_tab < nrows) & (
+        tab_pos >= line_starts[np.minimum(row_of_tab, nrows - 1)]
+    )
+    tabs_per_row = np.bincount(row_of_tab[in_line], minlength=nrows)
+    bad = np.flatnonzero(tabs_per_row != ncols - 1)
+    i = int(bad[0]) if len(bad) else 0
+    raise MetadataFormatError(
+        f"{path}: row {i} has {int(tabs_per_row[i]) + 1} fields, "
+        f"header has {ncols}"
     )

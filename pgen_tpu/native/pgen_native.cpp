@@ -23,6 +23,11 @@
 #include <unistd.h>
 #include <errno.h>
 
+#if defined(__SSE2__)
+#include <immintrin.h>
+#define PGEN_HAVE_NT 1
+#endif
+
 namespace {
 
 // 4-byte tokens per 2-bit code, each preceded by '\t' (pfile.rs:177-187).
@@ -88,6 +93,39 @@ struct OutBuf {
     return buf + len;
   }
 };
+
+// Streaming copy with non-temporal stores: the VCF body is written once and
+// never read back by the CPU, so bypassing the cache avoids the
+// read-for-ownership of every destination line — halving DRAM traffic on
+// the multi-GB emit (SURVEY.md §6: emission is the reference's real
+// bottleneck). Rows are staged in a cache-resident buffer and flushed here.
+inline void stream_copy(unsigned char* dst, const unsigned char* src,
+                        int64_t n) {
+#ifdef PGEN_HAVE_NT
+  // align destination to 16 bytes
+  while (n > 0 && ((uintptr_t)dst & 15)) {
+    *dst++ = *src++;
+    --n;
+  }
+  while (n >= 64) {
+    __m128i a = _mm_loadu_si128((const __m128i*)(src + 0));
+    __m128i b = _mm_loadu_si128((const __m128i*)(src + 16));
+    __m128i c = _mm_loadu_si128((const __m128i*)(src + 32));
+    __m128i d = _mm_loadu_si128((const __m128i*)(src + 48));
+    _mm_stream_si128((__m128i*)(dst + 0), a);
+    _mm_stream_si128((__m128i*)(dst + 16), b);
+    _mm_stream_si128((__m128i*)(dst + 32), c);
+    _mm_stream_si128((__m128i*)(dst + 48), d);
+    src += 64;
+    dst += 64;
+    n -= 64;
+  }
+  if (n) std::memcpy(dst, src, (size_t)n);
+  _mm_sfence();
+#else
+  std::memcpy(dst, src, (size_t)n);
+#endif
+}
 
 }  // namespace
 
@@ -198,35 +236,78 @@ int64_t pgen_emit_vcf_rows_meta(const unsigned char* packed, int64_t n_var,
                                 unsigned char* out, int64_t cap) {
   const int64_t full_bytes = n_samples / 4;
   const int tail = (int)(n_samples % 4);
+  const int64_t row_max = 4 * n_samples + 4;  // + "\tGT" + "\n" (sans prefix)
+
+  // Rows are built in a cache-resident staging buffer and flushed to `out`
+  // with non-temporal stores (see stream_copy).
+  constexpr int64_t kStage = 1 << 20;
+  static thread_local unsigned char* stage = nullptr;
+  if (!stage) stage = (unsigned char*)std::malloc(kStage);
+  if (!stage) return -1;
+  int64_t slen = 0;
   unsigned char* dst = out;
-  unsigned char* end = out + cap;
+  unsigned char* const end = out + cap;
+
   for (int64_t v = 0; v < n_var; ++v) {
     const int64_t plen = line_ends[v] - line_starts[v];
-    if (dst + plen + 3 + 4 * n_samples + 1 > end) return -1;
-    std::memcpy(dst, meta_buf + line_starts[v], (size_t)plen);
-    dst += plen;
-    *dst++ = '\t';
-    *dst++ = 'G';
-    *dst++ = 'T';
+    const int64_t row_len = plen + row_max;
+    unsigned char* w;
+    bool staged = row_len <= kStage;
+    if (staged) {
+      if (slen + row_len > kStage) {
+        if (dst + slen > end) return -1;
+        stream_copy(dst, stage, slen);
+        dst += slen;
+        slen = 0;
+      }
+      w = stage + slen;
+    } else {
+      // pathological row larger than the stage: flush and write direct
+      if (slen) {
+        if (dst + slen > end) return -1;
+        stream_copy(dst, stage, slen);
+        dst += slen;
+        slen = 0;
+      }
+      if (dst + row_len > end) return -1;
+      w = dst;
+    }
+    unsigned char* w0 = w;
+    std::memcpy(w, meta_buf + line_starts[v], (size_t)plen);
+    w += plen;
+    *w++ = '\t';
+    *w++ = 'G';
+    *w++ = 'T';
     const unsigned char* rec = packed + v * rec_size;
     if (!sample_idx) {
       for (int64_t j = 0; j < full_bytes; ++j) {
-        std::memcpy(dst, kLut.t[rec[j]], 16);
-        dst += 16;
+        std::memcpy(w, kLut.t[rec[j]], 16);
+        w += 16;
       }
       if (tail) {
-        std::memcpy(dst, kLut.t[rec[full_bytes]], (size_t)(4 * tail));
-        dst += 4 * tail;
+        std::memcpy(w, kLut.t[rec[full_bytes]], (size_t)(4 * tail));
+        w += 4 * tail;
       }
     } else {
       for (int64_t i = 0; i < n_samples; ++i) {
         const int32_t s = sample_idx[i];
         const unsigned char code = kCodes.t[rec[s >> 2]][s & 3];
-        std::memcpy(dst, kTok[code], 4);
-        dst += 4;
+        std::memcpy(w, kTok[code], 4);
+        w += 4;
       }
     }
-    *dst++ = '\n';
+    *w++ = '\n';
+    if (staged) {
+      slen += w - w0;
+      if (dst + slen > end) return -1;  // early overflow check
+    } else {
+      dst = w;
+    }
+  }
+  if (slen) {
+    if (dst + slen > end) return -1;
+    stream_copy(dst, stage, slen);
+    dst += slen;
   }
   return dst - out;
 }

@@ -40,6 +40,79 @@ from pgen_tpu.query.compile import compile_predicate
 from pgen_tpu.utils.timer import StageTimer
 
 
+def filter_to_vcf_parallel(
+    pfile_prefix: str,
+    var_query: str | None = None,
+    sam_query: str | None = None,
+    out_file: str | None = None,
+    provider: str = "auto",
+    num_workers: int = 2,
+    block_variants: int = 1 << 16,
+) -> FilterResult:
+    """Run the shards in parallel worker processes (fork), one shard each.
+
+    The single-file ordered merge needs no coordination: every worker
+    derives the same offsets and pwrites its own byte range. This is the
+    single-host stand-in for the multi-host deployment (one process per
+    host); fork keeps worker startup free of reimport cost.
+    """
+    import multiprocessing as mp
+
+    if num_workers <= 1:
+        return filter_to_vcf_sharded(
+            pfile_prefix,
+            var_query=var_query,
+            sam_query=sam_query,
+            out_file=out_file,
+            provider=provider,
+            num_shards=1,
+            block_variants=block_variants,
+        )
+    if out_file is None:
+        out_file = f"{pfile_prefix}.pgen-rs.vcf"
+
+    ctx = mp.get_context("fork")
+    procs = []
+    for i in range(num_workers):
+        p = ctx.Process(
+            target=filter_to_vcf_sharded,
+            kwargs=dict(
+                pfile_prefix=pfile_prefix,
+                var_query=var_query,
+                sam_query=sam_query,
+                out_file=out_file,
+                provider=provider,
+                num_shards=num_workers,
+                shard_index=i,
+                block_variants=block_variants,
+            ),
+        )
+        p.start()
+        procs.append(p)
+    failed = []
+    for i, p in enumerate(procs):
+        p.join()
+        if p.exitcode != 0:
+            failed.append((i, p.exitcode))
+    if failed:
+        raise RuntimeError(f"shard workers failed: {failed}")
+    # summarize from a cheap metadata-only pass (no genotype work)
+    from pgen_tpu.formats.metadata import read_metadata
+    from pgen_tpu.query.compile import compile_predicate
+
+    pvar = read_metadata(f"{pfile_prefix}.pvar")
+    psam = read_metadata(f"{pfile_prefix}.psam")
+    nv = int(compile_predicate(var_query, pvar).sum())
+    ns = int(compile_predicate(sam_query, psam).sum())
+    return FilterResult(
+        out_path=str(out_file),
+        num_variants_kept=nv,
+        num_samples_kept=ns,
+        bytes_written=os.path.getsize(out_file),
+        timer=StageTimer(),
+    )
+
+
 def plan_shards(num_kept: int, num_shards: int) -> list:
     """Contiguous, balanced partition of kept-variant positions.
 

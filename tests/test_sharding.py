@@ -139,3 +139,18 @@ def test_sharded_predicate_step():
     exp_counts = [int(exp_mask[i * per : (i + 1) * per].sum()) for i in range(ndev)]
     assert np.asarray(counts).tolist() == exp_counts
     assert int(np.asarray(counts).sum()) == int(exp_mask.sum())
+
+
+@pytest.mark.parametrize("workers", [1, 2, 3])
+def test_parallel_workers_match(tiny_fileset, tmp_path, workers):
+    from pgen_tpu.parallel.shard import filter_to_vcf_parallel
+
+    prefix, _ = tiny_fileset
+    a = tmp_path / "seq.vcf"
+    b = tmp_path / "par.vcf"
+    filter_to_vcf(prefix, var_query='REF == "A"', out_file=a)
+    res = filter_to_vcf_parallel(
+        prefix, var_query='REF == "A"', out_file=b, num_workers=workers
+    )
+    assert _read(a) == _read(b)
+    assert res.num_variants_kept == 5
