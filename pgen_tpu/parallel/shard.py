@@ -134,12 +134,15 @@ def filter_to_vcf_sharded(
     shard_index: int | None = None,
     block_variants: int = 1 << 16,
     source_tag: str = DEFAULT_SOURCE_TAG,
+    standalone: bool = False,
 ) -> FilterResult:
     """Shard the kept variants over ``num_shards`` workers writing one VCF.
 
     With shard_index=None all shards run in this process (sequentially);
     otherwise only that shard's rows are written (plus the header, by shard
-    0) into the common preallocated output file.
+    0) into the common preallocated output file. With standalone=True the
+    shard writes its own bytes from offset 0 of its own file (no shared
+    filesystem; files concatenate to the full VCF in shard order).
     """
     provider = _resolve_provider(provider)
     timer = StageTimer()
@@ -187,10 +190,24 @@ def filter_to_vcf_sharded(
         # bytes of all rows before kept-position lo
         return len(header_bytes) + int(prefix_sizes[lo]) + lo * row_fixed
 
-    # Preallocate the shared output (idempotent across workers).
+    # Byte base: 0 for the shared file; the shard's own start offset when
+    # writing a standalone per-shard file (header only in shard 0's file).
+    base = 0
+    local_total = total
+    if standalone:
+        if shard_index is None:
+            raise ValueError("standalone mode needs an explicit shard_index")
+        s_lo, s_hi = plan_shards(len(var_idx), num_shards)[shard_index]
+        base = len(header_bytes) + int(prefix_sizes[s_lo]) + s_lo * row_fixed
+        if shard_index == 0:
+            base = 0  # shard 0's standalone file carries the header
+        local_total = (
+            len(header_bytes) + int(prefix_sizes[s_hi]) + s_hi * row_fixed
+        ) - base
+
     fd = os.open(out_file, os.O_RDWR | os.O_CREAT, 0o644)
     try:
-        os.ftruncate(fd, total)
+        os.ftruncate(fd, local_total)
         my_shards = (
             range(num_shards) if shard_index is None else [shard_index]
         )
@@ -199,7 +216,7 @@ def filter_to_vcf_sharded(
         written = 0
         for si in my_shards:
             lo, hi = shards[si]
-            pos = shard_byte_start(lo)
+            pos = shard_byte_start(lo) - base
             for blo in range(lo, hi, block_variants):
                 bhi = min(blo + block_variants, hi)
                 idx_blk = var_idx[blo:bhi]
@@ -222,7 +239,7 @@ def filter_to_vcf_sharded(
                     os.pwrite(fd, memoryview(scratch[:n]), pos)
                 pos += n
                 written += n
-            assert pos == shard_byte_start(hi), "shard offset accounting bug"
+            assert pos == shard_byte_start(hi) - base, "shard offset accounting bug"
     finally:
         os.close(fd)
 

@@ -38,44 +38,6 @@ def vcf_header_bytes(pvar_table, sample_ids, source_tag: str = DEFAULT_SOURCE_TA
     return "".join(parts).encode("utf-8")
 
 
-def build_prefixes(pvar_table, var_idx: np.ndarray) -> tuple:
-    """Build the concatenated row-prefix buffer for the kept variants.
-
-    Returns (prefix_buf uint8, prefix_off int64[len+1]) where row i's prefix
-    is ``pvar_line(var_idx[i]) + b"\tGT"``. Fully vectorized ragged gather —
-    no per-row Python work.
-    """
-    starts, ends = pvar_table.row_line_spans()
-    starts = starts[var_idx]
-    ends = ends[var_idx]
-    line_lens = ends - starts
-    lens = line_lens + 3  # + "\tGT"
-    off = np.zeros(len(var_idx) + 1, dtype=np.int64)
-    np.cumsum(lens, out=off[1:])
-    total = int(off[-1])
-    buf = np.empty(total, dtype=np.uint8)
-    if len(var_idx):
-        # ragged gather: position p in row i maps to source starts[i] + (p - off[i])
-        rows = np.repeat(np.arange(len(var_idx)), line_lens)
-        out_pos = np.arange(total, dtype=np.int64)
-        # mark GT suffix positions
-        gt_idx = off[1:, None] - np.array([3, 2, 1], dtype=np.int64)
-        is_line = np.ones(total, dtype=bool)
-        is_line[gt_idx.ravel()] = False
-        line_pos = out_pos[is_line]
-        src = starts[rows] + (line_pos - off[rows])
-        buf[line_pos] = pvar_table.data_buffer[src]
-        buf[gt_idx[:, 0]] = ord("\t")
-        buf[gt_idx[:, 1]] = ord("G")
-        buf[gt_idx[:, 2]] = ord("T")
-    return buf, off
-
-
-def body_size(prefix_off: np.ndarray, n_var: int, n_kept_samples: int) -> int:
-    """Exact byte size of the VCF body: prefixes + 4 bytes/sample + newline."""
-    return int(prefix_off[-1]) + n_var * (4 * n_kept_samples + 1)
-
-
 def emit_rows_numpy(
     packed: np.ndarray,
     prefix_buf: np.ndarray,
