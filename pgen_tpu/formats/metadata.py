@@ -42,13 +42,20 @@ class MetadataTable:
     num_rows: int
     # Data region internals (vectorized access):
     _buf: np.ndarray = field(repr=False)  # uint8 view of the data region
-    _field_starts: np.ndarray = field(repr=False)  # (rows, cols) int64
-    _field_ends: np.ndarray = field(repr=False)  # (rows, cols) int64
+    _tabs: np.ndarray = field(repr=False)  # (rows, cols-1) int64 tab positions
     _line_starts: np.ndarray = field(repr=False)  # (rows,) int64
     _line_ends: np.ndarray = field(repr=False)  # (rows,) int64, excl. newline
     _col_cache: dict = field(default_factory=dict, repr=False)
 
     # -- column access ------------------------------------------------------
+
+    def field_starts(self, j: int) -> np.ndarray:
+        """Start offsets of column j in every row (derived from the tab
+        index lazily — no (rows, cols) offset matrices are materialized)."""
+        return self._line_starts if j == 0 else self._tabs[:, j - 1] + 1
+
+    def field_ends(self, j: int) -> np.ndarray:
+        return self._line_ends if j == len(self.columns) - 1 else self._tabs[:, j]
 
     def column_index(self, name: str) -> int:
         try:
@@ -68,8 +75,8 @@ class MetadataTable:
         key = ("padded", name)
         if key not in self._col_cache:
             j = self.column_index(name)
-            starts = self._field_starts[:, j]
-            ends = self._field_ends[:, j]
+            starts = self.field_starts(j)
+            ends = self.field_ends(j)
             lens = ends - starts
             width = max(int(lens.max(initial=0)), 1)
             offs = np.arange(width, dtype=np.int64)
@@ -79,6 +86,21 @@ class MetadataTable:
             mat[offs[None, :] >= lens[:, None]] = 0
             self._col_cache[key] = (mat, lens.astype(np.int32))
         return self._col_cache[key]
+
+    def column_equals(self, name: str, literal: bytes) -> np.ndarray:
+        """Vectorized ``column == literal`` without materializing the padded
+        column matrix: length compare + one byte-gather pass per literal
+        byte. The hot path of keep-K predicates over millions of rows."""
+        j = self.column_index(name)
+        starts = self.field_starts(j)
+        lens = self.field_ends(j) - starts
+        mask = lens == len(literal)
+        for k, ch in enumerate(literal):
+            if not mask.any():
+                break
+            idx = np.minimum(starts + k, len(self._buf) - 1)
+            mask &= self._buf[idx] == ch
+        return mask
 
     def get_column_bytes(self, name: str) -> np.ndarray:
         """Column as a numpy 'S' fixed-width bytes array (host predicates)."""
@@ -106,8 +128,12 @@ class MetadataTable:
         return self._buf[self._line_starts[i] : self._line_ends[i]].tobytes()
 
     def row_fields(self, i: int) -> list:
-        s, e = self._field_starts[i], self._field_ends[i]
-        return [self._buf[s[j] : e[j]].tobytes().decode("utf-8") for j in range(len(s))]
+        return [
+            self._buf[self.field_starts(j)[i] : self.field_ends(j)[i]]
+            .tobytes()
+            .decode("utf-8")
+            for j in range(len(self.columns))
+        ]
 
     def row_line_spans(self) -> tuple:
         """(starts, ends) of every data row within the data buffer."""
@@ -188,11 +214,8 @@ def read_metadata(path: str | Path) -> MetadataTable:
             ok = False
         if not ok:
             _raise_ragged_row(path, ncols, tab_pos, line_starts, line_ends)
-        field_starts = np.concatenate([line_starts[:, None], tabs + 1], axis=1)
-        field_ends = np.concatenate([tabs, line_ends[:, None]], axis=1)
     else:
-        field_starts = np.empty((0, ncols), np.int64)
-        field_ends = np.empty((0, ncols), np.int64)
+        tabs = np.empty((0, max(ncols - 1, 0)), np.int64)
 
     return MetadataTable(
         path=path,
@@ -201,8 +224,7 @@ def read_metadata(path: str | Path) -> MetadataTable:
         columns=columns,
         num_rows=nrows,
         _buf=buf,
-        _field_starts=field_starts,
-        _field_ends=field_ends,
+        _tabs=tabs,
         _line_starts=line_starts,
         _line_ends=line_ends,
     )

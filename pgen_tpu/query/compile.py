@@ -35,10 +35,34 @@ from pgen_tpu.query.parser import parse
 _MASK = "mask"  # np.bool_ (rows,)
 _STRCOL = "strcol"  # np.bytes_ 'S' (rows,)
 _SCALAR = "scalar"  # python constant
+_COLREF = "colref"  # lazy column handle: materialized only when needed
 
 
 class _Fallback(Exception):
     """Internal: expression leaves the vectorizable subset."""
+
+
+class _ColRef:
+    """Lazy handle to a metadata column.
+
+    Equality against a string literal runs straight off the field-offset
+    index (MetadataTable.column_equals) — no padded matrix, no big
+    temporaries; any other use materializes the 'S' array once.
+    """
+
+    __slots__ = ("table", "name")
+
+    def __init__(self, table, name):
+        self.table = table
+        self.name = name
+
+    def materialize(self):
+        return self.table.get_column_bytes(self.name)
+
+
+def _strcol(kind, v):
+    """Materialize a column operand to its 'S' array."""
+    return v.materialize() if kind == _COLREF else v
 
 
 def _lower(node, table):
@@ -47,7 +71,7 @@ def _lower(node, table):
     if isinstance(node, Var):
         if node.name not in table.columns:
             raise ExprError(f"variable identifier is not bound: {node.name}")
-        return (_STRCOL, table.get_column_bytes(node.name))
+        return (_COLREF, _ColRef(table, node.name))
     if isinstance(node, Unary):
         kind, v = _lower(node.operand, table)
         if node.op == "!":
@@ -81,6 +105,19 @@ def _as_bytes(s: str) -> bytes:
 def _lower_binary(op, lk, lv, rk, rv):
     if lk == _SCALAR and rk == _SCALAR:
         return (_SCALAR, _apply_binary(op, lv, rv))
+
+    # fast path: column == / != string literal straight off the offsets
+    if op in ("==", "!="):
+        if lk == _COLREF and rk == _SCALAR and isinstance(rv, str):
+            m = lv.table.column_equals(lv.name, rv.encode("utf-8"))
+            return (_MASK, ~m if op == "!=" else m)
+        if rk == _COLREF and lk == _SCALAR and isinstance(lv, str):
+            m = rv.table.column_equals(rv.name, lv.encode("utf-8"))
+            return (_MASK, ~m if op == "!=" else m)
+    if lk == _COLREF:
+        lk, lv = _STRCOL, lv.materialize()
+    if rk == _COLREF:
+        rk, rv = _STRCOL, rv.materialize()
 
     if op in ("==", "!="):
         neg = op == "!="
@@ -201,7 +238,7 @@ def compile_predicate(expr, table) -> np.ndarray:
         return np.full(table.num_rows, v, dtype=bool)
     if kind != _MASK:
         raise ExprError("expected Boolean result, got String")
-    return v
+    return np.broadcast_to(v, (table.num_rows,)) if np.ndim(v) == 0 else v
 
 
 def compile_fstring(expr, table, rows=None) -> list:
@@ -224,6 +261,8 @@ def compile_fstring(expr, table, rows=None) -> list:
         if not isinstance(v, str):
             raise ExprError(f"expected String result, got {_type_name(v)}")
         return [v] * len(rows)
+    if kind == _COLREF:
+        kind, v = _STRCOL, v.materialize()
     if kind != _STRCOL:
         raise ExprError("expected String result, got Boolean")
     sel = v[rows]
