@@ -77,6 +77,11 @@ class _Native:
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, i64p, i32p,
             ctypes.c_int64, u8p, ctypes.c_int64,
         ]
+        lib.pgen_emit_vcf_rows_masked.restype = ctypes.c_int64
+        lib.pgen_emit_vcf_rows_masked.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, i64p, u8p,
+            ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
         lib.pgen_assemble_rows_buf.restype = ctypes.c_int64
         lib.pgen_assemble_rows_buf.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, u8p, ctypes.c_int64,
@@ -200,6 +205,39 @@ class _Native:
         )
         if ret < 0:
             raise ValueError("native VCF emission: output buffer too small")
+        return int(ret)
+
+    def emit_vcf_rows_masked(
+        self,
+        packed: np.ndarray,
+        rec_size: int,
+        meta_buf: np.ndarray,
+        line_starts: np.ndarray,
+        line_ends: np.ndarray,
+        byte_masks: np.ndarray,
+        n_kept: int,
+        out: np.ndarray,
+    ) -> int:
+        n_var = len(line_starts)
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        line_starts = np.ascontiguousarray(line_starts, dtype=np.int64)
+        line_ends = np.ascontiguousarray(line_ends, dtype=np.int64)
+        byte_masks = np.ascontiguousarray(byte_masks, dtype=np.uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        ret = self._lib.pgen_emit_vcf_rows_masked(
+            self._u8(packed),
+            n_var,
+            rec_size,
+            self._u8(meta_buf),
+            line_starts.ctypes.data_as(i64p),
+            line_ends.ctypes.data_as(i64p),
+            self._u8(byte_masks),
+            n_kept,
+            self._u8(out),
+            out.nbytes,
+        )
+        if ret < 0:
+            raise ValueError("native masked VCF emission: output buffer too small")
         return int(ret)
 
     def assemble_rows_buf(

@@ -49,6 +49,34 @@ struct Lut16 {
 };
 const Lut16 kLut;
 
+// Masked LUT: for a packed byte and a 4-bit keep-mask over its samples,
+// the text bytes of the KEPT samples only (4*popcount(mask) bytes).
+// 16*256*16 = 64 KB, cache-resident. Kept samples are always emitted in
+// file order (filtering is order-stable), so a per-record-byte mask plan
+// fully describes any sample subset.
+struct LutMasked {
+  unsigned char t[16][256][16];
+  unsigned char n[16];  // 4*popcount
+  LutMasked() {
+    for (int m = 0; m < 16; ++m) {
+      int cnt = 0;
+      for (int b = 0; b < 256; ++b) {
+        unsigned char* dst = t[m][b];
+        int w = 0;
+        for (int k = 0; k < 4; ++k) {
+          if (m & (1 << k)) {
+            std::memcpy(dst + w, kTok[(b >> (2 * k)) & 3], 4);
+            w += 4;
+          }
+        }
+        cnt = w;
+      }
+      n[m] = (unsigned char)cnt;
+    }
+  }
+};
+const LutMasked kLutM;
+
 // 256x4 LUT: packed byte -> 4 codes.
 struct LutCodes {
   unsigned char t[256][4];
@@ -303,6 +331,75 @@ int64_t pgen_emit_vcf_rows_meta(const unsigned char* packed, int64_t n_var,
     } else {
       dst = w;
     }
+  }
+  if (slen) {
+    if (dst + slen > end) return -1;
+    stream_copy(dst, stage, slen);
+    dst += slen;
+  }
+  return dst - out;
+}
+
+// Sample-subset row emission driven by a per-record-byte keep-mask plan
+// (byte_masks[j] bit k set <=> sample 4j+k kept). n_kept must equal the
+// total popcount. Staged + NT-stored like pgen_emit_vcf_rows_meta.
+int64_t pgen_emit_vcf_rows_masked(const unsigned char* packed, int64_t n_var,
+                                  int64_t rec_size,
+                                  const unsigned char* meta_buf,
+                                  const int64_t* line_starts,
+                                  const int64_t* line_ends,
+                                  const unsigned char* byte_masks,
+                                  int64_t n_kept, unsigned char* out,
+                                  int64_t cap) {
+  // Rows always build in the staging buffer: the 16-byte LUT copies may
+  // overshoot a row's kept width by up to 16 bytes; within the stage that
+  // garbage is overwritten by later rows and never leaves (stream_copy
+  // copies exactly slen). The stage grows to fit any row + slack.
+  constexpr int64_t kSlack = 16;
+  const int64_t row_max = 4 * n_kept + 4;
+  static thread_local unsigned char* stage = nullptr;
+  static thread_local int64_t stage_cap = 0;
+  int64_t need = (1 << 20);
+  for (int64_t v = 0; v < n_var; ++v) {
+    const int64_t r = line_ends[v] - line_starts[v] + row_max + kSlack;
+    if (r > need) need = r;
+  }
+  if (stage_cap < need) {
+    std::free(stage);
+    stage = (unsigned char*)std::malloc((size_t)need);
+    stage_cap = stage ? need : 0;
+  }
+  if (!stage) return -1;
+  int64_t slen = 0;
+  unsigned char* dst = out;
+  unsigned char* const end = out + cap;
+
+  for (int64_t v = 0; v < n_var; ++v) {
+    const int64_t plen = line_ends[v] - line_starts[v];
+    if (slen + plen + row_max + kSlack > stage_cap) {
+      if (dst + slen > end) return -1;
+      stream_copy(dst, stage, slen);
+      dst += slen;
+      slen = 0;
+    }
+    unsigned char* w = stage + slen;
+    unsigned char* const w0 = w;
+    std::memcpy(w, meta_buf + line_starts[v], (size_t)plen);
+    w += plen;
+    *w++ = '\t';
+    *w++ = 'G';
+    *w++ = 'T';
+    const unsigned char* rec = packed + v * rec_size;
+    for (int64_t j = 0; j < rec_size; ++j) {
+      const unsigned char m = byte_masks[j];
+      // one 16-byte store pair regardless of popcount; advance by the kept
+      // width (trailing garbage stays inside the stage slack)
+      std::memcpy(w, kLutM.t[m][rec[j]], 16);
+      w += kLutM.n[m];
+    }
+    *w++ = '\n';
+    slen += w - w0;
+    if (dst + slen > end) return -1;
   }
   if (slen) {
     if (dst + slen > end) return -1;

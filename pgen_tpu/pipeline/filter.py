@@ -80,13 +80,33 @@ def _emit_block_meta(
     if provider == "native":
         from pgen_tpu.native import native
 
-        return native.emit_vcf_rows_meta(
+        if sample_idx is None:
+            return native.emit_vcf_rows_meta(
+                packed_block,
+                packed_block.shape[1],
+                meta_buf,
+                line_starts,
+                line_ends,
+                None,
+                n_kept_samples,
+                out_view,
+            )
+        # subsets run the masked-LUT path: kept samples are in file order,
+        # so a per-record-byte 4-bit keep mask fully encodes the subset
+        rec = packed_block.shape[1]
+        byte_masks = np.zeros(rec, dtype=np.uint8)
+        np.bitwise_or.at(
+            byte_masks,
+            sample_idx >> 2,
+            np.left_shift(1, sample_idx & 3).astype(np.uint8),
+        )
+        return native.emit_vcf_rows_masked(
             packed_block,
-            packed_block.shape[1],
+            rec,
             meta_buf,
             line_starts,
             line_ends,
-            sample_idx,
+            byte_masks,
             n_kept_samples,
             out_view,
         )
