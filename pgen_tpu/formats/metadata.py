@@ -93,7 +93,14 @@ class MetadataTable:
         byte. The hot path of keep-K predicates over millions of rows."""
         j = self.column_index(name)
         starts = self.field_starts(j)
-        lens = self.field_ends(j) - starts
+        ends = self.field_ends(j)
+        try:
+            from pgen_tpu.native import HAVE_NATIVE, native
+        except ImportError:
+            HAVE_NATIVE = False
+        if HAVE_NATIVE and self.num_rows > 4096:
+            return native.column_equals(self._buf, starts, ends, literal)
+        lens = ends - starts
         mask = lens == len(literal)
         for k, ch in enumerate(literal):
             if not mask.any():
@@ -144,6 +151,22 @@ class MetadataTable:
         return self._buf
 
 
+def _scan_separators(buf: np.ndarray) -> tuple:
+    """(newline_positions, tab_positions), via the native SIMD scan when
+    available (one pass) else numpy (two compare+nonzero passes)."""
+    try:
+        from pgen_tpu.native import HAVE_NATIVE, native
+    except ImportError:
+        HAVE_NATIVE = False
+    if HAVE_NATIVE and buf.nbytes > (1 << 16):
+        tabs, nls = native.scan_seps(buf)
+        return nls, tabs
+    return (
+        np.flatnonzero(buf == ord("\n")),
+        np.flatnonzero(buf == ord("\t")),
+    )
+
+
 def _locate_header(raw: bytes, path: str) -> tuple:
     """Return (comments, header_line, data_offset) per the reference rule."""
     pos = 0
@@ -180,7 +203,7 @@ def read_metadata(path: str | Path) -> MetadataTable:
     ncols = len(columns)
 
     buf = np.frombuffer(raw, dtype=np.uint8)[data_off:]
-    nl_pos = np.flatnonzero(buf == ord("\n"))
+    nl_pos, tab_pos = _scan_separators(buf)
     if len(buf) and (len(nl_pos) == 0 or nl_pos[-1] != len(buf) - 1):
         # final line lacks a trailing newline; treat end-of-buffer as a break
         nl_pos = np.append(nl_pos, len(buf))
@@ -194,7 +217,6 @@ def read_metadata(path: str | Path) -> MetadataTable:
     line_ends = np.asarray(line_ends, dtype=np.int64)
     nrows = len(line_starts)
 
-    tab_pos = np.flatnonzero(buf == ord("\t"))
     if nrows:
         # Fast path: a well-formed file has exactly ncols-1 tabs per row, so
         # the sorted tab positions reshape directly; the bounds check below

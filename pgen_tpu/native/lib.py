@@ -86,6 +86,15 @@ class _Native:
         lib.pgen_assemble_rows_buf.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, u8p, ctypes.c_int64,
         ]
+        lib.pgen_column_equals.restype = None
+        lib.pgen_column_equals.argtypes = [
+            u8p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64, u8p,
+        ]
+        lib.pgen_count_seps.restype = None
+        lib.pgen_count_seps.argtypes = [u8p, ctypes.c_int64, i64p, i64p]
+        lib.pgen_fill_seps.restype = None
+        lib.pgen_fill_seps.argtypes = [u8p, ctypes.c_int64, i64p, i64p]
         lib.pgen_unpack_codes.restype = None
         lib.pgen_unpack_codes.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p,
@@ -262,6 +271,49 @@ class _Native:
         if ret < 0:
             raise ValueError("native row assembly: output buffer too small")
         return int(ret)
+
+    def column_equals(
+        self,
+        buf: np.ndarray,
+        starts: np.ndarray,
+        ends: np.ndarray,
+        literal: bytes,
+    ) -> np.ndarray:
+        n = len(starts)
+        out = np.empty(n, dtype=np.uint8)
+        lit = np.frombuffer(literal, dtype=np.uint8) if literal else np.zeros(0, np.uint8)
+        self._lib.pgen_column_equals(
+            self._u8(buf),
+            ctypes.c_char_p(starts.ctypes.data),
+            starts.strides[0],
+            ctypes.c_char_p(ends.ctypes.data),
+            ends.strides[0],
+            n,
+            self._u8(lit),
+            len(literal),
+            self._u8(out),
+        )
+        return out.view(bool)
+
+    def scan_seps(self, buf: np.ndarray) -> tuple:
+        """Positions of all tabs and newlines in a u8 buffer (two int64
+        arrays), via a single-pass SIMD scan."""
+        buf = np.ascontiguousarray(buf, dtype=np.uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        nt = ctypes.c_int64()
+        nn = ctypes.c_int64()
+        self._lib.pgen_count_seps(
+            self._u8(buf), buf.nbytes, ctypes.byref(nt), ctypes.byref(nn)
+        )
+        tabs = np.empty(nt.value, dtype=np.int64)
+        nls = np.empty(nn.value, dtype=np.int64)
+        self._lib.pgen_fill_seps(
+            self._u8(buf),
+            buf.nbytes,
+            tabs.ctypes.data_as(i64p),
+            nls.ctypes.data_as(i64p),
+        )
+        return tabs, nls
 
     def unpack_codes(self, packed: np.ndarray, n_samples: int) -> np.ndarray:
         packed = np.ascontiguousarray(packed, dtype=np.uint8)

@@ -431,6 +431,89 @@ int64_t pgen_assemble_rows_buf(const unsigned char* gt_text, int64_t gt_len,
   return dst - out;
 }
 
+// Single-pass SIMD scan for metadata separators: counts '\t' and '\n' in
+// buf (pgen_count_seps) and fills their positions (pgen_fill_seps). The
+// columnar .pvar/.psam loader is bound by this scan on chr22-scale files.
+void pgen_count_seps(const unsigned char* buf, int64_t n, int64_t* n_tabs,
+                     int64_t* n_nls) {
+  int64_t tabs = 0, nls = 0;
+  int64_t i = 0;
+#ifdef PGEN_HAVE_NT
+  const __m128i vt = _mm_set1_epi8('\t');
+  const __m128i vn = _mm_set1_epi8('\n');
+  __m128i acc_t = _mm_setzero_si128(), acc_n = _mm_setzero_si128();
+  int inner = 0;
+  for (; i + 16 <= n; i += 16) {
+    __m128i x = _mm_loadu_si128((const __m128i*)(buf + i));
+    // cmpeq gives 0xFF per match; subtract to accumulate per-byte counts
+    acc_t = _mm_sub_epi8(acc_t, _mm_cmpeq_epi8(x, vt));
+    acc_n = _mm_sub_epi8(acc_n, _mm_cmpeq_epi8(x, vn));
+    if (++inner == 255) {  // flush before per-byte counters overflow
+      const __m128i z = _mm_setzero_si128();
+      tabs += _mm_cvtsi128_si64(_mm_sad_epu8(acc_t, z)) +
+              _mm_extract_epi16(_mm_sad_epu8(acc_t, z), 4);
+      nls += _mm_cvtsi128_si64(_mm_sad_epu8(acc_n, z)) +
+             _mm_extract_epi16(_mm_sad_epu8(acc_n, z), 4);
+      acc_t = _mm_setzero_si128();
+      acc_n = _mm_setzero_si128();
+      inner = 0;
+    }
+  }
+  const __m128i z = _mm_setzero_si128();
+  tabs += _mm_cvtsi128_si64(_mm_sad_epu8(acc_t, z)) +
+          _mm_extract_epi16(_mm_sad_epu8(acc_t, z), 4);
+  nls += _mm_cvtsi128_si64(_mm_sad_epu8(acc_n, z)) +
+         _mm_extract_epi16(_mm_sad_epu8(acc_n, z), 4);
+#endif
+  for (; i < n; ++i) {
+    tabs += buf[i] == '\t';
+    nls += buf[i] == '\n';
+  }
+  *n_tabs = tabs;
+  *n_nls = nls;
+}
+
+void pgen_fill_seps(const unsigned char* buf, int64_t n, int64_t* tab_out,
+                    int64_t* nl_out) {
+  int64_t i = 0;
+#ifdef PGEN_HAVE_NT
+  const __m128i vt = _mm_set1_epi8('\t');
+  const __m128i vn = _mm_set1_epi8('\n');
+  for (; i + 16 <= n; i += 16) {
+    __m128i x = _mm_loadu_si128((const __m128i*)(buf + i));
+    unsigned mt = (unsigned)_mm_movemask_epi8(_mm_cmpeq_epi8(x, vt));
+    unsigned mn = (unsigned)_mm_movemask_epi8(_mm_cmpeq_epi8(x, vn));
+    while (mt) {
+      *tab_out++ = i + __builtin_ctz(mt);
+      mt &= mt - 1;
+    }
+    while (mn) {
+      *nl_out++ = i + __builtin_ctz(mn);
+      mn &= mn - 1;
+    }
+  }
+#endif
+  for (; i < n; ++i) {
+    if (buf[i] == '\t') *tab_out++ = i;
+    if (buf[i] == '\n') *nl_out++ = i;
+  }
+}
+
+// Vectorized column == literal over the raw metadata buffer: one pass of
+// length-check + memcmp per row. starts/ends are int64 arrays with
+// arbitrary byte strides (they may be strided views of the tab index).
+void pgen_column_equals(const unsigned char* buf, const char* starts,
+                        int64_t s_stride, const char* ends, int64_t e_stride,
+                        int64_t n, const unsigned char* lit, int64_t litlen,
+                        unsigned char* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t s = *(const int64_t*)(starts + i * s_stride);
+    const int64_t e = *(const int64_t*)(ends + i * e_stride);
+    out[i] = (e - s == litlen) &&
+             std::memcmp(buf + s, lit, (size_t)litlen) == 0;
+  }
+}
+
 // Unpack n_var records into a (n_var, n_samples) u8 code matrix.
 void pgen_unpack_codes(const unsigned char* packed, int64_t n_var,
                        int64_t rec_size, int64_t n_samples,

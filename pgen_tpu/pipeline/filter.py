@@ -212,8 +212,14 @@ def filter_to_vcf(
     provider: str = "auto",
     block_variants: int = DEFAULT_BLOCK_VARIANTS,
     source_tag: str = DEFAULT_SOURCE_TAG,
+    emit_threads: int | None = None,
 ) -> FilterResult:
-    """Filter a pgen fileset to a VCF (reference `filter` subcommand)."""
+    """Filter a pgen fileset to a VCF (reference `filter` subcommand).
+
+    emit_threads: host threads driving native block emission into disjoint
+    output ranges (the C ABI releases the GIL). Defaults to min(2, cpus)
+    for the native provider, 1 otherwise.
+    """
     provider = _resolve_provider(provider)
     timer = StageTimer()
     if out_file is None:
@@ -287,27 +293,45 @@ def filter_to_vcf(
         else:
             out_mm = np.memmap(out_file, dtype=np.uint8, mode="w+", shape=(total,))
         out_mm[: len(header_bytes)] = np.frombuffer(header_bytes, dtype=np.uint8)
+        # Every block's output offset is known up front (exact size
+        # arithmetic), so blocks emit independently — parallel threads
+        # write disjoint ranges of the mapped output.
+        blocks = []
         pos = len(header_bytes)
         for lo in range(0, len(var_idx), block_variants):
             hi = min(lo + block_variants, len(var_idx))
-            idx_blk = var_idx[lo:hi]
-            with timer.stage("gather", nbytes=int((hi - lo) * rec)):
-                packed_blk = _gather_rows(records, idx_blk)
             cap = int(prefix_sizes[hi] - prefix_sizes[lo]) + (hi - lo) * row_fixed
-            with timer.stage("emit") as st:
-                n = _emit_block_meta(
-                    provider,
-                    packed_blk,
-                    pvar.data_buffer,
-                    v_starts[lo:hi],
-                    v_ends[lo:hi],
-                    sample_idx_arg,
-                    n_kept_samples,
-                    out_mm[pos : pos + cap],
-                )
-                st.bytes_moved += n
-            pos += n
-        assert pos == total, f"size accounting bug: wrote {pos}, expected {total}"
+            blocks.append((lo, hi, pos, cap))
+            pos += cap
+        assert pos == total, f"size accounting bug: planned {pos}, expected {total}"
+
+        def emit_one(args):
+            lo, hi, bpos, cap = args
+            packed_blk = _gather_rows(records, var_idx[lo:hi])
+            return _emit_block_meta(
+                provider,
+                packed_blk,
+                pvar.data_buffer,
+                v_starts[lo:hi],
+                v_ends[lo:hi],
+                sample_idx_arg,
+                n_kept_samples,
+                out_mm[bpos : bpos + cap],
+            )
+
+        nthreads = emit_threads
+        if nthreads is None:
+            nthreads = min(2, os.cpu_count() or 1) if provider == "native" else 1
+        with timer.stage("emit", nbytes=total - len(header_bytes)):
+            if nthreads > 1 and len(blocks) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=nthreads) as ex:
+                    ns = list(ex.map(emit_one, blocks))
+            else:
+                ns = [emit_one(b) for b in blocks]
+        for (lo, hi, bpos, cap), n in zip(blocks, ns):
+            assert n == cap, f"block [{lo},{hi}) wrote {n}, expected {cap}"
         # no msync: let the OS write back lazily (the reference doesn't
         # fsync either); del just unmaps.
         del out_mm
