@@ -86,6 +86,10 @@ class _Native:
         lib.pgen_assemble_rows_buf.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, u8p, ctypes.c_int64,
         ]
+        lib.pgen_join_lines.restype = ctypes.c_int64
+        lib.pgen_join_lines.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i32p, u8p, ctypes.c_int64,
+        ]
         lib.pgen_column_equals.restype = None
         lib.pgen_column_equals.argtypes = [
             u8p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
@@ -271,6 +275,24 @@ class _Native:
         if ret < 0:
             raise ValueError("native row assembly: output buffer too small")
         return int(ret)
+
+    def join_lines(self, mat_u8: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Join (n, width) u8 rows (lens[i] valid bytes each) with newlines."""
+        mat_u8 = np.ascontiguousarray(mat_u8, dtype=np.uint8)
+        n, width = mat_u8.shape
+        lens = np.ascontiguousarray(lens, dtype=np.int32)
+        out = np.empty(int(lens.sum()) + n, dtype=np.uint8)
+        ret = self._lib.pgen_join_lines(
+            self._u8(mat_u8),
+            n,
+            width,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._u8(out),
+            out.nbytes,
+        )
+        if ret != out.nbytes:
+            raise ValueError("join_lines accounting mismatch")
+        return out
 
     def column_equals(
         self,

@@ -499,6 +499,23 @@ void pgen_fill_seps(const unsigned char* buf, int64_t n, int64_t* tab_out,
   }
 }
 
+// Join fixed-width rows into newline-separated output: row i contributes
+// lens[i] bytes of mat[i*width..] then '\n'. Returns bytes produced.
+int64_t pgen_join_lines(const unsigned char* mat, int64_t n, int64_t width,
+                        const int32_t* lens, unsigned char* out,
+                        int64_t cap) {
+  unsigned char* dst = out;
+  unsigned char* const end = out + cap;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t len = lens[i];
+    if (dst + len + 1 > end) return -1;
+    std::memcpy(dst, mat + i * width, (size_t)len);
+    dst += len;
+    *dst++ = '\n';
+  }
+  return dst - out;
+}
+
 // Vectorized column == literal over the raw metadata buffer: one pass of
 // length-check + memcmp per row. starts/ends are int64 arrays with
 // arbitrary byte strides (they may be strided views of the tab index).

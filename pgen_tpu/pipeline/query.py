@@ -20,7 +20,11 @@ import numpy as np
 
 from pgen_tpu.formats.header import read_pgen_header
 from pgen_tpu.formats.metadata import read_metadata
-from pgen_tpu.query.compile import compile_fstring, compile_predicate
+from pgen_tpu.query.compile import (
+    compile_fstring,
+    compile_fstring_bytes,
+    compile_predicate,
+)
 
 
 def query_metadata(
@@ -39,9 +43,19 @@ def query_metadata(
     table = read_metadata(meta_path)
     mask = compile_predicate(query, table)
     rows = np.flatnonzero(mask)
-    results = compile_fstring(query_fstring, table, rows)
     out = sys.stdout if out is None else out
-    # one write call: rows joined by '\n' (println! per row in the reference)
+    # fast path: vectorized straight-to-bytes assembly, one write call
+    # (the reference println!s per row; output bytes are identical)
+    data = compile_fstring_bytes(query_fstring, table, rows)
+    if data is not None:
+        payload = data.tobytes()
+        sink = getattr(out, "buffer", None)
+        if sink is not None:
+            sink.write(payload)
+        else:
+            out.write(payload.decode("utf-8"))
+        return len(rows)
+    results = compile_fstring(query_fstring, table, rows)
     if results:
         out.write("\n".join(results))
         out.write("\n")

@@ -241,6 +241,46 @@ def compile_predicate(expr, table) -> np.ndarray:
     return np.broadcast_to(v, (table.num_rows,)) if np.ndim(v) == 0 else v
 
 
+def compile_fstring_bytes(expr, table, rows) -> np.ndarray | None:
+    """Vectorized fstring evaluation straight to output bytes.
+
+    Returns a uint8 buffer of newline-terminated result lines for the given
+    rows, or None when the expression needs the row-interpreter fallback.
+    Avoids materializing per-row Python strings on the query hot path.
+    """
+    node = parse(expr) if isinstance(expr, str) else expr
+    rows = np.asarray(rows)
+    if len(rows) == 0 and table.num_rows == 0:
+        return np.zeros(0, dtype=np.uint8)
+    try:
+        kind, v = _lower(node, table)
+    except _Fallback:
+        return None
+    if kind == _COLREF:
+        kind, v = _STRCOL, v.materialize()
+    if kind == _SCALAR:
+        if not isinstance(v, str):
+            raise ExprError(f"expected String result, got {_type_name(v)}")
+        line = v.encode("utf-8") + b"\n"
+        return np.frombuffer(line * len(rows), dtype=np.uint8)
+    if kind != _STRCOL:
+        raise ExprError("expected String result, got Boolean")
+    if len(rows) == 0:
+        return np.zeros(0, dtype=np.uint8)
+    sel = np.ascontiguousarray(v[rows])
+    width = sel.dtype.itemsize
+    mat = sel.view(np.uint8).reshape(len(sel), width)
+    lens = np.char.str_len(sel).astype(np.int32)
+    try:
+        from pgen_tpu.native import HAVE_NATIVE, native
+    except ImportError:
+        HAVE_NATIVE = False
+    if HAVE_NATIVE:
+        return native.join_lines(mat, lens)
+    out = b"\n".join(bytes(x) for x in sel) + b"\n"
+    return np.frombuffer(out, dtype=np.uint8)
+
+
 def compile_fstring(expr, table, rows=None) -> list:
     """Evaluate a -f/--fstring expression for the given rows (default: all).
 
