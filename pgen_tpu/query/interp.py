@@ -163,6 +163,27 @@ _STR_FUNCS = {
     "str::trim": lambda s: s.strip(),
 }
 
+# evalexpr's regex builtins are backed by the Rust `regex` crate; Python
+# `re` covers the same common syntax (character classes, anchors,
+# alternation, repetition). Differences only appear in exotic constructs
+# (look-around is absent from BOTH engines).
+def _regex_matches(s: str, pattern: str) -> bool:
+    import re as _re
+
+    try:
+        return _re.search(pattern, s) is not None
+    except _re.error as e:
+        raise ExprError(f"str::regex_matches: invalid regex {pattern!r}: {e}")
+
+
+def _regex_replace(s: str, pattern: str, repl: str) -> str:
+    import re as _re
+
+    try:
+        return _re.sub(pattern, repl, s)
+    except _re.error as e:
+        raise ExprError(f"str::regex_replace: invalid regex {pattern!r}: {e}")
+
 
 def _call_builtin(name, args):
     if name == "len":
@@ -194,6 +215,41 @@ def _call_builtin(name, args):
         if isinstance(a, str) and isinstance(b, str):
             return b in a
         raise ExprError("contains: expected two Strings")
+    if name == "str::regex_matches":
+        a, b = _arity(name, args, 2)
+        if isinstance(a, str) and isinstance(b, str):
+            return _regex_matches(a, b)
+        raise ExprError("str::regex_matches: expected two Strings")
+    if name == "str::regex_replace":
+        a, b, c = _arity(name, args, 3)
+        if all(isinstance(x, str) for x in (a, b, c)):
+            return _regex_replace(a, b, c)
+        raise ExprError("str::regex_replace: expected three Strings")
+    if name == "str::substring":
+        a, b, c = _arity(name, args, 3)
+        if isinstance(a, str) and _is_num(b) and _is_num(c):
+            return a[int(b) : int(c)]
+        raise ExprError("str::substring: expected (String, Int, Int)")
+    if name in ("math::abs", "abs"):
+        (v,) = _arity(name, args, 1)
+        if _is_num(v):
+            return abs(v)
+        raise ExprError(f"{name}: expected a number")
+    if name == "floor":
+        (v,) = _arity(name, args, 1)
+        if _is_num(v):
+            return float(math.floor(v))
+        raise ExprError("floor: expected a number")
+    if name == "ceil":
+        (v,) = _arity(name, args, 1)
+        if _is_num(v):
+            return float(math.ceil(v))
+        raise ExprError("ceil: expected a number")
+    if name == "if":
+        c, t, f = _arity(name, args, 3)
+        if not isinstance(c, bool):
+            raise ExprError("if: expected Boolean condition")
+        return t if c else f
     raise ExprError(f"function identifier is not bound: {name}")
 
 

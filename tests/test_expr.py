@@ -214,3 +214,25 @@ def test_device_lowering_matches_host(table, expr):
     host = compile_predicate(expr, table)
     dev = np.asarray(compile_predicate_device(expr, table))
     assert (host == dev).all()
+
+
+def test_regex_and_extra_builtins():
+    assert eval_value(parse('str::regex_matches("rs12345", "^rs[0-9]+$")'), {})
+    assert not eval_value(parse('str::regex_matches("abc", "^rs")'), {})
+    assert eval_value(parse('str::regex_replace("a-b-c", "-", "_")'), {}) == "a_b_c"
+    assert eval_value(parse('str::substring("abcdef", 1, 4)'), {}) == "bcd"
+    assert eval_value(parse("math::abs(-3)"), {}) == 3
+    assert eval_value(parse("floor(2.7)"), {}) == 2.0
+    assert eval_value(parse("ceil(2.1)"), {}) == 3.0
+    assert eval_value(parse('if(1 < 2, "yes", "no")'), {}) == "yes"
+    with pytest.raises(ExprError):
+        eval_value(parse('str::regex_matches("x", "(")'), {})
+
+
+def test_regex_predicate_via_fallback(table):
+    # function calls take the row-interpreter fallback path in the compiler
+    mask = compile_predicate('str::regex_matches(ID, "^rs1?7$")', table)
+    ids = table.get_column_strs("ID")
+    import re
+    for i in range(table.num_rows):
+        assert mask[i] == bool(re.search(r"^rs1?7$", ids[i]))
