@@ -127,6 +127,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Variants per streamed block (default 65536).",
     )
     f.add_argument(
+        "--threads",
+        type=int,
+        default=None,
+        help="Host threads for native block emission (default: min(2, cpus)).",
+    )
+    f.add_argument(
         "--shards",
         type=int,
         default=None,
@@ -234,6 +240,7 @@ def main(argv=None) -> int:
                     sam_query=args.sam_query,
                     out_file=args.out_file,
                     provider=args.provider,
+                    emit_threads=args.threads,
                     **kwargs,
                 )
             if args.stats:

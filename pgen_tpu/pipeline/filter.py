@@ -49,11 +49,14 @@ DEFAULT_BLOCK_VARIANTS = 1 << 16
 
 
 def _resolve_provider(provider: str) -> str:
-    if provider != "auto":
-        return provider
     from pgen_tpu.native import HAVE_NATIVE
 
-    return "native" if HAVE_NATIVE else "numpy"
+    if provider == "auto":
+        return "native" if HAVE_NATIVE else "numpy"
+    if provider == "native" and not HAVE_NATIVE:
+        log.warning("native provider unavailable (no C++ toolchain); using numpy")
+        return "numpy"
+    return provider
 
 
 @dataclass

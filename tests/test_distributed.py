@@ -78,3 +78,71 @@ def test_two_process_standalone_shards_concatenate(tiny_fileset, tmp_path):
         (tmp_path / f"dist.vcf.shard{i}").read_bytes() for i in range(2)
     )
     assert got == scalar_filter_vcf(prefix, None, None)
+
+
+_MESH_WORKER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+jax.distributed.initialize(
+    coordinator_address="localhost:{port}", num_processes=2, process_id=pid
+)
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from pgen_tpu.parallel.mesh import build_sharded_filter_step, make_mesh
+
+assert jax.process_count() == 2
+mesh = make_mesh(jax.devices())  # global mesh spanning both processes
+ndev = len(jax.devices())
+per = 8
+nvar, rec = per * ndev, 3
+rng = np.random.default_rng(0)
+packed = rng.integers(0, 256, (nvar, rec), np.uint8)
+mask = rng.random(nvar) < 0.5
+
+from jax.experimental import multihost_utils
+packed_g = multihost_utils.host_local_array_to_global_array(
+    packed[pid * (nvar // 2) : (pid + 1) * (nvar // 2)], mesh, P("v", None)
+)
+mask_g = multihost_utils.host_local_array_to_global_array(
+    mask[pid * (nvar // 2) : (pid + 1) * (nvar // 2)], mesh, P("v")
+)
+step = build_sharded_filter_step(mesh)
+text, counts, offsets = step(packed_g, mask_g)
+counts_local = np.asarray(counts.addressable_data(0))  # replicated output
+exp = [int(mask[i * per : (i + 1) * per].sum()) for i in range(ndev)]
+assert counts_local.tolist() == exp, (counts_local.tolist(), exp)
+offs_local = np.asarray(offsets.addressable_data(0))
+assert offs_local.tolist() == np.concatenate([[0], np.cumsum(exp)[:-1]]).tolist()
+print("MESH_OK", pid)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_global_mesh_collectives(tmp_path):
+    """2 processes x 2 local CPU devices form one 4-device variant mesh;
+    the all-gather ordered-merge collective crosses the process boundary."""
+    script = _MESH_WORKER.format(repo=str(REPO), port=12437)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            cwd=str(REPO),
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            outb, errb = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, errb.decode()[-2500:]
+        assert b"MESH_OK" in outb
