@@ -86,6 +86,14 @@ class _Native:
         lib.pgen_assemble_rows_buf.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, u8p, ctypes.c_int64,
         ]
+        lib.pgen_gt_counts.restype = None
+        lib.pgen_gt_counts.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p,
+        ]
+        lib.pgen_gt_counts_masked.restype = None
+        lib.pgen_gt_counts_masked.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p,
+        ]
         lib.pgen_join_lines.restype = ctypes.c_int64
         lib.pgen_join_lines.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, i32p, u8p, ctypes.c_int64,
@@ -275,6 +283,35 @@ class _Native:
         if ret < 0:
             raise ValueError("native row assembly: output buffer too small")
         return int(ret)
+
+    def gt_counts(self, packed: np.ndarray, n_samples: int) -> np.ndarray:
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        n_var, rec = packed.shape
+        out = np.empty((n_var, 4), dtype=np.int64)
+        self._lib.pgen_gt_counts(
+            self._u8(packed),
+            n_var,
+            rec,
+            n_samples,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out
+
+    def gt_counts_masked(
+        self, packed: np.ndarray, byte_masks: np.ndarray
+    ) -> np.ndarray:
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        n_var, rec = packed.shape
+        byte_masks = np.ascontiguousarray(byte_masks, dtype=np.uint8)
+        out = np.empty((n_var, 4), dtype=np.int64)
+        self._lib.pgen_gt_counts_masked(
+            self._u8(packed),
+            n_var,
+            rec,
+            self._u8(byte_masks),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out
 
     def join_lines(self, mat_u8: np.ndarray, lens: np.ndarray) -> np.ndarray:
         """Join (n, width) u8 rows (lens[i] valid bytes each) with newlines."""

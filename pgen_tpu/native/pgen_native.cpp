@@ -499,6 +499,89 @@ void pgen_fill_seps(const unsigned char* buf, int64_t n, int64_t* tab_out,
   }
 }
 
+// Per-variant 2-bit code histogram: counts[v*4+k] = #samples with code k.
+// One pass over the packed bytes via a 256->4-counts LUT; pad positions in
+// the last byte are excluded.
+namespace {
+struct LutCounts {
+  unsigned char t[256][4];
+  LutCounts() {
+    for (int b = 0; b < 256; ++b)
+      for (int p = 0; p < 4; ++p) ++t[b][(b >> (2 * p)) & 3];
+  }
+};
+const LutCounts kCnt;
+}  // namespace
+
+void pgen_gt_counts(const unsigned char* packed, int64_t n_var,
+                    int64_t rec_size, int64_t n_samples, int64_t* counts) {
+  const int pad = (int)(4 * rec_size - n_samples);
+  for (int64_t v = 0; v < n_var; ++v) {
+    const unsigned char* rec = packed + v * rec_size;
+    int64_t c0 = 0, c1 = 0, c2 = 0, c3 = 0;
+    for (int64_t j = 0; j < rec_size; ++j) {
+      const unsigned char* e = kCnt.t[rec[j]];
+      c0 += e[0];
+      c1 += e[1];
+      c2 += e[2];
+      c3 += e[3];
+    }
+    if (pad) {
+      const unsigned char last = rec[rec_size - 1];
+      for (int p = 4 - pad; p < 4; ++p) {
+        switch ((last >> (2 * p)) & 3) {
+          case 0: --c0; break;
+          case 1: --c1; break;
+          case 2: --c2; break;
+          default: --c3; break;
+        }
+      }
+    }
+    int64_t* o = counts + v * 4;
+    o[0] = c0;
+    o[1] = c1;
+    o[2] = c2;
+    o[3] = c3;
+  }
+}
+
+// Masked variant of pgen_gt_counts: only samples whose bit is set in the
+// per-record-byte keep mask are counted (mask bits never cover pad
+// positions, so no pad correction is needed).
+namespace {
+struct LutCountsMasked {
+  unsigned char t[16][256][4];
+  LutCountsMasked() {
+    for (int m = 0; m < 16; ++m)
+      for (int b = 0; b < 256; ++b)
+        for (int p = 0; p < 4; ++p)
+          if (m & (1 << p)) ++t[m][b][(b >> (2 * p)) & 3];
+  }
+};
+const LutCountsMasked kCntM;
+}  // namespace
+
+void pgen_gt_counts_masked(const unsigned char* packed, int64_t n_var,
+                           int64_t rec_size, const unsigned char* byte_masks,
+                           int64_t* counts) {
+  for (int64_t v = 0; v < n_var; ++v) {
+    const unsigned char* rec = packed + v * rec_size;
+    int64_t c0 = 0, c1 = 0, c2 = 0, c3 = 0;
+    for (int64_t j = 0; j < rec_size; ++j) {
+      const unsigned char* e = kCntM.t[byte_masks[j]][rec[j]];
+      c0 += e[0];
+      c1 += e[1];
+      c2 += e[2];
+      c3 += e[3];
+    }
+    int64_t* o = counts + v * 4;
+    o[0] = c0;
+    o[1] = c1;
+    o[2] = c2;
+    o[3] = c3;
+  }
+}
+
 // Join fixed-width rows into newline-separated output: row i contributes
 // lens[i] bytes of mat[i*width..] then '\n'. Returns bytes produced.
 int64_t pgen_join_lines(const unsigned char* mat, int64_t n, int64_t width,

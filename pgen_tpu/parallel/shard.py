@@ -156,9 +156,18 @@ def filter_to_vcf_sharded(
         psam = read_metadata(f"{pfile_prefix}.psam")
     psam.column_index("IID")
 
+    rec = header.record_size
+    pgen_mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    records = pgen_mm[12 : 12 + header.num_variants * rec].reshape(
+        header.num_variants, rec
+    )
+
+    from pgen_tpu.pipeline.filter import compute_masks
+
     with timer.stage("predicates"):
-        var_mask = compile_predicate(var_query, pvar)
-        sam_mask = compile_predicate(sam_query, psam)
+        var_mask, sam_mask = compute_masks(
+            var_query, sam_query, pvar, psam, header, records, provider
+        )
     var_idx = np.flatnonzero(var_mask)
     sam_idx = np.flatnonzero(sam_mask)
     all_iids = psam.get_column_strs("IID")
@@ -175,12 +184,6 @@ def filter_to_vcf_sharded(
     np.cumsum(v_ends - v_starts + 3, out=prefix_sizes[1:])
     row_fixed = 4 * n_kept + 1
     total = len(header_bytes) + int(prefix_sizes[-1]) + len(var_idx) * row_fixed
-
-    rec = header.record_size
-    pgen_mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
-    records = pgen_mm[12 : 12 + header.num_variants * rec].reshape(
-        header.num_variants, rec
-    )
 
     # Every worker derives the same shard plan and byte offsets — the
     # order-preserving merge is pure arithmetic.

@@ -59,6 +59,47 @@ def _resolve_provider(provider: str) -> str:
     return provider
 
 
+def compute_masks(var_query, sam_query, pvar, psam, header, records, provider):
+    """Evaluate both include-predicates, supporting GT_* genotype-stat
+    variables in the variant query (an extension over the reference —
+    README.md:259-264 lists genotype-valued queries as unsupported there).
+
+    Without GT_* variables the evaluation order matches the reference
+    (variants first, pfile.rs:127-128). With them, the sample mask comes
+    first so the stats are cohort-aware (counts cover kept samples only).
+    """
+    from pgen_tpu.ops.gt_stats import GT_VARIABLE_NAMES, maybe_gt_extra
+    from pgen_tpu.query.ast import variables
+    from pgen_tpu.query.parser import parse
+
+    var_node = parse(var_query) if isinstance(var_query, str) else var_query
+    uses_gt = var_node is not None and bool(
+        variables(var_node) & set(GT_VARIABLE_NAMES)
+    )
+    if not uses_gt:
+        return (
+            compile_predicate(var_node, pvar),
+            compile_predicate(sam_query, psam),
+        )
+    sam_mask = compile_predicate(sam_query, psam)
+    sam_idx = np.flatnonzero(sam_mask)
+    subset = None if len(sam_idx) == header.num_samples else sam_idx.astype(np.int32)
+    stats_provider = provider if provider in ("native", "device", "numpy") else "native"
+    extra = maybe_gt_extra(
+        var_node, records, header.num_samples, subset, stats_provider
+    )
+    if extra is not None:
+        if pvar.num_rows > header.num_variants:
+            raise ValueError(
+                f"{pvar.path} has {pvar.num_rows} rows but the pgen holds "
+                f"{header.num_variants} variant records (GT_* stats require "
+                f"matching counts)"
+            )
+        extra = {k: v[: pvar.num_rows] for k, v in extra.items()}
+    var_mask = compile_predicate(var_node, pvar, extra)
+    return var_mask, sam_mask
+
+
 @dataclass
 class FilterResult:
     out_path: str
@@ -238,9 +279,19 @@ def filter_to_vcf(
     # queries would keep nothing (pfile.rs:111-126 order).
     psam.column_index("IID")
 
+    rec = header.record_size
+    pgen_mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    expected = 12 + header.num_variants * rec
+    if pgen_mm.shape[0] < expected:
+        raise ValueError(
+            f"{pfile_prefix}.pgen is {pgen_mm.shape[0]} bytes; header implies {expected}"
+        )
+    records = pgen_mm[12:expected].reshape(header.num_variants, rec)
+
     with timer.stage("predicates"):
-        var_mask = compile_predicate(var_query, pvar)
-        sam_mask = compile_predicate(sam_query, psam)
+        var_mask, sam_mask = compute_masks(
+            var_query, sam_query, pvar, psam, header, records, provider
+        )
     var_idx = np.flatnonzero(var_mask)
     sam_idx = np.flatnonzero(sam_mask)
     all_iids = psam.get_column_strs("IID")
@@ -267,14 +318,6 @@ def filter_to_vcf(
     row_fixed = 4 * n_kept_samples + 1
     total = len(header_bytes) + int(prefix_sizes[-1]) + len(var_idx) * row_fixed
 
-    pgen_mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
-    rec = header.record_size
-    expected = 12 + header.num_variants * rec
-    if pgen_mm.shape[0] < expected:
-        raise ValueError(
-            f"{pfile_prefix}.pgen is {pgen_mm.shape[0]} bytes; header implies {expected}"
-        )
-    records = pgen_mm[12:expected].reshape(header.num_variants, rec)
     if len(var_idx) and var_idx[-1] >= header.num_variants:
         raise ValueError(
             f"{pfile_prefix}.pvar row {int(var_idx[-1])} is beyond the pgen's "

@@ -32,7 +32,6 @@ from pgen_tpu.formats.header import (
 )
 from pgen_tpu.formats.metadata import read_metadata
 from pgen_tpu.pipeline.filter import _gather_rows, _resolve_provider
-from pgen_tpu.query.compile import compile_predicate
 from pgen_tpu.utils.timer import StageTimer
 
 DEFAULT_BLOCK = 1 << 16
@@ -105,19 +104,22 @@ def filter_to_pgen(
         psam = read_metadata(f"{pfile_prefix}.psam")
     psam.column_index("IID")
 
-    with timer.stage("predicates"):
-        var_mask = compile_predicate(var_query, pvar)
-        sam_mask = compile_predicate(sam_query, psam)
-    var_idx = np.flatnonzero(var_mask)
-    sam_idx = np.flatnonzero(sam_mask)
-    n_kept = len(sam_idx)
-    keep_all_samples = n_kept == psam.num_rows == header.num_samples
-
     rec = header.record_size
     pgen_mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
     records = pgen_mm[12 : 12 + header.num_variants * rec].reshape(
         header.num_variants, rec
     )
+
+    from pgen_tpu.pipeline.filter import compute_masks
+
+    with timer.stage("predicates"):
+        var_mask, sam_mask = compute_masks(
+            var_query, sam_query, pvar, psam, header, records, provider
+        )
+    var_idx = np.flatnonzero(var_mask)
+    sam_idx = np.flatnonzero(sam_mask)
+    n_kept = len(sam_idx)
+    keep_all_samples = n_kept == psam.num_rows == header.num_samples
     out_rec = rec if keep_all_samples else variant_record_size(n_kept)
 
     with timer.stage("write_pgen"):

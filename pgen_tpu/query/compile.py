@@ -34,6 +34,7 @@ from pgen_tpu.query.parser import parse
 # Compiled value kinds
 _MASK = "mask"  # np.bool_ (rows,)
 _STRCOL = "strcol"  # np.bytes_ 'S' (rows,)
+_NUMCOL = "numcol"  # int64/float64 (rows,) — extension variables (GT_*)
 _SCALAR = "scalar"  # python constant
 _COLREF = "colref"  # lazy column handle: materialized only when needed
 
@@ -65,15 +66,17 @@ def _strcol(kind, v):
     return v.materialize() if kind == _COLREF else v
 
 
-def _lower(node, table):
+def _lower(node, table, extra=None):
     if isinstance(node, Lit):
         return (_SCALAR, node.value)
     if isinstance(node, Var):
+        if extra and node.name in extra:
+            return (_NUMCOL, extra[node.name])
         if node.name not in table.columns:
             raise ExprError(f"variable identifier is not bound: {node.name}")
         return (_COLREF, _ColRef(table, node.name))
     if isinstance(node, Unary):
-        kind, v = _lower(node.operand, table)
+        kind, v = _lower(node.operand, table, extra)
         if node.op == "!":
             if kind == _MASK:
                 return (_MASK, ~v)
@@ -87,11 +90,13 @@ def _lower(node, table):
                 if not _is_num(v):
                     raise ExprError(f"unary -: expected a number, got {_type_name(v)}")
                 return (_SCALAR, -v)
+            if kind == _NUMCOL:
+                return (_NUMCOL, -v)
             raise ExprError("unary -: expected a number, got String")
         raise _Fallback
     if isinstance(node, Binary):
-        lk, lv = _lower(node.left, table)
-        rk, rv = _lower(node.right, table)
+        lk, lv = _lower(node.left, table, extra)
+        rk, rv = _lower(node.right, table, extra)
         return _lower_binary(node.op, lk, lv, rk, rv)
     if isinstance(node, Call):
         raise _Fallback
@@ -118,6 +123,9 @@ def _lower_binary(op, lk, lv, rk, rv):
         lk, lv = _STRCOL, lv.materialize()
     if rk == _COLREF:
         rk, rv = _STRCOL, rv.materialize()
+
+    if (lk == _NUMCOL or rk == _NUMCOL) and op not in ("&&", "||"):
+        return _lower_numeric(op, lk, lv, rk, rv)
 
     if op in ("==", "!="):
         neg = op == "!="
@@ -150,6 +158,84 @@ def _lower_binary(op, lk, lv, rk, rv):
         # on every row, exactly as the interpreter reports it.
         raise ExprError(f"{op}: expected two numbers, got String operand")
 
+    raise _Fallback
+
+
+def _lower_numeric(op, lk, lv, rk, rv):
+    """Binary op where at least one side is a numeric extension column.
+
+    Value semantics match the interpreter's per-row Int/Float rules:
+    variant-tagged equality (Int vs Float or vs String is simply unequal),
+    promoted ordering/arithmetic, truncating Int division/modulo.
+    """
+
+    def is_intcol(k, v):
+        return k == _NUMCOL and np.issubdtype(v.dtype, np.integer)
+
+    def num_scalar(v):
+        return _is_num(v)
+
+    other_k, other_v = (rk, rv) if lk == _NUMCOL else (lk, lv)
+    if op in ("==", "!="):
+        if lk == _NUMCOL and rk == _NUMCOL:
+            same_tag = is_intcol(lk, lv) == is_intcol(rk, rv)
+            res = (lv == rv) if same_tag else np.zeros(len(lv), dtype=bool)
+        elif other_k == _SCALAR and num_scalar(other_v):
+            col = lv if lk == _NUMCOL else rv
+            tag_match = is_intcol(_NUMCOL, col) == isinstance(
+                other_v, int
+            ) and not isinstance(other_v, bool)
+            res = (col == other_v) if tag_match else np.zeros(len(col), dtype=bool)
+        else:
+            # Int col vs String/Boolean/strcol: never equal
+            n = len(lv) if lk == _NUMCOL else len(rv)
+            res = np.zeros(n, dtype=bool)
+        return (_MASK, ~res if op == "!=" else res)
+    if op in ("<", "<=", ">", ">="):
+        if (other_k == _SCALAR and not num_scalar(other_v)) or other_k in (
+            _STRCOL,
+            _MASK,
+        ):
+            raise ExprError(f"{op}: expected two numbers")
+        fn = {"<": np.less, "<=": np.less_equal, ">": np.greater, ">=": np.greater_equal}[op]
+        return (_MASK, fn(lv, rv))
+    if op in ("+", "-", "*"):
+        if (other_k == _SCALAR and not num_scalar(other_v)) or other_k in (
+            _STRCOL,
+            _MASK,
+        ):
+            raise ExprError(f"{op}: expected two numbers")
+        fn = {"+": np.add, "-": np.subtract, "*": np.multiply}[op]
+        return (_NUMCOL, fn(lv, rv))
+    if op in ("/", "%"):
+        if (other_k == _SCALAR and not num_scalar(other_v)) or other_k in (
+            _STRCOL,
+            _MASK,
+        ):
+            raise ExprError(f"{op}: expected two numbers")
+        both_int = (
+            (lk != _NUMCOL or is_intcol(lk, lv))
+            and (rk != _NUMCOL or is_intcol(rk, rv))
+            and not any(
+                isinstance(x, float) for x in (lv, rv) if not isinstance(x, np.ndarray)
+            )
+        )
+        if both_int:
+            if np.any(np.asarray(rv) == 0):
+                raise ExprError("division by zero" if op == "/" else "modulo by zero")
+            if op == "/":
+                q = np.trunc(np.true_divide(lv, rv)).astype(np.int64)
+                return (_NUMCOL, q)
+            return (_NUMCOL, np.fmod(np.asarray(lv), rv).astype(np.int64))
+        res = np.true_divide(lv, rv) if op == "/" else np.fmod(lv, rv)
+        return (_NUMCOL, np.asarray(res, dtype=np.float64))
+    if op == "^":
+        if (other_k == _SCALAR and not num_scalar(other_v)) or other_k in (
+            _STRCOL,
+            _MASK,
+        ):
+            raise ExprError("^: expected two numbers")
+        return (_NUMCOL, np.power(np.asarray(lv, dtype=np.float64), rv))
     raise _Fallback
 
 
@@ -204,22 +290,28 @@ def _to_mask(kind, v, op):
     raise ExprError(f"{op}: expected Boolean, got String")
 
 
-def _row_context(table, i):
-    return {name: table.get_column_strs(name)[i] for name in table.columns}
+def _row_context(table, i, extra=None):
+    ctx = {name: table.get_column_strs(name)[i] for name in table.columns}
+    if extra:
+        for name, arr in extra.items():
+            v = arr[i]
+            ctx[name] = float(v) if np.issubdtype(arr.dtype, np.floating) else int(v)
+    return ctx
 
 
-def _fallback_mask(node, table) -> np.ndarray:
+def _fallback_mask(node, table, extra=None) -> np.ndarray:
     mask = np.empty(table.num_rows, dtype=bool)
     for i in range(table.num_rows):
-        mask[i] = eval_boolean(node, _row_context(table, i))
+        mask[i] = eval_boolean(node, _row_context(table, i, extra))
     return mask
 
 
-def compile_predicate(expr, table) -> np.ndarray:
+def compile_predicate(expr, table, extra=None) -> np.ndarray:
     """Evaluate a boolean include-expression over every metadata row.
 
     Returns a (num_rows,) bool mask. ``expr`` may be a source string or a
     parsed AST; ``None`` keeps every row (pfile.rs:93,321 map_or(true, ..)).
+    ``extra`` maps extension variable names (e.g. GT_AC) to numeric arrays.
     """
     if expr is None:
         return np.ones(table.num_rows, dtype=bool)
@@ -229,19 +321,21 @@ def compile_predicate(expr, table) -> np.ndarray:
         # rows, so even an ill-typed expression succeeds vacuously.
         return np.zeros(0, dtype=bool)
     try:
-        kind, v = _lower(node, table)
+        kind, v = _lower(node, table, extra)
     except _Fallback:
-        return _fallback_mask(node, table)
+        return _fallback_mask(node, table, extra)
     if kind == _SCALAR:
         if not isinstance(v, bool):
             raise ExprError(f"expected Boolean result, got {_type_name(v)}")
         return np.full(table.num_rows, v, dtype=bool)
+    if kind == _NUMCOL:
+        raise ExprError("expected Boolean result, got a number")
     if kind != _MASK:
         raise ExprError("expected Boolean result, got String")
     return np.broadcast_to(v, (table.num_rows,)) if np.ndim(v) == 0 else v
 
 
-def compile_fstring_bytes(expr, table, rows) -> np.ndarray | None:
+def compile_fstring_bytes(expr, table, rows, extra=None) -> np.ndarray | None:
     """Vectorized fstring evaluation straight to output bytes.
 
     Returns a uint8 buffer of newline-terminated result lines for the given
@@ -253,7 +347,7 @@ def compile_fstring_bytes(expr, table, rows) -> np.ndarray | None:
     if len(rows) == 0 and table.num_rows == 0:
         return np.zeros(0, dtype=np.uint8)
     try:
-        kind, v = _lower(node, table)
+        kind, v = _lower(node, table, extra)
     except _Fallback:
         return None
     if kind == _COLREF:
@@ -263,6 +357,8 @@ def compile_fstring_bytes(expr, table, rows) -> np.ndarray | None:
             raise ExprError(f"expected String result, got {_type_name(v)}")
         line = v.encode("utf-8") + b"\n"
         return np.frombuffer(line * len(rows), dtype=np.uint8)
+    if kind == _NUMCOL:
+        raise ExprError("expected String result, got a number")
     if kind != _STRCOL:
         raise ExprError("expected String result, got Boolean")
     if len(rows) == 0:
@@ -281,7 +377,7 @@ def compile_fstring_bytes(expr, table, rows) -> np.ndarray | None:
     return np.frombuffer(out, dtype=np.uint8)
 
 
-def compile_fstring(expr, table, rows=None) -> list:
+def compile_fstring(expr, table, rows=None, extra=None) -> list:
     """Evaluate a -f/--fstring expression for the given rows (default: all).
 
     Returns a list of result strings (one per selected row), matching
@@ -294,15 +390,17 @@ def compile_fstring(expr, table, rows=None) -> list:
     if len(rows) == 0:
         return []
     try:
-        kind, v = _lower(node, table)
+        kind, v = _lower(node, table, extra)
     except _Fallback:
-        return [eval_string(node, _row_context(table, int(i))) for i in rows]
+        return [eval_string(node, _row_context(table, int(i), extra)) for i in rows]
     if kind == _SCALAR:
         if not isinstance(v, str):
             raise ExprError(f"expected String result, got {_type_name(v)}")
         return [v] * len(rows)
     if kind == _COLREF:
         kind, v = _STRCOL, v.materialize()
+    if kind == _NUMCOL:
+        raise ExprError("expected String result, got a number")
     if kind != _STRCOL:
         raise ExprError("expected String result, got Boolean")
     sel = v[rows]
