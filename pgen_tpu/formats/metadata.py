@@ -119,6 +119,82 @@ class MetadataTable:
             self._col_cache[key] = arr
         return self._col_cache[key]
 
+    def get_virtual_bytes(self, name: str):
+        """Virtual columns: ``INFO_<KEY>`` resolves to the KEY subfield of
+        the INFO column (reference "next steps", README.md:205-207 —
+        bcftools' INFO/AF equivalent). Value semantics: the subfield's
+        string value; ``"1"`` for a bare flag; ``"."`` when absent.
+        Returns an 'S' array, or None if the name isn't a known virtual.
+        """
+        if not name.startswith("INFO_") or len(name) <= 5 or "INFO" not in self.columns:
+            return None
+        key = ("virt", name)
+        if key not in self._col_cache:
+            subkey = name[5:].encode("utf-8")
+            j = self.column_index("INFO")
+            starts = self.field_starts(j)
+            ends = self.field_ends(j)
+            vs, vl = self._info_extract(starts, ends, subkey)
+            lens = np.where(vl >= 0, vl, 1)
+            width = max(int(lens.max(initial=0)), 1)
+            offs = np.arange(width, dtype=np.int64)
+            idx = np.where(vl >= 0, vs, 0)[:, None] + offs[None, :]
+            np.minimum(idx, max(len(self._buf) - 1, 0), out=idx)
+            mat = (
+                self._buf[idx]
+                if len(self._buf)
+                else np.zeros((len(vs), width), np.uint8)
+            )
+            mat[offs[None, :] >= lens[:, None]] = 0
+            absent = vl == -1
+            flag = vl == -2
+            mat[absent, 0] = ord(".")
+            mat[absent, 1:] = 0
+            mat[flag, 0] = ord("1")
+            mat[flag, 1:] = 0
+            self._col_cache[key] = (
+                np.ascontiguousarray(mat).view(f"S{width}").ravel()
+            )
+        return self._col_cache[key]
+
+    def get_virtual_strs(self, name: str):
+        arr = self.get_virtual_bytes(name)
+        if arr is None:
+            return None
+        key = ("virtstr", name)
+        if key not in self._col_cache:
+            self._col_cache[key] = [b.decode("utf-8") for b in arr]
+        return self._col_cache[key]
+
+    def _info_extract(self, starts, ends, subkey: bytes):
+        try:
+            from pgen_tpu.native import HAVE_NATIVE, native
+        except ImportError:
+            HAVE_NATIVE = False
+        if HAVE_NATIVE and self.num_rows > 1024:
+            return native.info_extract(self._buf, starts, ends, subkey)
+        vs = np.zeros(self.num_rows, dtype=np.int64)
+        vl = np.full(self.num_rows, -1, dtype=np.int64)
+        buf = self._buf
+        for i in range(self.num_rows):
+            s, e = int(starts[i]), int(ends[i])
+            field = buf[s:e].tobytes()
+            pos = 0
+            while pos < len(field):
+                semi = field.find(b";", pos)
+                seg_end = semi if semi >= 0 else len(field)
+                if field[pos:seg_end].startswith(subkey):
+                    after = pos + len(subkey)
+                    if after == seg_end:
+                        vl[i] = -2
+                        break
+                    if field[after : after + 1] == b"=":
+                        vs[i] = s + after + 1
+                        vl[i] = seg_end - (after + 1)
+                        break
+                pos = seg_end + 1
+        return vs, vl
+
     def get_column_strs(self, name: str) -> list:
         """Column as Python strings (row-interpreter fallback path)."""
         key = ("str", name)

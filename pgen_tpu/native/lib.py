@@ -90,6 +90,11 @@ class _Native:
         lib.pgen_gt_counts.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p,
         ]
+        lib.pgen_info_extract.restype = None
+        lib.pgen_info_extract.argtypes = [
+            u8p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64, i64p, i64p,
+        ]
         lib.pgen_gt_counts_masked.restype = None
         lib.pgen_gt_counts_masked.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p,
@@ -296,6 +301,33 @@ class _Native:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         return out
+
+    def info_extract(
+        self,
+        buf: np.ndarray,
+        starts: np.ndarray,
+        ends: np.ndarray,
+        key: bytes,
+    ) -> tuple:
+        """(val_starts, val_lens) per row; lens -1=absent, -2=flag."""
+        n = len(starts)
+        vs = np.empty(n, dtype=np.int64)
+        vl = np.empty(n, dtype=np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        k = np.frombuffer(key, dtype=np.uint8)
+        self._lib.pgen_info_extract(
+            self._u8(buf),
+            ctypes.c_char_p(starts.ctypes.data),
+            starts.strides[0],
+            ctypes.c_char_p(ends.ctypes.data),
+            ends.strides[0],
+            n,
+            self._u8(k),
+            len(key),
+            vs.ctypes.data_as(i64p),
+            vl.ctypes.data_as(i64p),
+        )
+        return vs, vl
 
     def gt_counts_masked(
         self, packed: np.ndarray, byte_masks: np.ndarray

@@ -582,6 +582,41 @@ void pgen_gt_counts_masked(const unsigned char* packed, int64_t n_var,
   }
 }
 
+// Extract an INFO subfield per row: within each field span, find the
+// ';'-separated segment "KEY=value" (value span returned) or bare "KEY"
+// (flag, len=-2); absent keys get len=-1. First occurrence wins.
+void pgen_info_extract(const unsigned char* buf, const char* starts,
+                       int64_t s_stride, const char* ends, int64_t e_stride,
+                       int64_t n, const unsigned char* key, int64_t keylen,
+                       int64_t* val_starts, int64_t* val_lens) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t s = *(const int64_t*)(starts + i * s_stride);
+    const int64_t e = *(const int64_t*)(ends + i * e_stride);
+    int64_t vs = 0, vl = -1;
+    int64_t pos = s;
+    while (pos < e) {
+      const unsigned char* semi = (const unsigned char*)std::memchr(
+          buf + pos, ';', (size_t)(e - pos));
+      const int64_t seg_end = semi ? (int64_t)(semi - buf) : e;
+      if (seg_end - pos >= keylen &&
+          std::memcmp(buf + pos, key, (size_t)keylen) == 0) {
+        if (pos + keylen == seg_end) {
+          vl = -2;  // flag
+          break;
+        }
+        if (buf[pos + keylen] == '=') {
+          vs = pos + keylen + 1;
+          vl = seg_end - vs;
+          break;
+        }
+      }
+      pos = seg_end + 1;
+    }
+    val_starts[i] = vs;
+    val_lens[i] = vl;
+  }
+}
+
 // Join fixed-width rows into newline-separated output: row i contributes
 // lens[i] bytes of mat[i*width..] then '\n'. Returns bytes produced.
 int64_t pgen_join_lines(const unsigned char* mat, int64_t n, int64_t width,

@@ -73,6 +73,9 @@ def _lower(node, table, extra=None):
         if extra and node.name in extra:
             return (_NUMCOL, extra[node.name])
         if node.name not in table.columns:
+            virt = table.get_virtual_bytes(node.name)
+            if virt is not None:
+                return (_STRCOL, virt)
             raise ExprError(f"variable identifier is not bound: {node.name}")
         return (_COLREF, _ColRef(table, node.name))
     if isinstance(node, Unary):
@@ -290,19 +293,38 @@ def _to_mask(kind, v, op):
     raise ExprError(f"{op}: expected Boolean, got String")
 
 
-def _row_context(table, i, extra=None):
+def _row_context(table, i, extra=None, virtuals=None):
     ctx = {name: table.get_column_strs(name)[i] for name in table.columns}
     if extra:
         for name, arr in extra.items():
             v = arr[i]
             ctx[name] = float(v) if np.issubdtype(arr.dtype, np.floating) else int(v)
+    if virtuals:
+        for name, col in virtuals.items():
+            ctx[name] = col[i]
     return ctx
 
 
+def _referenced_virtuals(node, table, extra=None) -> dict:
+    """Materialize INFO_* virtual columns the expression references, so the
+    row-interpreter fallback sees the same variables as the compiler."""
+    from pgen_tpu.query.ast import variables
+
+    virt = {}
+    for name in variables(node):
+        if name in table.columns or (extra and name in extra):
+            continue
+        col = table.get_virtual_strs(name)
+        if col is not None:
+            virt[name] = col
+    return virt
+
+
 def _fallback_mask(node, table, extra=None) -> np.ndarray:
+    virtuals = _referenced_virtuals(node, table, extra)
     mask = np.empty(table.num_rows, dtype=bool)
     for i in range(table.num_rows):
-        mask[i] = eval_boolean(node, _row_context(table, i, extra))
+        mask[i] = eval_boolean(node, _row_context(table, i, extra, virtuals))
     return mask
 
 
@@ -392,7 +414,11 @@ def compile_fstring(expr, table, rows=None, extra=None) -> list:
     try:
         kind, v = _lower(node, table, extra)
     except _Fallback:
-        return [eval_string(node, _row_context(table, int(i), extra)) for i in rows]
+        virtuals = _referenced_virtuals(node, table, extra)
+        return [
+            eval_string(node, _row_context(table, int(i), extra, virtuals))
+            for i in rows
+        ]
     if kind == _SCALAR:
         if not isinstance(v, str):
             raise ExprError(f"expected String result, got {_type_name(v)}")
