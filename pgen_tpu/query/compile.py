@@ -102,8 +102,47 @@ def _lower(node, table, extra=None):
         rk, rv = _lower(node.right, table, extra)
         return _lower_binary(node.op, lk, lv, rk, rv)
     if isinstance(node, Call):
+        if node.name == "num" and len(node.args) == 1:
+            kind, v = _lower(node.args[0], table, extra)
+            if kind == _NUMCOL:
+                return (_NUMCOL, v)
+            if kind == _SCALAR:
+                from pgen_tpu.query.interp import _call_builtin
+
+                return (_SCALAR, _call_builtin("num", [v]))
+            if kind == _COLREF:
+                kind, v = _STRCOL, v.materialize()
+            if kind == _STRCOL:
+                parsed = _parse_numeric_column(v)
+                if parsed is None:
+                    raise _Fallback  # mixed Int/Float tags: row-exact path
+                return (_NUMCOL, parsed)
+            raise ExprError("num: expected String or number, got Boolean")
         raise _Fallback
     raise _Fallback
+
+
+def _parse_numeric_column(arr):
+    """'S' column -> int64 (all rows Int) or float64 (no row Int) array.
+
+    Returns None when per-row Int/Float tags would be heterogeneous — the
+    interpreter's variant-tagged equality then needs the row-exact path.
+    Unparseable rows also fall back (the interpreter raises there with the
+    offending value).
+    """
+    try:
+        return arr.astype(np.int64)
+    except (ValueError, OverflowError):
+        pass
+    try:
+        f = arr.astype(np.float64)
+    except (ValueError, OverflowError):
+        return None
+    # float column is tag-uniform only if NO row parses as an Int
+    maybe_int = np.char.isdigit(np.char.lstrip(arr, b"+-"))
+    if maybe_int.any():
+        return None
+    return f
 
 
 def _as_bytes(s: str) -> bytes:

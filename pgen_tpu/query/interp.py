@@ -245,6 +245,22 @@ def _call_builtin(name, args):
         if _is_num(v):
             return float(math.ceil(v))
         raise ExprError("ceil: expected a number")
+    if name == "num":
+        # extension: parse a string to Int (preferred) or Float; the
+        # reference has no numeric typing at all (README.md:279-280)
+        (v,) = _arity(name, args, 1)
+        if _is_num(v):
+            return v
+        if isinstance(v, str):
+            try:
+                return int(v)
+            except ValueError:
+                pass
+            try:
+                return float(v)
+            except ValueError:
+                raise ExprError(f"num: cannot parse {v!r} as a number") from None
+        raise ExprError(f"num: expected String or number, got {_type_name(v)}")
     if name == "if":
         c, t, f = _arity(name, args, 3)
         if not isinstance(c, bool):

@@ -236,3 +236,71 @@ def test_regex_predicate_via_fallback(table):
     import re
     for i in range(table.num_rows):
         assert mask[i] == bool(re.search(r"^rs1?7$", ids[i]))
+
+
+def test_num_builtin_interp():
+    assert eval_value(parse('num("42")'), {}) == 42
+    assert isinstance(eval_value(parse('num("42")'), {}), int)
+    assert eval_value(parse('num("0.5")'), {}) == 0.5
+    assert eval_value(parse('num("42") + 1'), {}) == 43
+    assert eval_value(parse('num(3)'), {}) == 3
+    with pytest.raises(ExprError, match="cannot parse"):
+        eval_value(parse('num("abc")'), {})
+
+
+def test_num_vectorized_matches_interp(table):
+    # POS column is all-int: num(POS) ordering/arithmetic works vectorized
+    for expr in [
+        'num(POS) < 50',
+        'num(POS) >= 50',
+        'num(POS) == 7',
+        'num(POS) % 2 == 1',
+        'num(POS) * 2 > 100',
+        'num(POS) == 7.0',  # Int col vs Float literal: variant-tagged false
+    ]:
+        mask = compile_predicate(expr, table)
+        node = parse(expr)
+        for i in range(table.num_rows):
+            ctx = {c: table.get_column_strs(c)[i] for c in table.columns}
+            assert mask[i] == eval_boolean(node, ctx), (expr, i, ctx)
+
+
+def test_num_float_column(tmp_path):
+    p = tmp_path / "f.pvar"
+    p.write_text("#ID\tAF\nr0\t0.5\nr1\t0.25\nr2\t0.75\n")
+    t = read_metadata(p)
+    mask = compile_predicate('num(AF) > 0.3', t)
+    assert mask.tolist() == [True, False, True]
+    mask2 = compile_predicate('num(AF) == 0.25', t)
+    assert mask2.tolist() == [False, True, False]
+
+
+def test_num_mixed_column_falls_back(tmp_path):
+    # mixed Int/Float rows need per-row tags: fallback must stay exact
+    p = tmp_path / "m.pvar"
+    p.write_text("#ID\tX\nr0\t5\nr1\t0.5\nr2\t7\n")
+    t = read_metadata(p)
+    mask = compile_predicate('num(X) == 5', t)
+    assert mask.tolist() == [True, False, False]
+    mask2 = compile_predicate('num(X) == 0.5', t)
+    assert mask2.tolist() == [False, True, False]
+
+
+def test_num_unparseable_errors(tmp_path):
+    p = tmp_path / "u.pvar"
+    p.write_text("#ID\tX\nr0\tabc\n")
+    t = read_metadata(p)
+    with pytest.raises(ExprError, match="cannot parse"):
+        compile_predicate('num(X) > 1', t)
+
+
+def test_num_on_info_subfield(tmp_path):
+    p = tmp_path / "i.pvar"
+    p.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "1\t1\tr0\tA\tC\t.\t.\tAF=0.9\n"
+        "1\t2\tr1\tA\tC\t.\t.\tAF=0.1\n"
+    )
+    t = read_metadata(p)
+    mask = compile_predicate('num(INFO_AF) > 0.5', t)
+    assert mask.tolist() == [True, False]
