@@ -77,7 +77,10 @@ def _lex_string(src: str, start: int):
             esc = src[i + 1]
             mapped = {"\\": "\\", '"': '"', "n": "\n", "t": "\t", "r": "\r", "'": "'"}.get(esc)
             if mapped is None:
-                raise ParseError(f"unsupported escape '\\{esc}' at {i}")
+                raise ParseError(
+                    f"unsupported escape '\\{esc}' at {i} (write '\\\\{esc}' "
+                    f"for a literal backslash, e.g. in regex patterns)"
+                )
             out.append(mapped)
             i += 2
         else:
