@@ -161,8 +161,6 @@ def gt_counts(packed: np.ndarray, num_samples: int, provider: str = "native") ->
             return gt_counts_native(packed, num_samples)
         provider = "numpy"
     if provider == "device":
-        import jax
-
         from pgen_tpu.pipeline.device import is_interpret_backend
 
         return np.asarray(

@@ -93,7 +93,6 @@ def run_distributed_filter(
 
 def _barrier():
     import jax
-    import jax.numpy as jnp
 
     if jax.process_count() == 1:
         return

@@ -17,7 +17,6 @@ by this tool and by plink2.
 
 from __future__ import annotations
 
-import os
 import struct
 from dataclasses import dataclass
 

@@ -27,7 +27,6 @@ from pgen_tpu.query.interp import (
     _type_name,
     eval_boolean,
     eval_string,
-    eval_value,
 )
 from pgen_tpu.query.parser import parse
 
@@ -59,11 +58,6 @@ class _ColRef:
 
     def materialize(self):
         return self.table.get_column_bytes(self.name)
-
-
-def _strcol(kind, v):
-    """Materialize a column operand to its 'S' array."""
-    return v.materialize() if kind == _COLREF else v
 
 
 def _lower(node, table, extra=None):
