@@ -27,6 +27,24 @@ from pgen_tpu.query.compile import (
 )
 
 
+def _reject_gt_variables(expr) -> None:
+    """query never opens genotype records (its core scaling property), so
+    GT_* statistics are filter-only; say so instead of 'not bound'."""
+    if expr is None:
+        return
+    from pgen_tpu.ops.gt_stats import GT_VARIABLE_NAMES
+    from pgen_tpu.query.ast import ExprError, variables
+    from pgen_tpu.query.parser import parse
+
+    node = parse(expr) if isinstance(expr, str) else expr
+    used = variables(node) & set(GT_VARIABLE_NAMES)
+    if used:
+        raise ExprError(
+            f"{sorted(used)[0]}: GT_* genotype statistics are available in "
+            f"`filter` expressions only — `query` reads only metadata"
+        )
+
+
 def query_metadata(
     pfile_prefix: str,
     query_fstring: str,
@@ -41,6 +59,8 @@ def query_metadata(
     read_pgen_header(f"{pfile_prefix}.pgen")  # from_prefix validation parity
     meta_path = f"{pfile_prefix}.psam" if query_samples else f"{pfile_prefix}.pvar"
     table = read_metadata(meta_path)
+    _reject_gt_variables(query)
+    _reject_gt_variables(query_fstring)
     mask = compile_predicate(query, table)
     rows = np.flatnonzero(mask)
     out = sys.stdout if out is None else out
