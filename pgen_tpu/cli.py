@@ -155,6 +155,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Print per-stage timing/bandwidth to stderr.",
     )
+    f.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help=(
+            "Write a jax.profiler trace of the run to DIR (device-provider "
+            "kernels appear on the TPU timeline; host stages as TraceMe "
+            "annotations)."
+        ),
+    )
 
     d = sub.add_parser(
         "describe",
@@ -189,63 +199,71 @@ def main(argv=None) -> int:
             )
             return 0
         if args.command == "filter":
+            import contextlib
+
+            profile_ctx = contextlib.nullcontext()
+            if args.profile:
+                import jax
+
+                profile_ctx = jax.profiler.trace(args.profile)
             kwargs = {}
             if args.block_variants:
                 kwargs["block_variants"] = args.block_variants
-            if args.out_format == "pgen":
-                from pgen_tpu.pipeline.pgen_out import filter_to_pgen
+            with profile_ctx:
+                if args.out_format == "pgen":
+                    from pgen_tpu.pipeline.pgen_out import filter_to_pgen
 
-                result = filter_to_pgen(
-                    args.pfile_prefix,
-                    var_query=args.var_query,
-                    sam_query=args.sam_query,
-                    out_prefix=args.out_file,
-                    provider=args.provider,
-                    **kwargs,
-                )
+                    result = filter_to_pgen(
+                        args.pfile_prefix,
+                        var_query=args.var_query,
+                        sam_query=args.sam_query,
+                        out_prefix=args.out_file,
+                        provider=args.provider,
+                        **kwargs,
+                    )
+                    if args.stats:
+                        print(result.timer.report(), file=sys.stderr)
+                    return 0
+                if args.workers is not None:
+                    from pgen_tpu.parallel.shard import filter_to_vcf_parallel
+
+                    result = filter_to_vcf_parallel(
+                        args.pfile_prefix,
+                        var_query=args.var_query,
+                        sam_query=args.sam_query,
+                        out_file=args.out_file,
+                        provider=args.provider,
+                        num_workers=args.workers,
+                        **kwargs,
+                    )
+                elif args.shards is not None:
+                    from pgen_tpu.parallel.shard import filter_to_vcf_sharded
+
+                    result = filter_to_vcf_sharded(
+                        args.pfile_prefix,
+                        var_query=args.var_query,
+                        sam_query=args.sam_query,
+                        out_file=args.out_file,
+                        provider=args.provider,
+                        num_shards=args.shards,
+                        shard_index=args.shard_index,
+                        **kwargs,
+                    )
+                else:
+                    from pgen_tpu.pipeline.filter import filter_to_vcf
+
+                    result = filter_to_vcf(
+                        args.pfile_prefix,
+                        var_query=args.var_query,
+                        sam_query=args.sam_query,
+                        out_file=args.out_file,
+                        provider=args.provider,
+                        emit_threads=args.threads,
+                        **kwargs,
+                    )
                 if args.stats:
                     print(result.timer.report(), file=sys.stderr)
                 return 0
-            if args.workers is not None:
-                from pgen_tpu.parallel.shard import filter_to_vcf_parallel
-
-                result = filter_to_vcf_parallel(
-                    args.pfile_prefix,
-                    var_query=args.var_query,
-                    sam_query=args.sam_query,
-                    out_file=args.out_file,
-                    provider=args.provider,
-                    num_workers=args.workers,
-                    **kwargs,
-                )
-            elif args.shards is not None:
-                from pgen_tpu.parallel.shard import filter_to_vcf_sharded
-
-                result = filter_to_vcf_sharded(
-                    args.pfile_prefix,
-                    var_query=args.var_query,
-                    sam_query=args.sam_query,
-                    out_file=args.out_file,
-                    provider=args.provider,
-                    num_shards=args.shards,
-                    shard_index=args.shard_index,
-                    **kwargs,
-                )
-            else:
-                from pgen_tpu.pipeline.filter import filter_to_vcf
-
-                result = filter_to_vcf(
-                    args.pfile_prefix,
-                    var_query=args.var_query,
-                    sam_query=args.sam_query,
-                    out_file=args.out_file,
-                    provider=args.provider,
-                    emit_threads=args.threads,
-                    **kwargs,
-                )
-            if args.stats:
-                print(result.timer.report(), file=sys.stderr)
-            return 0
         if args.command == "describe":
             from pgen_tpu.formats.describe import describe_pgen
             from pgen_tpu.formats.header import read_pgen_header

@@ -154,3 +154,17 @@ def test_parallel_workers_match(tiny_fileset, tmp_path, workers):
     )
     assert _read(a) == _read(b)
     assert res.num_variants_kept == 5
+
+
+def test_shard_rerun_idempotent(tiny_fileset, tmp_path):
+    """A shard is a resumable unit: re-running any shard (e.g. after a
+    worker failure) leaves the output byte-identical (SURVEY.md §5
+    checkpoint/resume: per-shard outputs are implicitly resumable)."""
+    prefix, _ = tiny_fileset
+    out = tmp_path / "r.vcf"
+    for si in range(3):
+        filter_to_vcf_sharded(prefix, out_file=out, num_shards=3, shard_index=si)
+    first = _read(out)
+    filter_to_vcf_sharded(prefix, out_file=out, num_shards=3, shard_index=1)
+    filter_to_vcf_sharded(prefix, out_file=out, num_shards=3, shard_index=1)
+    assert _read(out) == first == scalar_filter_vcf(prefix, None, None)
