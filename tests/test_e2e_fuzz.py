@@ -1,0 +1,95 @@
+"""End-to-end randomized differential test: random filesets x random
+predicates on both axes, full VCF byte-compared against the independent
+scalar oracle (the strongest whole-pipeline invariant)."""
+
+import numpy as np
+import pytest
+
+from conftest import build_fileset
+from oracle import scalar_filter_vcf
+from pgen_tpu.pipeline.filter import filter_to_vcf
+
+BASES = ["A", "C", "G", "T"]
+
+
+def _random_fileset(tmp_path, rng, trial):
+    nvar = int(rng.integers(1, 60))
+    nsamp = int(rng.integers(1, 50))
+    codes = rng.integers(0, 4, size=(nvar, nsamp), dtype=np.uint8)
+    chroms = rng.choice(["1", "2", "X"], nvar)
+    alts = rng.choice(BASES, nvar)
+    refs = rng.choice(BASES, nvar)
+    pos = np.cumsum(rng.integers(1, 100, nvar)) + 1
+    pvar_rows = [
+        f"{chroms[i]}\t{pos[i]}\tv{i}\t{refs[i]}\t{alts[i]}\t.\tPASS\tAF=0.{i%10}"
+        for i in range(nvar)
+    ]
+    sexes = rng.choice(["M", "F", "NA"], nsamp)
+    psam_rows = [f"id{i}\t{sexes[i]}" for i in range(nsamp)]
+    prefix = build_fileset(tmp_path, f"fz{trial}", codes, pvar_rows, psam_rows)
+    meta = {
+        "alts": alts,
+        "chroms": chroms,
+        "pos": pos,
+        "sexes": sexes,
+        "nvar": nvar,
+        "nsamp": nsamp,
+    }
+    return prefix, meta
+
+
+def _random_var_query(rng, meta):
+    choice = rng.integers(0, 6)
+    if choice == 0:
+        return None, None
+    if choice == 1:
+        alt = rng.choice(BASES)
+        return f'ALT == "{alt}"', lambda v: v["ALT"] == alt
+    if choice == 2:
+        c = rng.choice(["1", "2", "X"])
+        alt = rng.choice(BASES)
+        return (
+            f'CHROM == "{c}" && ALT != "{alt}"',
+            lambda v: v["CHROM"] == c and v["ALT"] != alt,
+        )
+    if choice == 3:
+        p = str(meta["pos"][rng.integers(0, meta["nvar"])])
+        return f'POS == "{p}" || ID == "v0"', (
+            lambda v: v["POS"] == p or v["ID"] == "v0"
+        )
+    if choice == 4:
+        cut = str(meta["pos"][meta["nvar"] // 2])
+        return f'POS < "{cut}"', lambda v: v["POS"] < cut  # lexicographic
+    return '!(REF == ALT)', lambda v: v["REF"] != v["ALT"]
+
+
+def _random_sam_query(rng, meta):
+    choice = rng.integers(0, 4)
+    if choice == 0:
+        return None, None
+    if choice == 1:
+        s = rng.choice(["M", "F", "NA"])
+        return f'SEX == "{s}"', lambda r: r["SEX"] == s
+    if choice == 2:
+        i = int(rng.integers(0, meta["nsamp"]))
+        return f'IID == "id{i}"', lambda r: r["IID"] == f"id{i}"
+    s = rng.choice(["M", "F"])
+    return (
+        f'SEX != "{s}" && IID != "id0"',
+        lambda r: r["SEX"] != s and r["IID"] != "id0",
+    )
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_random_filter_matches_oracle(tmp_path, trial):
+    rng = np.random.default_rng(7000 + trial)
+    prefix, meta = _random_fileset(tmp_path, rng, trial)
+    var_q, var_pred = _random_var_query(rng, meta)
+    sam_q, sam_pred = _random_sam_query(rng, meta)
+    provider = ["native", "numpy"][trial % 2]
+    out = tmp_path / "out.vcf"
+    filter_to_vcf(
+        prefix, var_query=var_q, sam_query=sam_q, out_file=out, provider=provider
+    )
+    expected = scalar_filter_vcf(prefix, var_pred, sam_pred)
+    assert out.read_bytes() == expected, (trial, var_q, sam_q, provider)
