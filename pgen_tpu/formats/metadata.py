@@ -264,21 +264,50 @@ def _locate_header(raw: bytes, path: str) -> tuple:
     return comments, header_line, pos
 
 
+_HEAD_PROBE = 1 << 20
+
+
 def read_metadata(path: str | Path) -> MetadataTable:
+    """Load a .pvar/.psam. Fast path maps the file read-only (no copy, no
+    page-zeroing of a fresh buffer); any carriage return anywhere falls
+    back to a full read with CRLF normalization (plink2 writes bare \\n)."""
     path = str(path)
+    import os
+
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
-        raw = f.read()
+        head = f.read(min(size, _HEAD_PROBE))
+    use_mmap = size > len(head)
+    if use_mmap and b"\r" not in head:
+        try:
+            comments, header_line, data_off = _locate_header(head, path)
+        except MetadataFormatError:
+            use_mmap = False  # header may extend past the probe; re-read
+        else:
+            if data_off >= len(head):
+                use_mmap = False
+            else:
+                mm = np.memmap(path, dtype=np.uint8, mode="r")
+                buf = mm[data_off:]
+                if not (buf == 13).any():  # no CR anywhere in the data
+                    return _parse_data_region(path, comments, header_line, buf)
+    if size <= len(head):
+        raw = head
+    else:
+        with open(path, "rb") as f:
+            raw = f.read()
     if b"\r\n" in raw:
-        # plink2 writes bare-\n files; normalize the rare CRLF case up front so
-        # downstream byte-exact passthrough has a single convention.
         raw = raw.replace(b"\r\n", b"\n")
     comments, header_line, data_off = _locate_header(raw, path)
+    return _parse_data_region(
+        path, comments, header_line, np.frombuffer(raw, dtype=np.uint8)[data_off:]
+    )
 
+
+def _parse_data_region(path, comments, header_line, buf) -> MetadataTable:
     # Column names: the header line minus its leading '#'.
     columns = tuple(header_line[1:].split("\t"))
     ncols = len(columns)
-
-    buf = np.frombuffer(raw, dtype=np.uint8)[data_off:]
     nl_pos, tab_pos = _scan_separators(buf)
     if len(buf) and (len(nl_pos) == 0 or nl_pos[-1] != len(buf) - 1):
         # final line lacks a trailing newline; treat end-of-buffer as a break
