@@ -96,14 +96,24 @@ def filter_to_vcf_parallel(
             failed.append((i, p.exitcode))
     if failed:
         raise RuntimeError(f"shard workers failed: {failed}")
-    # summarize from a cheap metadata-only pass (no genotype work)
+    # summarize with the same mask computation the workers used (handles
+    # GT_* genotype-stat variables too)
     from pgen_tpu.formats.metadata import read_metadata
-    from pgen_tpu.query.compile import compile_predicate
+    from pgen_tpu.pipeline.filter import compute_masks
 
+    header = read_pgen_header(f"{pfile_prefix}.pgen")
     pvar = read_metadata(f"{pfile_prefix}.pvar")
     psam = read_metadata(f"{pfile_prefix}.psam")
-    nv = int(compile_predicate(var_query, pvar).sum())
-    ns = int(compile_predicate(sam_query, psam).sum())
+    rec = header.record_size
+    mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    records = mm[12 : 12 + header.num_variants * rec].reshape(
+        header.num_variants, rec
+    )
+    var_mask, sam_mask = compute_masks(
+        var_query, sam_query, pvar, psam, header, records, _resolve_provider(provider)
+    )
+    nv = int(var_mask.sum())
+    ns = int(sam_mask.sum())
     return FilterResult(
         out_path=str(out_file),
         num_variants_kept=nv,

@@ -167,3 +167,18 @@ def test_gt_in_sharded_and_pgen_out(gt_fileset, tmp_path):
     h = read_pgen_header(tmp_path / "p.pgen")
     ac = (codes == 1).sum(axis=1) + 2 * (codes == 2).sum(axis=1)
     assert h.num_variants == int((ac >= 8).sum())
+
+
+def test_gt_query_with_parallel_workers(gt_fileset, tmp_path):
+    from pgen_tpu.parallel.shard import filter_to_vcf_parallel
+
+    prefix, codes = gt_fileset
+    a = tmp_path / "a.vcf"
+    b = tmp_path / "b.vcf"
+    filter_to_vcf(prefix, var_query="GT_AC >= 8", out_file=a)
+    res = filter_to_vcf_parallel(
+        prefix, var_query="GT_AC >= 8", out_file=b, num_workers=2
+    )
+    assert a.read_bytes() == b.read_bytes()
+    ac = (codes == 1).sum(axis=1) + 2 * (codes == 2).sum(axis=1)
+    assert res.num_variants_kept == int((ac >= 8).sum())
