@@ -166,6 +166,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
         ),
     )
 
+    st = sub.add_parser(
+        "stats",
+        help="Genotype summary statistics (one pass over the packed matrix).",
+        description=(
+            "Dataset-level genotype summary: per-code totals, missing rate, "
+            "non-ref/singleton variant counts, mean allele frequency. "
+            "Accepts the same include-expressions as filter."
+        ),
+    )
+    st.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    st.add_argument("--include-var", dest="var_query", default=None)
+    st.add_argument("--include-sam", dest="sam_query", default=None)
+    st.add_argument(
+        "--provider", choices=["auto", "native", "device", "numpy"], default="auto"
+    )
+
     d = sub.add_parser(
         "describe",
         help="Introspect a .pgen header (any storage mode).",
@@ -264,6 +280,16 @@ def main(argv=None) -> int:
                 if args.stats:
                     print(result.timer.report(), file=sys.stderr)
                 return 0
+        if args.command == "stats":
+            from pgen_tpu.pipeline.stats import genotype_stats
+
+            genotype_stats(
+                args.pfile_prefix,
+                var_query=args.var_query,
+                sam_query=args.sam_query,
+                provider=args.provider,
+            )
+            return 0
         if args.command == "describe":
             from pgen_tpu.formats.describe import describe_pgen
             from pgen_tpu.formats.header import read_pgen_header
