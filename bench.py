@@ -84,10 +84,23 @@ def main():
     keep_two_times = _timed_runs(run_keep_two, runs)
     keep_two = statistics.median(keep_two_times)
 
+    # half-samples: the masked-LUT sample-subset path (IID < "NA" keeps the
+    # HG*-prefixed ~2/3 of the 1000G-style psam)
+    out3 = f"{prefix}.bench3.vcf"
+
+    def run_half():
+        return filter_to_vcf(
+            prefix, sam_query='IID < "NA"', out_file=out3, provider=provider
+        )
+
+    half_times = _timed_runs(run_half, max(1, runs - 1))
+    half = statistics.median(half_times)
+
     detail = {
         "keep_all_runs_s": [round(t, 3) for t in keep_all_times],
         "keep_two_wall_s": round(keep_two, 3),
         "keep_two_vs_baseline": round(BASELINE_KEEP_TWO_S / keep_two, 2),
+        "half_samples_wall_s": round(half, 3),
         "output_gb": round(out_gb, 2),
         "emit_gbps": round(out_gb / keep_all, 2),
         "variants": num_variants,
