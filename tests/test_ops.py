@@ -94,3 +94,20 @@ def test_native_matches_oracle():
     assert (native.pack_codes(ref) == np.asarray(
         pack_codes_device(jnp.asarray(ref), interpret=True)
     )).all()
+
+
+@pytest.mark.parametrize("shape", [(4, 128), (8, 256), (40, 128)])
+def test_fused_transposed_kernel(shape):
+    """Experimental single-pass fused kernel (ops/fused_text.py): the
+    in-kernel sublane-expanding bitcasts produce sample-major text."""
+    from pgen_tpu.ops.fused_text import genotype_text_transposed
+
+    rec, v = shape
+    rng = np.random.default_rng(rec)
+    packed_t = rng.integers(0, 256, size=(rec, v), dtype=np.uint8)
+    out_t = np.asarray(
+        genotype_text_transposed(jnp.asarray(packed_t), interpret=True)
+    )
+    codes = unpack_codes_reference(packed_t.T.copy(), 4 * rec)
+    exp = genotype_text_reference(codes)  # (v, 16*rec), row-major
+    assert (out_t.T == exp).all()
