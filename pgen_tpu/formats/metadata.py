@@ -227,19 +227,24 @@ class MetadataTable:
         return self._buf
 
 
+class _HasCarriageReturns(Exception):
+    """Internal: the data region contains CR bytes; re-read + normalize."""
+
+
 def _scan_separators(buf: np.ndarray) -> tuple:
-    """(newline_positions, tab_positions), via the native SIMD scan when
-    available (one pass) else numpy (two compare+nonzero passes)."""
+    """(newline_positions, tab_positions, cr_count), via the native SIMD
+    scan when available (one pass) else numpy."""
     try:
         from pgen_tpu.native import HAVE_NATIVE, native
     except ImportError:
         HAVE_NATIVE = False
     if HAVE_NATIVE and buf.nbytes > (1 << 16):
-        tabs, nls = native.scan_seps(buf)
-        return nls, tabs
+        tabs, nls, crs = native.scan_seps(buf)
+        return nls, tabs, crs
     return (
         np.flatnonzero(buf == ord("\n")),
         np.flatnonzero(buf == ord("\t")),
+        int((buf == ord("\r")).sum()),
     )
 
 
@@ -288,9 +293,12 @@ def read_metadata(path: str | Path) -> MetadataTable:
                 use_mmap = False
             else:
                 mm = np.memmap(path, dtype=np.uint8, mode="r")
-                buf = mm[data_off:]
-                if not (buf == 13).any():  # no CR anywhere in the data
-                    return _parse_data_region(path, comments, header_line, buf)
+                try:
+                    return _parse_data_region(
+                        path, comments, header_line, mm[data_off:]
+                    )
+                except _HasCarriageReturns:
+                    pass  # rare CRLF data: re-read + normalize below
     if size <= len(head):
         raw = head
     else:
@@ -300,15 +308,21 @@ def read_metadata(path: str | Path) -> MetadataTable:
         raw = raw.replace(b"\r\n", b"\n")
     comments, header_line, data_off = _locate_header(raw, path)
     return _parse_data_region(
-        path, comments, header_line, np.frombuffer(raw, dtype=np.uint8)[data_off:]
+        path,
+        comments,
+        header_line,
+        np.frombuffer(raw, dtype=np.uint8)[data_off:],
+        allow_cr=True,
     )
 
 
-def _parse_data_region(path, comments, header_line, buf) -> MetadataTable:
+def _parse_data_region(path, comments, header_line, buf, allow_cr=False) -> MetadataTable:
     # Column names: the header line minus its leading '#'.
     columns = tuple(header_line[1:].split("\t"))
     ncols = len(columns)
-    nl_pos, tab_pos = _scan_separators(buf)
+    nl_pos, tab_pos, cr_count = _scan_separators(buf)
+    if cr_count and not allow_cr:
+        raise _HasCarriageReturns
     if len(buf) and (len(nl_pos) == 0 or nl_pos[-1] != len(buf) - 1):
         # final line lacks a trailing newline; treat end-of-buffer as a break
         nl_pos = np.append(nl_pos, len(buf))

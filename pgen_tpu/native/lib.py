@@ -109,7 +109,7 @@ class _Native:
             ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64, u8p,
         ]
         lib.pgen_count_seps.restype = None
-        lib.pgen_count_seps.argtypes = [u8p, ctypes.c_int64, i64p, i64p]
+        lib.pgen_count_seps.argtypes = [u8p, ctypes.c_int64, i64p, i64p, i64p]
         lib.pgen_fill_seps.restype = None
         lib.pgen_fill_seps.argtypes = [u8p, ctypes.c_int64, i64p, i64p]
         lib.pgen_unpack_codes.restype = None
@@ -387,14 +387,17 @@ class _Native:
         return out.view(bool)
 
     def scan_seps(self, buf: np.ndarray) -> tuple:
-        """Positions of all tabs and newlines in a u8 buffer (two int64
-        arrays), via a single-pass SIMD scan."""
+        """(tab_positions, newline_positions, carriage_return_count) for a
+        u8 buffer, via a single-pass SIMD scan. The CR count lets the
+        metadata loader detect CRLF files without a separate sweep."""
         buf = np.ascontiguousarray(buf, dtype=np.uint8)
         i64p = ctypes.POINTER(ctypes.c_int64)
         nt = ctypes.c_int64()
         nn = ctypes.c_int64()
+        ncr = ctypes.c_int64()
         self._lib.pgen_count_seps(
-            self._u8(buf), buf.nbytes, ctypes.byref(nt), ctypes.byref(nn)
+            self._u8(buf), buf.nbytes, ctypes.byref(nt), ctypes.byref(nn),
+            ctypes.byref(ncr),
         )
         tabs = np.empty(nt.value, dtype=np.int64)
         nls = np.empty(nn.value, dtype=np.int64)
@@ -404,7 +407,7 @@ class _Native:
             tabs.ctypes.data_as(i64p),
             nls.ctypes.data_as(i64p),
         )
-        return tabs, nls
+        return tabs, nls, ncr.value
 
     def unpack_codes(self, packed: np.ndarray, n_samples: int) -> np.ndarray:
         packed = np.ascontiguousarray(packed, dtype=np.uint8)

@@ -435,42 +435,45 @@ int64_t pgen_assemble_rows_buf(const unsigned char* gt_text, int64_t gt_len,
 // buf (pgen_count_seps) and fills their positions (pgen_fill_seps). The
 // columnar .pvar/.psam loader is bound by this scan on chr22-scale files.
 void pgen_count_seps(const unsigned char* buf, int64_t n, int64_t* n_tabs,
-                     int64_t* n_nls) {
-  int64_t tabs = 0, nls = 0;
+                     int64_t* n_nls, int64_t* n_crs) {
+  int64_t tabs = 0, nls = 0, crs = 0;
   int64_t i = 0;
 #ifdef PGEN_HAVE_NT
   const __m128i vt = _mm_set1_epi8('\t');
   const __m128i vn = _mm_set1_epi8('\n');
-  __m128i acc_t = _mm_setzero_si128(), acc_n = _mm_setzero_si128();
+  const __m128i vr = _mm_set1_epi8('\r');
+  __m128i acc_t = _mm_setzero_si128(), acc_n = _mm_setzero_si128(),
+          acc_r = _mm_setzero_si128();
   int inner = 0;
+  const __m128i z = _mm_setzero_si128();
+  auto flush = [&]() {
+    tabs += _mm_cvtsi128_si64(_mm_sad_epu8(acc_t, z)) +
+            _mm_extract_epi16(_mm_sad_epu8(acc_t, z), 4);
+    nls += _mm_cvtsi128_si64(_mm_sad_epu8(acc_n, z)) +
+           _mm_extract_epi16(_mm_sad_epu8(acc_n, z), 4);
+    crs += _mm_cvtsi128_si64(_mm_sad_epu8(acc_r, z)) +
+           _mm_extract_epi16(_mm_sad_epu8(acc_r, z), 4);
+    acc_t = acc_n = acc_r = _mm_setzero_si128();
+    inner = 0;
+  };
   for (; i + 16 <= n; i += 16) {
     __m128i x = _mm_loadu_si128((const __m128i*)(buf + i));
     // cmpeq gives 0xFF per match; subtract to accumulate per-byte counts
     acc_t = _mm_sub_epi8(acc_t, _mm_cmpeq_epi8(x, vt));
     acc_n = _mm_sub_epi8(acc_n, _mm_cmpeq_epi8(x, vn));
-    if (++inner == 255) {  // flush before per-byte counters overflow
-      const __m128i z = _mm_setzero_si128();
-      tabs += _mm_cvtsi128_si64(_mm_sad_epu8(acc_t, z)) +
-              _mm_extract_epi16(_mm_sad_epu8(acc_t, z), 4);
-      nls += _mm_cvtsi128_si64(_mm_sad_epu8(acc_n, z)) +
-             _mm_extract_epi16(_mm_sad_epu8(acc_n, z), 4);
-      acc_t = _mm_setzero_si128();
-      acc_n = _mm_setzero_si128();
-      inner = 0;
-    }
+    acc_r = _mm_sub_epi8(acc_r, _mm_cmpeq_epi8(x, vr));
+    if (++inner == 255) flush();  // before per-byte counters overflow
   }
-  const __m128i z = _mm_setzero_si128();
-  tabs += _mm_cvtsi128_si64(_mm_sad_epu8(acc_t, z)) +
-          _mm_extract_epi16(_mm_sad_epu8(acc_t, z), 4);
-  nls += _mm_cvtsi128_si64(_mm_sad_epu8(acc_n, z)) +
-         _mm_extract_epi16(_mm_sad_epu8(acc_n, z), 4);
+  flush();
 #endif
   for (; i < n; ++i) {
     tabs += buf[i] == '\t';
     nls += buf[i] == '\n';
+    crs += buf[i] == '\r';
   }
   *n_tabs = tabs;
   *n_nls = nls;
+  *n_crs = crs;
 }
 
 void pgen_fill_seps(const unsigned char* buf, int64_t n, int64_t* tab_out,
