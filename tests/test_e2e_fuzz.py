@@ -86,7 +86,7 @@ def test_random_filter_matches_oracle(tmp_path, trial):
     prefix, meta = _random_fileset(tmp_path, rng, trial)
     var_q, var_pred = _random_var_query(rng, meta)
     sam_q, sam_pred = _random_sam_query(rng, meta)
-    provider = ["native", "numpy"][trial % 2]
+    provider = ["native", "numpy", "device"][trial % 3]
     out = tmp_path / "out.vcf"
     filter_to_vcf(
         prefix, var_query=var_q, sam_query=sam_q, out_file=out, provider=provider
