@@ -36,11 +36,14 @@ BASELINE_KEEP_TWO_S = 2.773
 
 def _timed_runs(fn, runs):
     fn()  # warmup: page cache, imports, JIT
+    os.sync()  # drain writeback so earlier configs' dirty pages don't
+    # steal memory bandwidth from the timed runs
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
+    os.sync()
     return times
 
 
@@ -84,23 +87,25 @@ def main():
     keep_two_times = _timed_runs(run_keep_two, runs)
     keep_two = statistics.median(keep_two_times)
 
-    # half-samples: the masked-LUT sample-subset path (IID < "NA" keeps the
-    # HG*-prefixed ~2/3 of the 1000G-style psam)
-    out3 = f"{prefix}.bench3.vcf"
+    # half-samples (masked-LUT subset path): opt-in — it writes another
+    # multi-GB output whose page-allocation/writeback would otherwise
+    # perturb the headline configs on fresh machines.
+    half = None
+    if os.environ.get("PGEN_BENCH_HALF", "0") == "1":
+        out3 = f"{prefix}.bench3.vcf"
 
-    def run_half():
-        return filter_to_vcf(
-            prefix, sam_query='IID < "NA"', out_file=out3, provider=provider
-        )
+        def run_half():
+            return filter_to_vcf(
+                prefix, sam_query='IID < "NA"', out_file=out3, provider=provider
+            )
 
-    half_times = _timed_runs(run_half, max(1, runs - 1))
-    half = statistics.median(half_times)
+        half = statistics.median(_timed_runs(run_half, max(1, runs - 1)))
 
     detail = {
         "keep_all_runs_s": [round(t, 3) for t in keep_all_times],
         "keep_two_wall_s": round(keep_two, 3),
         "keep_two_vs_baseline": round(BASELINE_KEEP_TWO_S / keep_two, 2),
-        "half_samples_wall_s": round(half, 3),
+        **({"half_samples_wall_s": round(half, 3)} if half is not None else {}),
         "output_gb": round(out_gb, 2),
         "emit_gbps": round(out_gb / keep_all, 2),
         "variants": num_variants,

@@ -100,3 +100,24 @@ def test_real_basic1_info_af():
     assert af[0] == "0.545327"  # row 0: AF=0.545327
     vt = t.get_virtual_bytes("INFO_VT")
     assert (vt == b"SNP").all()
+
+
+def test_multiallelic_comma_value_workaround(tmp_path):
+    """Number=A comma lists: num() fails fast; regex-strip composition
+    takes the first value bcftools-style (documented in README)."""
+    p = tmp_path / "ma.pvar"
+    p.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "1\t1\tr0\tA\tC,G\t.\t.\tAF=0.9,0.01\n"
+        "1\t2\tr1\tA\tC\t.\t.\tAF=0.2\n"
+    )
+    t = read_metadata(p)
+    from pgen_tpu.query.ast import ExprError
+    from pgen_tpu.query.compile import compile_predicate
+
+    with pytest.raises(ExprError, match="cannot parse"):
+        compile_predicate("num(INFO_AF) > 0.5", t)
+    mask = compile_predicate(
+        'num(str::regex_replace(INFO_AF, ",.*", "")) > 0.5', t
+    )
+    assert mask.tolist() == [True, False]
