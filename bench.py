@@ -15,7 +15,7 @@ Dataset: synthesized chr22-scale fileset (1,103,547 variants x 2504 samples
 is cached under data/chr22/ and untimed. Each config runs once untimed
 (page-cache warmup) then BENCH_RUNS timed runs; the median is reported.
 
-Env knobs: PGEN_BENCH_VARIANTS (default 1103547), BENCH_RUNS (default 3),
+Env knobs: PGEN_BENCH_VARIANTS (default 1103547), BENCH_RUNS (default 5),
 PGEN_BENCH_PROVIDER (default native).
 """
 
@@ -49,7 +49,7 @@ def _timed_runs(fn, runs):
 
 def main():
     num_variants = int(os.environ.get("PGEN_BENCH_VARIANTS", 1_103_547))
-    runs = int(os.environ.get("BENCH_RUNS", 3))
+    runs = int(os.environ.get("BENCH_RUNS", 5))
     provider = os.environ.get("PGEN_BENCH_PROVIDER", "native")
 
     from make_fixtures import ensure_chr22
