@@ -45,6 +45,7 @@ def _build() -> Path | None:
             "-o",
             str(tmp_so),
             str(_SRC),
+            "-lz",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True)
@@ -90,6 +91,12 @@ class _Native:
         lib.pgen_gt_counts.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p,
         ]
+        lib.pgen_bgzf_compress.restype = ctypes.c_int64
+        lib.pgen_bgzf_compress.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.pgen_bgzf_bound.restype = ctypes.c_int64
+        lib.pgen_bgzf_bound.argtypes = [ctypes.c_int64]
         lib.pgen_info_extract.restype = None
         lib.pgen_info_extract.argtypes = [
             u8p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
@@ -301,6 +308,19 @@ class _Native:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         return out
+
+    def bgzf_compress(self, data: np.ndarray, level: int = 1) -> np.ndarray:
+        """Compress bytes into independent BGZF blocks (bcftools/tabix
+        compatible). Returns the compressed bytes (no EOF marker)."""
+        data = np.ascontiguousarray(data, dtype=np.uint8)
+        cap = int(self._lib.pgen_bgzf_bound(data.nbytes))
+        out = np.empty(cap, dtype=np.uint8)
+        n = self._lib.pgen_bgzf_compress(
+            self._u8(data), data.nbytes, self._u8(out), cap, level
+        )
+        if n < 0:
+            raise RuntimeError("bgzf compression failed")
+        return out[:n]
 
     def info_extract(
         self,

@@ -683,3 +683,79 @@ void pgen_pack_codes(const unsigned char* codes, int64_t n_var,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BGZF (.vcf.gz) output: blocked gzip per the SAM/BGZF spec — each block is
+// an independent gzip member (<=65280 input bytes) carrying a BC extra field
+// with the compressed block size, so bcftools/tabix can random-access it.
+// Blocks are independent, so callers parallelize by compressing separate
+// text chunks on separate threads and concatenating in order.
+// ---------------------------------------------------------------------------
+
+#include <zlib.h>
+
+namespace {
+constexpr int64_t kBgzfChunk = 65280;
+
+// worst case for one block: stored deflate (~5B/16KB + 26B framing)
+inline int64_t bgzf_bound(int64_t n) { return n + (n >> 10) + 64; }
+}  // namespace
+
+extern "C" {
+
+// Compress `n` bytes into BGZF blocks. Returns bytes written, or -1 on
+// error / insufficient cap. cap should be >= pgen_bgzf_bound(n).
+int64_t pgen_bgzf_compress(const unsigned char* in, int64_t n,
+                           unsigned char* out, int64_t cap, int level) {
+  unsigned char* dst = out;
+  unsigned char* const end = out + cap;
+  int64_t off = 0;
+  while (off < n) {
+    const int64_t chunk = n - off < kBgzfChunk ? n - off : kBgzfChunk;
+    if (dst + bgzf_bound(chunk) > end) return -1;
+    unsigned char* const hdr = dst;
+    // gzip header with FEXTRA + BC subfield (BSIZE filled after deflate)
+    const unsigned char ghdr[18] = {0x1f, 0x8b, 8,    4,    0, 0, 0, 0, 0,
+                                    0xff, 6,    0,    'B',  'C', 2, 0, 0, 0};
+    std::memcpy(hdr, ghdr, 18);
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) !=
+        Z_OK)
+      return -1;
+    zs.next_in = const_cast<unsigned char*>(in + off);
+    zs.avail_in = (uInt)chunk;
+    zs.next_out = hdr + 18;
+    zs.avail_out = (uInt)(end - (hdr + 18));
+    const int rc = deflate(&zs, Z_FINISH);
+    const int64_t clen = (int64_t)zs.total_out;
+    deflateEnd(&zs);
+    if (rc != Z_STREAM_END) return -1;
+    const int64_t bsize = 18 + clen + 8;  // header + data + crc/isize
+    if (bsize > 65536) return -1;
+    hdr[16] = (unsigned char)((bsize - 1) & 0xff);
+    hdr[17] = (unsigned char)(((bsize - 1) >> 8) & 0xff);
+    unsigned char* tail = hdr + 18 + clen;
+    const uint32_t crc =
+        (uint32_t)crc32(crc32(0L, Z_NULL, 0), in + off, (uInt)chunk);
+    tail[0] = crc & 0xff;
+    tail[1] = (crc >> 8) & 0xff;
+    tail[2] = (crc >> 16) & 0xff;
+    tail[3] = (crc >> 24) & 0xff;
+    tail[4] = chunk & 0xff;
+    tail[5] = (chunk >> 8) & 0xff;
+    tail[6] = (chunk >> 16) & 0xff;
+    tail[7] = (chunk >> 24) & 0xff;
+    dst = tail + 8;
+    off += chunk;
+  }
+  return dst - out;
+}
+
+// Upper bound on pgen_bgzf_compress output size for n input bytes.
+int64_t pgen_bgzf_bound(int64_t n) {
+  const int64_t blocks = n / kBgzfChunk + 2;
+  return n + blocks * 96 + (n >> 9) + 64;
+}
+
+}  // extern "C"

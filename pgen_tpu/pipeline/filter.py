@@ -47,6 +47,11 @@ log = get_logger("filter")
 
 DEFAULT_BLOCK_VARIANTS = 1 << 16
 
+# BGZF end-of-file marker: one empty block (SAM spec §4.1.2)
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
 
 def _resolve_provider(provider: str) -> str:
     from pgen_tpu.native import HAVE_NATIVE
@@ -330,7 +335,17 @@ def filter_to_vcf(
         )
 
     bytes_written = 0
-    use_mmap = _can_mmap(out_file)
+    # .gz output: BGZF-blocked gzip (bcftools/tabix compatible), streamed
+    # through the fd path with per-block compression.
+    gz = out_file.endswith(".gz")
+    if gz:
+        from pgen_tpu.native import HAVE_NATIVE
+
+        if not HAVE_NATIVE:
+            raise ValueError(
+                "bgzf (.gz) output requires the native runtime (C++ toolchain)"
+            )
+    use_mmap = _can_mmap(out_file) and not gz
     if use_mmap:
         # Reuse the existing file's pages when the size matches: truncation
         # would drop the page cache and pay kernel page allocation again.
@@ -385,8 +400,22 @@ def filter_to_vcf(
     else:
         fd = os.open(out_file, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
         try:
-            os.write(fd, header_bytes)
-            bytes_written = len(header_bytes)
+
+            def sink(view) -> int:
+                if gz:
+                    from pgen_tpu.native import native
+
+                    payload = native.bgzf_compress(
+                        np.frombuffer(view, dtype=np.uint8)
+                        if not isinstance(view, np.ndarray)
+                        else view
+                    )
+                    os.write(fd, memoryview(payload))
+                    return len(payload)
+                os.write(fd, view)
+                return len(view)
+
+            bytes_written = sink(memoryview(header_bytes))
             scratch = None
             for lo in range(0, len(var_idx), block_variants):
                 hi = min(lo + block_variants, len(var_idx))
@@ -407,8 +436,10 @@ def filter_to_vcf(
                         scratch,
                     )
                     st.bytes_moved += n
-                os.write(fd, memoryview(scratch[:n]))
-                bytes_written += n
+                bytes_written += sink(scratch[:n])
+            if gz:
+                os.write(fd, BGZF_EOF)
+                bytes_written += len(BGZF_EOF)
         finally:
             os.close(fd)
 

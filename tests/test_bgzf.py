@@ -1,0 +1,58 @@
+"""BGZF (.vcf.gz) output: bcftools/tabix-compatible blocked gzip."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from pgen_tpu.pipeline.filter import filter_to_vcf
+
+from oracle import scalar_filter_vcf
+
+
+def test_gz_output_roundtrip(tiny_fileset, tmp_path):
+    prefix, _ = tiny_fileset
+    plain = tmp_path / "p.vcf"
+    gzout = tmp_path / "p.vcf.gz"
+    filter_to_vcf(prefix, var_query='REF == "A"', out_file=plain)
+    filter_to_vcf(prefix, var_query='REF == "A"', out_file=gzout)
+    decompressed = gzip.decompress(gzout.read_bytes())
+    assert decompressed == plain.read_bytes()
+    assert decompressed == scalar_filter_vcf(prefix, lambda v: v["REF"] == "A", None)
+
+
+def test_gz_block_structure(tiny_fileset, tmp_path):
+    """Each member must carry the BC extra field and end with the 28-byte
+    BGZF EOF block (random-access contract)."""
+    prefix, _ = tiny_fileset
+    gzout = tmp_path / "b.vcf.gz"
+    filter_to_vcf(prefix, out_file=gzout)
+    raw = gzout.read_bytes()
+    assert raw[:4] == b"\x1f\x8b\x08\x04"  # gzip + FEXTRA
+    assert raw[12:14] == b"BC"
+    from pgen_tpu.pipeline.filter import BGZF_EOF
+
+    assert raw.endswith(BGZF_EOF)
+
+
+def test_gz_large_multiblock(tmp_path):
+    """Output > one 65280-byte block decompresses intact."""
+    from conftest import build_fileset
+
+    rng = np.random.default_rng(9)
+    nvar, nsamp = 300, 200  # ~240KB of VCF body
+    codes = rng.integers(0, 4, size=(nvar, nsamp), dtype=np.uint8)
+    prefix = build_fileset(
+        tmp_path,
+        "big",
+        codes,
+        [f"1\t{i}\tr{i}\tA\tC\t.\t.\t." for i in range(nvar)],
+        [f"s{i}\tM" for i in range(nsamp)],
+    )
+    plain = tmp_path / "x.vcf"
+    gzout = tmp_path / "x.vcf.gz"
+    filter_to_vcf(prefix, out_file=plain)
+    filter_to_vcf(prefix, out_file=gzout)
+    assert gzip.decompress(gzout.read_bytes()) == plain.read_bytes()
+    # more than one BGZF block was produced
+    assert gzout.read_bytes().count(b"\x1f\x8b\x08\x04") > 2
