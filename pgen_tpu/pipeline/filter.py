@@ -405,13 +405,33 @@ def filter_to_vcf(
                 if gz:
                     from pgen_tpu.native import native
 
-                    payload = native.bgzf_compress(
+                    data = (
                         np.frombuffer(view, dtype=np.uint8)
                         if not isinstance(view, np.ndarray)
                         else view
                     )
-                    os.write(fd, memoryview(payload))
-                    return len(payload)
+                    # BGZF members are independent: compress two halves
+                    # (split on a 65280 input-block boundary) concurrently —
+                    # the C call releases the GIL.
+                    ncpu = os.cpu_count() or 1
+                    if ncpu > 1 and data.nbytes > (4 << 20):
+                        half = (data.nbytes // 2 // 65280) * 65280
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        with ThreadPoolExecutor(2) as ex:
+                            parts = list(
+                                ex.map(
+                                    native.bgzf_compress,
+                                    (data[:half], data[half:]),
+                                )
+                            )
+                    else:
+                        parts = [native.bgzf_compress(data)]
+                    total = 0
+                    for p in parts:
+                        os.write(fd, memoryview(p))
+                        total += len(p)
+                    return total
                 os.write(fd, view)
                 return len(view)
 
