@@ -36,7 +36,7 @@ def _build() -> Path | None:
         return so_path
     with tempfile.TemporaryDirectory() as td:
         tmp_so = Path(td) / "pgen_native.so"
-        cmd = [
+        base = [
             "g++",
             "-O3",
             "-march=native",
@@ -47,11 +47,20 @@ def _build() -> Path | None:
             str(_SRC),
             "-lz",
         ]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True)
-        except (OSError, subprocess.CalledProcessError) as e:
-            detail = getattr(e, "stderr", b"")
-            log.warning("native build failed (%s %s); using numpy fallback", e, detail)
+        # Prefer libdeflate for the bgzf path (~3x zlib); fall back silently.
+        attempts = [
+            base + ["-DPGEN_HAVE_LIBDEFLATE", "-ldeflate"],
+            base,
+        ]
+        for cmd in attempts:
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+                break
+            except (OSError, subprocess.CalledProcessError) as e:
+                last = e
+        else:
+            detail = getattr(last, "stderr", b"")
+            log.warning("native build failed (%s %s); using numpy fallback", last, detail)
             return None
         os.replace(tmp_so, so_path)
     return so_path

@@ -693,12 +693,52 @@ void pgen_pack_codes(const unsigned char* codes, int64_t n_var,
 // ---------------------------------------------------------------------------
 
 #include <zlib.h>
+#ifdef PGEN_HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 namespace {
 constexpr int64_t kBgzfChunk = 65280;
 
 // worst case for one block: stored deflate (~5B/16KB + 26B framing)
 inline int64_t bgzf_bound(int64_t n) { return n + (n >> 10) + 64; }
+
+// Raw-deflate one chunk; returns compressed length or -1.
+inline int64_t deflate_chunk(const unsigned char* in, int64_t n,
+                             unsigned char* out, int64_t cap, int level,
+                             uint32_t* crc_out) {
+#ifdef PGEN_HAVE_LIBDEFLATE
+  static thread_local libdeflate_compressor* comp = nullptr;
+  static thread_local int comp_level = -1;
+  if (!comp || comp_level != level) {
+    if (comp) libdeflate_free_compressor(comp);
+    comp = libdeflate_alloc_compressor(level);
+    comp_level = level;
+  }
+  if (!comp) return -1;
+  const size_t clen =
+      libdeflate_deflate_compress(comp, in, (size_t)n, out, (size_t)cap);
+  if (clen == 0) return -1;
+  *crc_out = (uint32_t)libdeflate_crc32(0, in, (size_t)n);
+  return (int64_t)clen;
+#else
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) !=
+      Z_OK)
+    return -1;
+  zs.next_in = const_cast<unsigned char*>(in);
+  zs.avail_in = (uInt)n;
+  zs.next_out = out;
+  zs.avail_out = (uInt)cap;
+  const int rc = deflate(&zs, Z_FINISH);
+  const int64_t clen = (int64_t)zs.total_out;
+  deflateEnd(&zs);
+  if (rc != Z_STREAM_END) return -1;
+  *crc_out = (uint32_t)crc32(crc32(0L, Z_NULL, 0), in, (uInt)n);
+  return clen;
+#endif
+}
 }  // namespace
 
 extern "C" {
@@ -718,26 +758,15 @@ int64_t pgen_bgzf_compress(const unsigned char* in, int64_t n,
     const unsigned char ghdr[18] = {0x1f, 0x8b, 8,    4,    0, 0, 0, 0, 0,
                                     0xff, 6,    0,    'B',  'C', 2, 0, 0, 0};
     std::memcpy(hdr, ghdr, 18);
-    z_stream zs;
-    std::memset(&zs, 0, sizeof(zs));
-    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) !=
-        Z_OK)
-      return -1;
-    zs.next_in = const_cast<unsigned char*>(in + off);
-    zs.avail_in = (uInt)chunk;
-    zs.next_out = hdr + 18;
-    zs.avail_out = (uInt)(end - (hdr + 18));
-    const int rc = deflate(&zs, Z_FINISH);
-    const int64_t clen = (int64_t)zs.total_out;
-    deflateEnd(&zs);
-    if (rc != Z_STREAM_END) return -1;
+    uint32_t crc = 0;
+    const int64_t clen = deflate_chunk(in + off, chunk, hdr + 18,
+                                       end - (hdr + 18), level, &crc);
+    if (clen < 0) return -1;
     const int64_t bsize = 18 + clen + 8;  // header + data + crc/isize
     if (bsize > 65536) return -1;
     hdr[16] = (unsigned char)((bsize - 1) & 0xff);
     hdr[17] = (unsigned char)(((bsize - 1) >> 8) & 0xff);
     unsigned char* tail = hdr + 18 + clen;
-    const uint32_t crc =
-        (uint32_t)crc32(crc32(0L, Z_NULL, 0), in + off, (uInt)chunk);
     tail[0] = crc & 0xff;
     tail[1] = (crc >> 8) & 0xff;
     tail[2] = (crc >> 16) & 0xff;
