@@ -159,6 +159,12 @@ def filter_to_vcf_sharded(
     if out_file is None:
         out_file = f"{pfile_prefix}.pgen-rs.vcf"
     out_file = str(out_file)
+    if out_file.endswith(".gz"):
+        raise ValueError(
+            "bgzf (.gz) output is not yet supported for sharded writes — "
+            "compressed shard sizes aren't precomputable for the offset "
+            "merge; run without --shards/--workers"
+        )
 
     with timer.stage("metadata_load"):
         header = read_pgen_header(f"{pfile_prefix}.pgen")

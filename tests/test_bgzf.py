@@ -56,3 +56,13 @@ def test_gz_large_multiblock(tmp_path):
     assert gzip.decompress(gzout.read_bytes()) == plain.read_bytes()
     # more than one BGZF block was produced
     assert gzout.read_bytes().count(b"\x1f\x8b\x08\x04") > 2
+
+
+def test_gz_with_shards_rejected(tiny_fileset, tmp_path):
+    from pgen_tpu.parallel.shard import filter_to_vcf_sharded
+
+    prefix, _ = tiny_fileset
+    with pytest.raises(ValueError, match="sharded"):
+        filter_to_vcf_sharded(
+            prefix, out_file=tmp_path / "x.vcf.gz", num_shards=2
+        )
