@@ -151,6 +151,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Emit only shard I of --shards (writes into the shared output at its offset).",
     )
     f.add_argument(
+        "--resume",
+        action="store_true",
+        help=(
+            "With --workers: finish a previous partially-failed run by "
+            "re-running only the shards the manifest marks as not done."
+        ),
+    )
+    f.add_argument(
         "--stats",
         action="store_true",
         help="Print per-stage timing/bandwidth to stderr.",
@@ -250,6 +258,7 @@ def main(argv=None) -> int:
                         out_file=args.out_file,
                         provider=args.provider,
                         num_workers=args.workers,
+                        resume=args.resume,
                         **kwargs,
                     )
                 elif args.shards is not None:
@@ -294,10 +303,12 @@ def main(argv=None) -> int:
             from pgen_tpu.formats.describe import describe_pgen
             from pgen_tpu.formats.header import read_pgen_header
 
-            try:
-                print(describe_pgen(args.pgen_file).summary())
-            except Exception:
-                # mode-0x02 files have no block index; describe them directly
+            # Dispatch on the storage-mode byte so a corrupt general-mode
+            # file surfaces its real parse error instead of a misleading
+            # mode-0x02 one (mode-0x02 files have no block index to walk).
+            with open(args.pgen_file, "rb") as fh:
+                mode_byte = fh.read(3)[2:3]
+            if mode_byte == b"\x02":
                 h = read_pgen_header(args.pgen_file)
                 print(
                     f"pgen: {h.path}\nstorage mode: 0x02 (fixed-width hard calls)\n"
@@ -305,6 +316,8 @@ def main(argv=None) -> int:
                     f"record size: {h.record_size} bytes\n"
                     f"records offset: {h.records_offset}"
                 )
+            else:
+                print(describe_pgen(args.pgen_file).summary())
             return 0
     except BrokenPipeError:
         return 141

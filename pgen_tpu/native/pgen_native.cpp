@@ -17,6 +17,7 @@
 //        + "\n"
 //   code extraction: (byte >> ((s % 4) * 2)) & 3, LSB-first (pfile.rs:171-175).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -114,11 +115,45 @@ struct OutBuf {
     len = 0;
     return true;
   }
+  // Reserve space for an n-byte write. Returns nullptr when n cannot fit
+  // even in an empty buffer (caller must fall back to put()) or on a write
+  // error during the flush.
   inline unsigned char* reserve(int64_t n) {
     if (len + n > kBufCap) {
       if (!flush()) return nullptr;
+      if (n > kBufCap) return nullptr;
     }
     return buf + len;
+  }
+
+  // Buffered copy of arbitrary size (chunks through the buffer); the slow
+  // path for rows larger than kBufCap.
+  bool put(const unsigned char* src, int64_t n) {
+    while (n > 0) {
+      if (len == kBufCap && !flush()) return false;
+      const int64_t c = std::min(n, kBufCap - len);
+      std::memcpy(buf + len, src, (size_t)c);
+      len += c;
+      src += c;
+      n -= c;
+    }
+    return true;
+  }
+};
+
+// Thread-local staging buffer with cleanup at thread exit (raw thread_local
+// pointers leak their allocation every time a short-lived pool thread dies).
+struct Stage {
+  unsigned char* p = nullptr;
+  int64_t cap = 0;
+  ~Stage() { std::free(p); }
+  unsigned char* ensure(int64_t n) {
+    if (cap < n) {
+      std::free(p);
+      p = (unsigned char*)std::malloc((size_t)n);
+      cap = p ? n : 0;
+    }
+    return p;
   }
 };
 
@@ -181,11 +216,30 @@ int64_t pgen_emit_vcf_rows(const unsigned char* packed, int64_t n_var,
   for (int64_t v = 0; v < n_var; ++v) {
     const int64_t plen = prefix_off[v + 1] - prefix_off[v];
     const int64_t row_len = plen + gt_len + 1;
+    const unsigned char* rec = packed + v * rec_size;
     unsigned char* dst = out.reserve(row_len);
-    if (!dst) return -1;
+    if (!dst) {
+      if (out.error) return -1;
+      // Row larger than the buffer: emit it piecewise through put().
+      if (!out.put(prefix_buf + prefix_off[v], plen)) return -1;
+      if (!sample_idx) {
+        for (int64_t j = 0; j < full_bytes; ++j)
+          if (!out.put(kLut.t[rec[j]], 16)) return -1;
+        if (tail)
+          if (!out.put(kLut.t[rec[full_bytes]], 4 * tail)) return -1;
+      } else {
+        for (int64_t i = 0; i < n_samples; ++i) {
+          const int32_t s = sample_idx[i];
+          const unsigned char code = kCodes.t[rec[s >> 2]][s & 3];
+          if (!out.put(kTok[code], 4)) return -1;
+        }
+      }
+      const unsigned char nl = '\n';
+      if (!out.put(&nl, 1)) return -1;
+      continue;
+    }
     std::memcpy(dst, prefix_buf + prefix_off[v], (size_t)plen);
     dst += plen;
-    const unsigned char* rec = packed + v * rec_size;
     if (!sample_idx) {
       for (int64_t j = 0; j < full_bytes; ++j) {
         std::memcpy(dst, kLut.t[rec[j]], 16);
@@ -269,8 +323,8 @@ int64_t pgen_emit_vcf_rows_meta(const unsigned char* packed, int64_t n_var,
   // Rows are built in a cache-resident staging buffer and flushed to `out`
   // with non-temporal stores (see stream_copy).
   constexpr int64_t kStage = 1 << 20;
-  static thread_local unsigned char* stage = nullptr;
-  if (!stage) stage = (unsigned char*)std::malloc(kStage);
+  static thread_local Stage stage_tls;
+  unsigned char* stage = stage_tls.ensure(kStage);
   if (!stage) return -1;
   int64_t slen = 0;
   unsigned char* dst = out;
@@ -357,19 +411,15 @@ int64_t pgen_emit_vcf_rows_masked(const unsigned char* packed, int64_t n_var,
   // copies exactly slen). The stage grows to fit any row + slack.
   constexpr int64_t kSlack = 16;
   const int64_t row_max = 4 * n_kept + 4;
-  static thread_local unsigned char* stage = nullptr;
-  static thread_local int64_t stage_cap = 0;
+  static thread_local Stage stage_tls;
   int64_t need = (1 << 20);
   for (int64_t v = 0; v < n_var; ++v) {
     const int64_t r = line_ends[v] - line_starts[v] + row_max + kSlack;
     if (r > need) need = r;
   }
-  if (stage_cap < need) {
-    std::free(stage);
-    stage = (unsigned char*)std::malloc((size_t)need);
-    stage_cap = stage ? need : 0;
-  }
+  unsigned char* stage = stage_tls.ensure(need);
   if (!stage) return -1;
+  const int64_t stage_cap = stage_tls.cap;
   int64_t slen = 0;
   unsigned char* dst = out;
   unsigned char* const end = out + cap;
@@ -708,13 +758,21 @@ inline int64_t deflate_chunk(const unsigned char* in, int64_t n,
                              unsigned char* out, int64_t cap, int level,
                              uint32_t* crc_out) {
 #ifdef PGEN_HAVE_LIBDEFLATE
-  static thread_local libdeflate_compressor* comp = nullptr;
-  static thread_local int comp_level = -1;
-  if (!comp || comp_level != level) {
-    if (comp) libdeflate_free_compressor(comp);
-    comp = libdeflate_alloc_compressor(level);
-    comp_level = level;
+  // RAII holder so each pool thread's compressor is freed at thread exit.
+  struct CompTls {
+    libdeflate_compressor* c = nullptr;
+    int level = -1;
+    ~CompTls() {
+      if (c) libdeflate_free_compressor(c);
+    }
+  };
+  static thread_local CompTls tls;
+  if (!tls.c || tls.level != level) {
+    if (tls.c) libdeflate_free_compressor(tls.c);
+    tls.c = libdeflate_alloc_compressor(level);
+    tls.level = level;
   }
+  libdeflate_compressor* comp = tls.c;
   if (!comp) return -1;
   const size_t clen =
       libdeflate_deflate_compress(comp, in, (size_t)n, out, (size_t)cap);

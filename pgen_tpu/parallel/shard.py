@@ -23,6 +23,7 @@ shard_index=i against the same out_file for true parallel writes.
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -30,14 +31,101 @@ import numpy as np
 from pgen_tpu.formats.header import read_pgen_header
 from pgen_tpu.formats.metadata import read_metadata
 from pgen_tpu.pipeline.filter import (
+    BGZF_EOF,
     FilterResult,
     _emit_block_meta,
     _gather_rows,
     _resolve_provider,
+    _write_all,
 )
 from pgen_tpu.pipeline.vcf import DEFAULT_SOURCE_TAG, vcf_header_bytes
 from pgen_tpu.query.compile import compile_predicate
+from pgen_tpu.utils.log import get_logger
 from pgen_tpu.utils.timer import StageTimer
+
+log = get_logger("shard")
+
+
+def _mp_context():
+    """Pick a safe multiprocessing start method.
+
+    fork is fastest (no reimport cost) but forking a parent whose JAX
+    runtime has already started threads can deadlock the child, so once
+    jax is imported we switch to forkserver (the server process is forked
+    clean, before any threads). PGEN_TPU_MP_CONTEXT overrides for tests.
+    """
+    import multiprocessing as mp
+    import sys
+
+    forced = os.environ.get("PGEN_TPU_MP_CONTEXT")
+    if forced:
+        return mp.get_context(forced)
+    if "jax" in sys.modules:
+        return mp.get_context("forkserver")
+    return mp.get_context("fork")
+
+
+def _worker_entry(result_q, index: int, kwargs: dict, inject_fail: bool = False) -> None:
+    """Process entry point: run one shard, report its result on the queue.
+
+    Returning counts from the worker lets the parent skip a second full
+    predicate/GT pass over the data (the masks were already computed here).
+    ``inject_fail`` is a test hook (PGEN_TPU_TEST_FAIL_SHARD, evaluated in
+    the parent so it works under any start method).
+    """
+    if inject_fail:
+        raise RuntimeError(f"injected failure for shard {index} (test hook)")
+    res = filter_to_vcf_sharded(**kwargs)
+    result_q.put(
+        (
+            index,
+            res.num_variants_kept,
+            res.num_samples_kept,
+            res.bytes_written,
+        )
+    )
+
+
+def _shard_part_path(out_file: str, index: int) -> str:
+    return f"{out_file}.shard{index:04d}.part"
+
+
+def _manifest_path(out_file: str) -> str:
+    return f"{out_file}.manifest.json"
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, path)
+
+
+def _concat_gz_parts(out_file: str, num_workers: int) -> int:
+    """Concatenate standalone BGZF shard parts + EOF marker into out_file.
+
+    BGZF members are independently decompressible, so byte concatenation
+    of per-shard .gz streams is itself a valid BGZF file (SAM spec §4.1).
+    """
+    total = 0
+    fd = os.open(out_file, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    try:
+        for i in range(num_workers):
+            part = _shard_part_path(out_file, i)
+            with open(part, "rb") as f:
+                while True:
+                    chunk = f.read(8 << 20)
+                    if not chunk:
+                        break
+                    _write_all(fd, memoryview(chunk))
+                    total += len(chunk)
+        _write_all(fd, memoryview(BGZF_EOF))
+        total += len(BGZF_EOF)
+    finally:
+        os.close(fd)
+    for i in range(num_workers):
+        os.unlink(_shard_part_path(out_file, i))
+    return total
 
 
 def filter_to_vcf_parallel(
@@ -48,16 +136,22 @@ def filter_to_vcf_parallel(
     provider: str = "auto",
     num_workers: int = 2,
     block_variants: int = 1 << 16,
+    resume: bool = False,
 ) -> FilterResult:
-    """Run the shards in parallel worker processes (fork), one shard each.
+    """Run the shards in parallel worker processes, one shard each.
 
-    The single-file ordered merge needs no coordination: every worker
-    derives the same offsets and pwrites its own byte range. This is the
-    single-host stand-in for the multi-host deployment (one process per
-    host); fork keeps worker startup free of reimport cost.
+    For plain .vcf output the single-file ordered merge needs no
+    coordination: every worker derives the same offsets and pwrites its own
+    byte range. For .vcf.gz each worker writes a standalone BGZF stream
+    (compressed sizes aren't precomputable) and the parent concatenates the
+    parts in shard order — BGZF members concatenate losslessly.
+
+    A JSON manifest ({out}.manifest.json) tracks per-shard status; if some
+    workers fail, rerunning with ``resume=True`` re-executes only the
+    shards not marked done and completes the identical file. The manifest
+    is removed on success. This is the single-host stand-in for the
+    multi-host deployment (one process per host).
     """
-    import multiprocessing as mp
-
     if num_workers <= 1:
         return filter_to_vcf_sharded(
             pfile_prefix,
@@ -70,55 +164,124 @@ def filter_to_vcf_parallel(
         )
     if out_file is None:
         out_file = f"{pfile_prefix}.pgen-rs.vcf"
+    out_file = str(out_file)
+    gz = out_file.endswith(".gz")
 
-    ctx = mp.get_context("fork")
-    procs = []
-    for i in range(num_workers):
+    mpath = _manifest_path(out_file)
+    params = {
+        "pfile_prefix": str(pfile_prefix),
+        "var_query": var_query,
+        "sam_query": sam_query,
+        "num_workers": num_workers,
+        "gz": gz,
+    }
+    if resume and os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+        if manifest.get("params") != params:
+            raise ValueError(
+                f"{mpath} was written for different parameters; rerun "
+                "without resume (or delete the manifest)"
+            )
+    else:
+        manifest = {
+            "version": 1,
+            "params": params,
+            "shards": [
+                {"index": i, "status": "pending"} for i in range(num_workers)
+            ],
+        }
+    _write_manifest(mpath, manifest)
+
+    pending = [s["index"] for s in manifest["shards"] if s["status"] != "done"]
+    ctx = _mp_context()
+    result_q = ctx.Queue()
+    procs = {}
+    for i in pending:
         p = ctx.Process(
-            target=filter_to_vcf_sharded,
-            kwargs=dict(
-                pfile_prefix=pfile_prefix,
-                var_query=var_query,
-                sam_query=sam_query,
-                out_file=out_file,
-                provider=provider,
-                num_shards=num_workers,
-                shard_index=i,
-                block_variants=block_variants,
+            target=_worker_entry,
+            args=(
+                result_q,
+                i,
+                dict(
+                    pfile_prefix=pfile_prefix,
+                    var_query=var_query,
+                    sam_query=sam_query,
+                    out_file=_shard_part_path(out_file, i) if gz else out_file,
+                    provider=provider,
+                    num_shards=num_workers,
+                    shard_index=i,
+                    block_variants=block_variants,
+                    standalone=gz,
+                    gz=gz,
+                ),
+                os.environ.get("PGEN_TPU_TEST_FAIL_SHARD") == str(i),
             ),
         )
         p.start()
-        procs.append(p)
-    failed = []
-    for i, p in enumerate(procs):
-        p.join()
-        if p.exitcode != 0:
-            failed.append((i, p.exitcode))
-    if failed:
-        raise RuntimeError(f"shard workers failed: {failed}")
-    # summarize with the same mask computation the workers used (handles
-    # GT_* genotype-stat variables too)
-    from pgen_tpu.formats.metadata import read_metadata
-    from pgen_tpu.pipeline.filter import compute_masks
+        procs[i] = p
 
-    header = read_pgen_header(f"{pfile_prefix}.pgen")
-    pvar = read_metadata(f"{pfile_prefix}.pvar")
-    psam = read_metadata(f"{pfile_prefix}.psam")
-    rec = header.record_size
-    mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
-    records = mm[12 : 12 + header.num_variants * rec].reshape(
-        header.num_variants, rec
-    )
-    var_mask, sam_mask = compute_masks(
-        var_query, sam_query, pvar, psam, header, records, _resolve_provider(provider)
-    )
-    nv = int(var_mask.sum())
-    ns = int(sam_mask.sum())
+    # Drain results as workers finish so done shards are checkpointed even
+    # if a sibling later fails (a dead worker never reports, so poll
+    # liveness instead of blocking on a fixed result count).
+    import queue as queue_mod
+
+    results = {}
+
+    def _record(item):
+        idx, nv, ns, nbytes = item
+        results[idx] = (nv, ns, nbytes)
+        shard = manifest["shards"][idx]
+        shard["status"] = "done"
+        shard["bytes_written"] = nbytes
+        shard["variants_kept"] = nv
+        shard["samples_kept"] = ns
+        _write_manifest(mpath, manifest)
+
+    alive = set(procs)
+    while alive:
+        try:
+            _record(result_q.get(timeout=0.1))
+        except queue_mod.Empty:
+            pass
+        for i in list(alive):
+            if not procs[i].is_alive():
+                procs[i].join()
+                alive.discard(i)
+    while True:  # results can trail the process exit
+        try:
+            _record(result_q.get(timeout=0.1))
+        except queue_mod.Empty:
+            break
+
+    failed = []
+    for i, p in procs.items():
+        p.join()
+        if p.exitcode != 0 or i not in results:
+            failed.append((i, p.exitcode))
+            manifest["shards"][i]["status"] = "failed"
+    if failed:
+        _write_manifest(mpath, manifest)
+        raise RuntimeError(
+            f"shard workers failed: {failed}; completed shards are recorded "
+            f"in {mpath} — rerun with resume=True (--resume) to finish"
+        )
+
+    done = [s for s in manifest["shards"] if s["status"] == "done"]
+    # Shard counts: every worker computes the same global masks, so any
+    # reporter's kept counts are authoritative; bytes sum over shards.
+    nv = max((s["variants_kept"] for s in done), default=0)
+    ns = max((s["samples_kept"] for s in done), default=0)
+    if gz:
+        bytes_written = _concat_gz_parts(out_file, num_workers)
+    else:
+        bytes_written = os.path.getsize(out_file)
+    os.unlink(mpath)
     return FilterResult(
-        out_path=str(out_file),
+        out_path=out_file,
         num_variants_kept=nv,
         num_samples_kept=ns,
-        bytes_written=os.path.getsize(out_file),
+        bytes_written=bytes_written,
         timer=StageTimer(),
     )
 
@@ -145,6 +308,7 @@ def filter_to_vcf_sharded(
     block_variants: int = 1 << 16,
     source_tag: str = DEFAULT_SOURCE_TAG,
     standalone: bool = False,
+    gz: bool | None = None,
 ) -> FilterResult:
     """Shard the kept variants over ``num_shards`` workers writing one VCF.
 
@@ -153,17 +317,25 @@ def filter_to_vcf_sharded(
     0) into the common preallocated output file. With standalone=True the
     shard writes its own bytes from offset 0 of its own file (no shared
     filesystem; files concatenate to the full VCF in shard order).
+
+    BGZF output (``gz=True``, default inferred from the .gz suffix) is
+    supported sequentially (shard_index=None: blocks stream-compress in
+    order, EOF appended) and standalone (each shard emits its own BGZF
+    stream, no EOF — the concatenating caller appends it). The shared-file
+    pwrite mode can't compress (offsets aren't precomputable).
     """
     provider = _resolve_provider(provider)
     timer = StageTimer()
     if out_file is None:
         out_file = f"{pfile_prefix}.pgen-rs.vcf"
     out_file = str(out_file)
-    if out_file.endswith(".gz"):
+    if gz is None:
+        gz = out_file.endswith(".gz")
+    if gz and shard_index is not None and not standalone:
         raise ValueError(
-            "bgzf (.gz) output is not yet supported for sharded writes — "
-            "compressed shard sizes aren't precomputable for the offset "
-            "merge; run without --shards/--workers"
+            "bgzf (.gz) output cannot target a shared sharded file "
+            "(compressed offsets aren't precomputable); use "
+            "filter_to_vcf_parallel (standalone parts) or a single shard"
         )
 
     with timer.stage("metadata_load"):
@@ -224,13 +396,73 @@ def filter_to_vcf_sharded(
             len(header_bytes) + int(prefix_sizes[s_hi]) + s_hi * row_fixed
         ) - base
 
+    my_shards = range(num_shards) if shard_index is None else [shard_index]
+    emits_header = shard_index is None or shard_index == 0
+
+    if gz:
+        from pgen_tpu.native import HAVE_NATIVE, native
+
+        if not HAVE_NATIVE:
+            raise RuntimeError(
+                "bgzf (.gz) output requires the native runtime (C++ toolchain)"
+            )
+        # Compressed sizes are unknowable up front: stream-append BGZF
+        # members in shard order instead of pwriting at fixed offsets.
+        fd = os.open(out_file, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+        written = 0
+        try:
+            if emits_header:
+                comp = native.bgzf_compress(
+                    np.frombuffer(header_bytes, dtype=np.uint8)
+                )
+                _write_all(fd, memoryview(comp))
+                written += len(comp)
+            for si in my_shards:
+                lo, hi = shards[si]
+                for blo in range(lo, hi, block_variants):
+                    bhi = min(blo + block_variants, hi)
+                    idx_blk = var_idx[blo:bhi]
+                    with timer.stage("gather", nbytes=int(len(idx_blk) * rec)):
+                        packed_blk = _gather_rows(records, idx_blk)
+                    cap = (
+                        int(prefix_sizes[bhi] - prefix_sizes[blo])
+                        + len(idx_blk) * row_fixed
+                    )
+                    scratch = np.empty(cap, dtype=np.uint8)
+                    with timer.stage("emit", nbytes=cap):
+                        n = _emit_block_meta(
+                            provider,
+                            packed_blk,
+                            pvar.data_buffer,
+                            v_starts[blo:bhi],
+                            v_ends[blo:bhi],
+                            sample_idx_arg,
+                            n_kept,
+                            scratch,
+                        )
+                    with timer.stage("compress", nbytes=n):
+                        comp = native.bgzf_compress(scratch[:n])
+                    with timer.stage("write", nbytes=len(comp)):
+                        _write_all(fd, memoryview(comp))
+                    written += len(comp)
+            if shard_index is None:
+                # sequential mode produces the complete file: finish it
+                _write_all(fd, memoryview(BGZF_EOF))
+                written += len(BGZF_EOF)
+        finally:
+            os.close(fd)
+        return FilterResult(
+            out_path=out_file,
+            num_variants_kept=len(var_idx),
+            num_samples_kept=n_kept,
+            bytes_written=written,
+            timer=timer,
+        )
+
     fd = os.open(out_file, os.O_RDWR | os.O_CREAT, 0o644)
     try:
         os.ftruncate(fd, local_total)
-        my_shards = (
-            range(num_shards) if shard_index is None else [shard_index]
-        )
-        if shard_index is None or shard_index == 0:
+        if emits_header:
             os.pwrite(fd, header_bytes, 0)
         written = 0
         for si in my_shards:
@@ -266,6 +498,6 @@ def filter_to_vcf_sharded(
         out_path=out_file,
         num_variants_kept=len(var_idx),
         num_samples_kept=n_kept,
-        bytes_written=written + (len(header_bytes) if 0 in list(my_shards) or shard_index is None else 0),
+        bytes_written=written + (len(header_bytes) if emits_header else 0),
         timer=timer,
     )

@@ -429,10 +429,10 @@ def filter_to_vcf(
                         parts = [native.bgzf_compress(data)]
                     total = 0
                     for p in parts:
-                        os.write(fd, memoryview(p))
+                        _write_all(fd, memoryview(p))
                         total += len(p)
                     return total
-                os.write(fd, view)
+                _write_all(fd, memoryview(view))
                 return len(view)
 
             bytes_written = sink(memoryview(header_bytes))
@@ -458,7 +458,7 @@ def filter_to_vcf(
                     st.bytes_moved += n
                 bytes_written += sink(scratch[:n])
             if gz:
-                os.write(fd, BGZF_EOF)
+                _write_all(fd, memoryview(BGZF_EOF))
                 bytes_written += len(BGZF_EOF)
         finally:
             os.close(fd)
@@ -471,6 +471,16 @@ def filter_to_vcf(
         bytes_written=bytes_written,
         timer=timer,
     )
+
+
+def _write_all(fd: int, view: memoryview) -> None:
+    """os.write until the whole view is on the fd. A single os.write may
+    return short on a pipe (e.g. interrupted after a partial transfer);
+    silently dropping the remainder would truncate the VCF."""
+    view = view.cast("B")
+    while len(view):
+        n = os.write(fd, view)
+        view = view[n:]
 
 
 def _gather_rows(records: np.ndarray, idx: np.ndarray) -> np.ndarray:

@@ -173,7 +173,19 @@ def _lower_binary(op, lk, lv, rk, rv):
 
     if op in ("&&", "||"):
         lm = _to_mask(lk, lv, op)
-        rm = _to_mask(rk, rv, op)
+        try:
+            rm = _to_mask(rk, rv, op)
+        except ExprError:
+            # evalexpr short-circuits the RHS *type check*: rows whose LHS
+            # already decides the result ('false && x', 'true || x') never
+            # inspect the RHS type (interp.py _apply_binary does the same
+            # via Python's and/or). Only rows that would consult the RHS
+            # may raise.
+            if op == "&&" and not np.any(lm):
+                return (_MASK, np.zeros_like(lm) if np.ndim(lm) else False)
+            if op == "||" and np.all(lm):
+                return (_MASK, np.ones_like(lm) if np.ndim(lm) else True)
+            raise
         return (_MASK, lm & rm if op == "&&" else lm | rm)
 
     if op == "+":

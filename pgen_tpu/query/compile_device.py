@@ -170,4 +170,7 @@ def _as_mask(kind, v):
         return v
     if kind == _SCALAR and isinstance(v, bool):
         return v
-    raise ExprError("&&/||: expected Boolean, got String")
+    # The host compiler implements evalexpr's short-circuited RHS type check
+    # ('false && <string>' is all-false, not an error); defer to it rather
+    # than duplicating that logic on device.
+    raise DeviceFallback("&&/||: non-Boolean operand")

@@ -58,11 +58,56 @@ def test_gz_large_multiblock(tmp_path):
     assert gzout.read_bytes().count(b"\x1f\x8b\x08\x04") > 2
 
 
-def test_gz_with_shards_rejected(tiny_fileset, tmp_path):
+def test_gz_shared_file_shard_rejected(tiny_fileset, tmp_path):
+    # pwriting compressed shards at precomputed offsets is impossible; only
+    # the standalone/sequential modes may compress
     from pgen_tpu.parallel.shard import filter_to_vcf_sharded
 
     prefix, _ = tiny_fileset
-    with pytest.raises(ValueError, match="sharded"):
+    with pytest.raises(ValueError, match="shared"):
         filter_to_vcf_sharded(
-            prefix, out_file=tmp_path / "x.vcf.gz", num_shards=2
+            prefix, out_file=tmp_path / "x.vcf.gz", num_shards=2, shard_index=1
         )
+
+
+def test_gz_sequential_sharded_matches_unsharded(tiny_fileset, tmp_path):
+    from pgen_tpu.parallel.shard import filter_to_vcf_sharded
+
+    prefix, _ = tiny_fileset
+    plain = tmp_path / "p.vcf"
+    gzout = tmp_path / "p.vcf.gz"
+    filter_to_vcf(prefix, var_query='REF == "A"', out_file=plain)
+    filter_to_vcf_sharded(
+        prefix, var_query='REF == "A"', out_file=gzout, num_shards=3
+    )
+    assert gzip.decompress(gzout.read_bytes()) == plain.read_bytes()
+
+
+def test_gz_parallel_workers_match_unsharded(tmp_path):
+    """--workers N -o out.vcf.gz: standalone BGZF shard parts concatenate to
+    a file that decompresses byte-equal to the unsharded run."""
+    from conftest import build_fileset
+    from pgen_tpu.parallel.shard import filter_to_vcf_parallel
+    from pgen_tpu.pipeline.filter import BGZF_EOF
+
+    rng = np.random.default_rng(11)
+    nvar, nsamp = 257, 61
+    codes = rng.integers(0, 4, size=(nvar, nsamp), dtype=np.uint8)
+    prefix = build_fileset(
+        tmp_path,
+        "pw",
+        codes,
+        [f"1\t{i}\tr{i}\tA\tC\t.\t.\t." for i in range(nvar)],
+        [f"s{i}\tM" for i in range(nsamp)],
+    )
+    plain = tmp_path / "w.vcf"
+    gzout = tmp_path / "w.vcf.gz"
+    filter_to_vcf(prefix, out_file=plain)
+    res = filter_to_vcf_parallel(prefix, out_file=str(gzout), num_workers=3)
+    raw = gzout.read_bytes()
+    assert gzip.decompress(raw) == plain.read_bytes()
+    assert raw.endswith(BGZF_EOF)
+    assert res.num_variants_kept == nvar
+    # no leftover shard parts or manifest
+    assert not list(tmp_path.glob("*.part"))
+    assert not list(tmp_path.glob("*.manifest.json"))

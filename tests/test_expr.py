@@ -175,6 +175,45 @@ def test_compile_type_error_matches(table):
         compile_predicate('ALT', table)
 
 
+@pytest.mark.parametrize(
+    "expr",
+    [
+        'false && POS',  # RHS type check short-circuited: all-false
+        'true || POS',  # all-true
+        '(ALT == "zzz") && POS',  # mask LHS, no true rows: all-false
+        '(ALT == ALT) || POS',  # mask LHS, all true rows: all-true
+    ],
+)
+def test_bool_and_string_short_circuit(table, expr):
+    # evalexpr skips the RHS bool coercion when the LHS decides the result;
+    # the compiled mask must agree with the row interpreter here.
+    mask = compile_predicate(expr, table)
+    node = parse(expr)
+    for i in range(table.num_rows):
+        ctx = {c: table.get_column_strs(c)[i] for c in table.columns}
+        assert mask[i] == eval_boolean(node, ctx)
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        'true && POS',  # RHS consulted on every row: type error
+        'false || POS',
+        '(ALT == "G") && POS',  # some rows consult the RHS: type error
+        '(ALT == "G") || POS',
+    ],
+)
+def test_bool_and_string_type_error(table, expr):
+    with pytest.raises(ExprError):
+        compile_predicate(expr, table)
+    node = parse(expr)
+    # the interpreter raises on at least one row too
+    with pytest.raises(ExprError):
+        for i in range(table.num_rows):
+            ctx = {c: table.get_column_strs(c)[i] for c in table.columns}
+            eval_boolean(node, ctx)
+
+
 def test_compile_fallback_function_call(table):
     # len() is outside the vectorized subset -> row-interpreter fallback
     mask = compile_predicate('len(ID) == 3', table)

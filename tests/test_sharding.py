@@ -156,6 +156,88 @@ def test_parallel_workers_match(tiny_fileset, tmp_path, workers):
     assert res.num_variants_kept == 5
 
 
+@pytest.mark.parametrize("suffix", [".vcf", ".vcf.gz"])
+def test_worker_failure_manifest_and_resume(
+    tiny_fileset, tmp_path, monkeypatch, suffix
+):
+    """Kill-a-worker recovery (SURVEY.md §5 checkpoint/resume): a failed
+    shard leaves a manifest recording the completed shards; --resume
+    re-runs only the failed one and completes the byte-identical file."""
+    import json
+
+    from pgen_tpu.parallel.shard import filter_to_vcf_parallel
+
+    prefix, _ = tiny_fileset
+    ref = tmp_path / ("ref" + suffix)
+    out = tmp_path / ("out" + suffix)
+    filter_to_vcf(prefix, out_file=ref)
+
+    monkeypatch.setenv("PGEN_TPU_TEST_FAIL_SHARD", "1")
+    with pytest.raises(RuntimeError, match="resume"):
+        filter_to_vcf_parallel(prefix, out_file=str(out), num_workers=3)
+    mpath = tmp_path / (out.name + ".manifest.json")
+    manifest = json.loads(mpath.read_text())
+    statuses = [s["status"] for s in manifest["shards"]]
+    assert statuses[1] == "failed"
+    assert statuses[0] == statuses[2] == "done"
+
+    monkeypatch.delenv("PGEN_TPU_TEST_FAIL_SHARD")
+    res = filter_to_vcf_parallel(
+        prefix, out_file=str(out), num_workers=3, resume=True
+    )
+    if suffix.endswith(".gz"):
+        import gzip
+
+        assert gzip.decompress(out.read_bytes()) == gzip.decompress(
+            ref.read_bytes()
+        )
+    else:
+        assert _read(out) == _read(ref)
+    assert res.num_variants_kept == 5
+    assert not mpath.exists()
+
+
+def test_resume_rejects_changed_params(tiny_fileset, tmp_path, monkeypatch):
+    from pgen_tpu.parallel.shard import filter_to_vcf_parallel
+
+    prefix, _ = tiny_fileset
+    out = tmp_path / "o.vcf"
+    monkeypatch.setenv("PGEN_TPU_TEST_FAIL_SHARD", "0")
+    with pytest.raises(RuntimeError):
+        filter_to_vcf_parallel(prefix, out_file=str(out), num_workers=2)
+    monkeypatch.delenv("PGEN_TPU_TEST_FAIL_SHARD")
+    with pytest.raises(ValueError, match="different parameters"):
+        filter_to_vcf_parallel(
+            prefix,
+            var_query='REF == "A"',
+            out_file=str(out),
+            num_workers=2,
+            resume=True,
+        )
+
+
+def test_parallel_parent_does_not_recompute_masks(
+    tiny_fileset, tmp_path, monkeypatch
+):
+    """The parent must take kept counts from the workers' reports — a
+    second predicate/GT pass in the parent would double the work for GT_*
+    queries. Spawn-context workers get fresh modules, so poisoning
+    compute_masks in the parent only detects a parent-side call."""
+    from pgen_tpu.parallel.shard import filter_to_vcf_parallel
+    import pgen_tpu.pipeline.filter as fmod
+
+    def _boom(*a, **k):  # pragma: no cover
+        raise AssertionError("parent recomputed the masks")
+
+    monkeypatch.setenv("PGEN_TPU_MP_CONTEXT", "spawn")
+    monkeypatch.setattr(fmod, "compute_masks", _boom)
+    prefix, _ = tiny_fileset
+    out = tmp_path / "n.vcf"
+    res = filter_to_vcf_parallel(prefix, out_file=str(out), num_workers=2)
+    assert res.num_variants_kept == 5
+    assert _read(out) == scalar_filter_vcf(prefix, None, None)
+
+
 def test_shard_rerun_idempotent(tiny_fileset, tmp_path):
     """A shard is a resumable unit: re-running any shard (e.g. after a
     worker failure) leaves the output byte-identical (SURVEY.md §5
