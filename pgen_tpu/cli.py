@@ -274,6 +274,21 @@ def main(argv=None) -> int:
                         shard_index=args.shard_index,
                         **kwargs,
                     )
+                elif args.provider == "device" and not str(
+                    args.out_file or ""
+                ).endswith(".gz"):
+                    # The flagship multi-chip path: one jitted step over a
+                    # variant-axis device mesh (predicate -> compaction ->
+                    # unpack -> text -> all-gather offsets), per-host pwrite.
+                    from pgen_tpu.pipeline.mesh_filter import filter_to_vcf_mesh
+
+                    result = filter_to_vcf_mesh(
+                        args.pfile_prefix,
+                        var_query=args.var_query,
+                        sam_query=args.sam_query,
+                        out_file=args.out_file,
+                        **kwargs,
+                    )
                 else:
                     from pgen_tpu.pipeline.filter import filter_to_vcf
 

@@ -111,6 +111,78 @@ def build_sharded_predicate_and_filter_step(mesh: Mesh, expr_ast, col_names):
     return jax.jit(step)
 
 
+def _local_pipeline(packed_l, mask_l, sample_sel):
+    """Shard-local compute shared by the end-to-end mesh steps.
+
+    Compacts kept rows to the front (stable: original variant order),
+    unpacks, optionally gathers the kept-sample columns, and formats GT
+    text words. Returns (text_words, count).
+    """
+    order = jnp.argsort(jnp.logical_not(mask_l), stable=True)
+    gathered = jnp.take(packed_l, order, axis=0)
+    words = _unpack_words(gathered)  # (v_local, R) u32: 4 codes per word
+    v, r = words.shape
+    codes = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(v, 4 * r)
+    if sample_sel is not None:
+        codes = jnp.take(codes, sample_sel, axis=1)
+    text_words = _text_word(codes.astype(jnp.uint32))
+    count = jnp.sum(mask_l.astype(jnp.int32))
+    return text_words, count
+
+
+def build_mesh_pipeline_step(mesh: Mesh, expr_ast):
+    """The end-to-end per-block device step driven by the CLI filter path
+    (pipeline/mesh_filter.py): what SURVEY.md §7 L4 calls the flagship
+    multi-chip pipeline.
+
+    Signature (all jit-placed by in_shardings):
+      expr_ast given:  step(packed, cols, valid[, sample_sel])
+      expr_ast None:   step(packed, mask, valid[, sample_sel])
+    where packed is (V, R) u8 P('v', None); cols maps column name ->
+    (padded u8 matrix P('v', None), lengths P('v')); valid is (V,) bool
+    P('v') masking padding rows; sample_sel is a replicated i32 vector of
+    kept sample indices (None/absent = all samples in record order).
+
+    Returns (text_words P('v', None), mask P('v'), counts, offsets) with
+    counts/offsets replicated (ndev,) — the all-gather ordered-merge
+    collective: every shard learns every shard's kept count and hence its
+    global output row offset.
+    """
+    from pgen_tpu.query.compile_device import lower_device
+
+    def step(packed, pred_in, valid, *sel):
+        sample_sel = sel[0] if sel else None
+
+        def inner(packed_l, pred_l, valid_l, *sel_l):
+            if expr_ast is not None:
+                mask_l = lower_device(expr_ast, pred_l) & valid_l
+            else:
+                mask_l = pred_l & valid_l
+            text_words, count = _local_pipeline(
+                packed_l, mask_l, sel_l[0] if sel_l else None
+            )
+            counts = jax.lax.all_gather(count, VARIANT_AXIS)
+            offsets = jnp.cumsum(counts) - counts
+            return text_words, mask_l, counts, offsets
+
+        if expr_ast is not None:
+            pred_spec = {k: (P(VARIANT_AXIS, None), P(VARIANT_AXIS)) for k in pred_in}
+        else:
+            pred_spec = P(VARIANT_AXIS)
+        in_specs = [P(VARIANT_AXIS, None), pred_spec, P(VARIANT_AXIS)]
+        if sample_sel is not None:
+            in_specs.append(P())
+        return jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(VARIANT_AXIS, None), P(VARIANT_AXIS), P(), P()),
+            check_vma=False,
+        )(packed, pred_in, valid, *sel)
+
+    return jax.jit(step)
+
+
 def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
     """Zero-pad along axis so the dim divides the mesh size."""
     n = arr.shape[axis]

@@ -161,6 +161,18 @@ def _emit_block_meta(
         )
     # non-native providers: materialize this block's prefixes (vectorized
     # ragged gather, block-sized temporaries), then emit
+    pbuf, off = materialize_prefixes(meta_buf, line_starts, line_ends)
+    return _emit_block(
+        provider, packed_block, pbuf, off, sample_idx, n_kept_samples, out_view
+    )
+
+
+def materialize_prefixes(meta_buf, line_starts, line_ends):
+    """Ragged-gather pvar line bytes + "\\tGT" into a dense prefix buffer.
+
+    Returns (pbuf u8, offsets i64 of len n+1): prefix i is
+    pbuf[offsets[i]:offsets[i+1]] == meta line bytes + b"\\tGT".
+    """
     n = len(line_starts)
     line_lens = line_ends - line_starts
     lens = line_lens + 3
@@ -177,9 +189,7 @@ def _emit_block_meta(
         pbuf[gt_idx[:, 0]] = ord("\t")
         pbuf[gt_idx[:, 1]] = ord("G")
         pbuf[gt_idx[:, 2]] = ord("T")
-    return _emit_block(
-        provider, packed_block, pbuf, off, sample_idx, n_kept_samples, out_view
-    )
+    return pbuf, off
 
 
 def _emit_block(

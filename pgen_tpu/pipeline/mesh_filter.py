@@ -1,0 +1,303 @@
+"""End-to-end device-mesh filter: the flagship multi-chip path.
+
+This is the TPU-native rendering of the reference's `filter` flagship call
+stack (/root/reference/src/pfile.rs:104-194) over a `jax.sharding.Mesh`
+(SURVEY.md §7 L4). Per variant block:
+
+    host: pad block to the mesh size, hand sharded tensors to ONE jitted
+          step (jit in_shardings place each host array on its shard)
+    device (per shard): predicate mask (device-lowered expression over
+          padded column tensors, or a host-computed mask for expressions
+          outside the device subset) -> stable kept-first compaction ->
+          2-bit unpack -> optional kept-sample gather -> GT text words
+    collective: all_gather of per-shard kept counts over ICI -> every
+          shard's global output row offset (the ordered merge is pure
+          arithmetic; genotype text never crosses chips)
+    host: each process reads back only its addressable shards' kept rows
+          and pwrites them at their derived byte offsets (variable-length
+          pvar prefixes stay host-side, SURVEY.md §7 "hard parts" #3)
+
+Output is byte-identical to the host providers (tests assert it); the
+multi-chip dryrun (__graft_entry__.dryrun_multichip) drives THIS function,
+the same one `pgen-tpu filter --provider device` calls.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pgen_tpu.formats.header import read_pgen_header
+from pgen_tpu.formats.metadata import read_metadata
+from pgen_tpu.pipeline.filter import (
+    DEFAULT_BLOCK_VARIANTS,
+    FilterResult,
+    compute_masks,
+    materialize_prefixes,
+)
+from pgen_tpu.pipeline.vcf import DEFAULT_SOURCE_TAG, vcf_header_bytes
+from pgen_tpu.query.compile import compile_predicate
+from pgen_tpu.utils.log import get_logger
+from pgen_tpu.utils.timer import StageTimer
+
+log = get_logger("mesh_filter")
+
+
+def _device_expr_columns(var_node, pvar):
+    """Padded column tensors for a device-lowerable variant expression.
+
+    Returns {name: (mat, lens)} over ALL pvar rows, or None when the
+    expression references anything outside the device subset (virtual
+    INFO_* columns, GT_* stats, builtins) — the caller then computes the
+    mask on host instead.
+    """
+    from pgen_tpu.query.ast import variables
+
+    if var_node is None:
+        return None
+    names = variables(var_node)
+    cols = {}
+    for name in names:
+        if name not in pvar.columns:
+            return None  # virtual/extension variable: host mask path
+        mat, lens = pvar.get_column_padded(name)
+        cols[name] = (mat, np.asarray(lens, dtype=np.int32))
+    return cols if cols else None
+
+
+def filter_to_vcf_mesh(
+    pfile_prefix: str,
+    var_query: str | None = None,
+    sam_query: str | None = None,
+    out_file: str | None = None,
+    mesh=None,
+    block_variants: int = DEFAULT_BLOCK_VARIANTS,
+    source_tag: str = DEFAULT_SOURCE_TAG,
+) -> FilterResult:
+    """Filter a pgen fileset to a VCF with the device-mesh pipeline.
+
+    mesh defaults to a 1-D mesh over all local devices. Works on any mesh
+    size >= 1; on a multi-host deployment each process writes only its
+    addressable shards (the byte offsets are derived from the replicated
+    all-gathered counts, so no host coordinates with any other).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pgen_tpu.parallel.mesh import (
+        VARIANT_AXIS,
+        build_mesh_pipeline_step,
+        make_mesh,
+    )
+    from pgen_tpu.query.compile_device import DeviceFallback
+    from pgen_tpu.query.parser import parse
+
+    timer = StageTimer()
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = int(mesh.devices.size)
+    if out_file is None:
+        out_file = f"{pfile_prefix}.pgen-rs.vcf"
+    out_file = str(out_file)
+    if out_file.endswith(".gz"):
+        raise ValueError(
+            "the mesh pipeline writes uncompressed VCF; pipe through the "
+            "host bgzf path (no --workers) for .gz output"
+        )
+
+    with timer.stage("metadata_load"):
+        header = read_pgen_header(f"{pfile_prefix}.pgen")
+        pvar = read_metadata(f"{pfile_prefix}.pvar")
+        psam = read_metadata(f"{pfile_prefix}.psam")
+    psam.column_index("IID")
+
+    rec = header.record_size
+    pgen_mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    expected = 12 + header.num_variants * rec
+    if pgen_mm.shape[0] < expected:
+        raise ValueError(
+            f"{pfile_prefix}.pgen is {pgen_mm.shape[0]} bytes; header "
+            f"implies {expected}"
+        )
+    records = pgen_mm[12:expected].reshape(header.num_variants, rec)
+
+    var_node = parse(var_query) if isinstance(var_query, str) else var_query
+
+    # Sample predicate: psam is small — host evaluation, exactly like the
+    # single-chip path; the kept-sample gather happens on device.
+    with timer.stage("predicates"):
+        cols = _device_expr_columns(var_node, pvar)
+        host_var_mask = None
+        if cols is None:
+            # outside the device expression subset (or no query): compute
+            # the variant mask on host and shard it as a step input
+            host_var_mask, sam_mask = compute_masks(
+                var_node, sam_query, pvar, psam, header, records, "device"
+            )
+        else:
+            sam_mask = compile_predicate(sam_query, psam)
+    sam_idx = np.flatnonzero(sam_mask)
+    all_iids = psam.get_column_strs("IID")
+    sample_ids = [all_iids[i] for i in sam_idx]
+    n_kept = len(sam_idx)
+    keep_all = n_kept == psam.num_rows == header.num_samples
+    sample_sel = None if keep_all else sam_idx.astype(np.int32)
+
+    if len(sam_idx) and int(sam_idx[-1]) // 4 >= rec:
+        raise ValueError(
+            f"{pfile_prefix}.psam row {int(sam_idx[-1])} is beyond the "
+            f"pgen's {header.num_samples}-sample records"
+        )
+
+    header_bytes = vcf_header_bytes(pvar, sample_ids, source_tag)
+    line_starts_all, line_ends_all = pvar.row_line_spans()
+    nvar_meta = pvar.num_rows
+    if nvar_meta > header.num_variants:
+        raise ValueError(
+            f"{pfile_prefix}.pvar row {header.num_variants} is beyond the "
+            f"pgen's {header.num_variants} variant records"
+        )
+    row_fixed = 4 * n_kept + 1
+
+    # Fixed block geometry: every block is padded to the same sharded shape
+    # so ONE compiled step serves all blocks.
+    vb = min(block_variants, max(nvar_meta, 1))
+    vb += (-vb) % ndev
+
+    step = build_mesh_pipeline_step(mesh, None if cols is None else var_node)
+    shard_2d = NamedSharding(mesh, P(VARIANT_AXIS, None))
+    shard_1d = NamedSharding(mesh, P(VARIANT_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    sel_dev = None if sample_sel is None else jax.device_put(sample_sel, repl)
+
+    from collections import deque
+
+    from pgen_tpu.native import HAVE_NATIVE
+
+    if HAVE_NATIVE:
+        from pgen_tpu.native import native
+
+    n_text_cols = 4 * n_kept  # bytes of GT text per row
+    per = vb // ndev
+
+    fd = os.open(out_file, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    state = {"byte_base": len(header_bytes), "rows": 0}
+
+    def drain(block):
+        """Read back one block's shards and pwrite their rows.
+
+        Each process handles only its addressable shards; the byte offsets
+        come from the replicated all-gathered counts, so no coordination.
+        """
+        lo, hi, text_words, mask, counts = block
+        counts_h = np.asarray(counts)
+        offs_h = np.concatenate(([0], np.cumsum(counts_h)[:-1]))
+        mask_h = np.asarray(mask)[: hi - lo]
+        kept_local = np.flatnonzero(mask_h)
+        nk = len(kept_local)
+        ls = line_starts_all[lo:hi][kept_local]
+        le = line_ends_all[lo:hi][kept_local]
+        psz = np.zeros(nk + 1, dtype=np.int64)
+        np.cumsum(le - ls + 3, out=psz[1:])
+        for shard in text_words.addressable_shards:
+            d = (shard.index[0].start or 0) // per
+            c = int(counts_h[d])
+            if c == 0:
+                continue
+            k0 = int(offs_h[d])  # kept-row offset within the block
+            bstart = state["byte_base"] + int(psz[k0]) + k0 * row_fixed
+            nbytes = int(psz[k0 + c] - psz[k0]) + c * row_fixed
+            with timer.stage("fetch", nbytes=c * n_text_cols):
+                # slice the kept rows ON DEVICE (shard.data[:c]) so only
+                # them cross to the host; device layouts may come back
+                # strided, and the u8 view needs a C-contiguous last axis
+                text = np.ascontiguousarray(np.asarray(shard.data[:c]))
+            text_u8 = text.view(np.uint8).reshape(c, -1)[:, :n_text_cols]
+            pbuf, poff = materialize_prefixes(pvar.data_buffer, ls[k0 : k0 + c], le[k0 : k0 + c])
+            scratch = np.empty(nbytes, dtype=np.uint8)
+            with timer.stage("assemble", nbytes=nbytes):
+                if HAVE_NATIVE:
+                    n = native.assemble_rows_buf(text_u8, pbuf, poff, scratch)
+                else:
+                    from pgen_tpu.pipeline.filter import _assemble_rows_numpy
+
+                    n = _assemble_rows_numpy(text_u8, pbuf, poff, scratch)
+            assert n == nbytes, f"mesh shard wrote {n}, planned {nbytes}"
+            with timer.stage("pwrite", nbytes=nbytes):
+                os.pwrite(fd, scratch, bstart)
+        state["byte_base"] += int(psz[-1]) + nk * row_fixed
+        state["rows"] += nk
+
+    # Streamed: dispatch block i+1 while block i drains (dispatch is
+    # async, so the device computes ahead of the host readback/write).
+    pending = deque()
+    try:
+        os.pwrite(fd, header_bytes, 0)
+        for lo in range(0, nvar_meta, vb):
+            hi = min(lo + vb, nvar_meta)
+            n = hi - lo
+            packed = np.zeros((vb, rec), dtype=np.uint8)
+            packed[:n] = records[lo:hi]
+            valid = np.zeros(vb, dtype=bool)
+            valid[:n] = True
+            with timer.stage("h2d", nbytes=packed.nbytes):
+                packed_d = jax.device_put(packed, shard_2d)
+                valid_d = jax.device_put(valid, shard_1d)
+
+            def _host_pred():
+                pred = np.zeros(vb, dtype=bool)
+                pred[:n] = host_var_mask[lo:hi]
+                return jax.device_put(pred, shard_1d)
+
+            if cols is None:
+                pred_d = _host_pred()
+            else:
+                pred_d = {}
+                for name, (mat, lens) in cols.items():
+                    m = np.zeros((vb, mat.shape[1]), dtype=mat.dtype)
+                    m[:n] = mat[lo:hi]
+                    ln = np.zeros(vb, dtype=np.int32)
+                    ln[:n] = lens[lo:hi]
+                    pred_d[name] = (
+                        jax.device_put(m, shard_2d),
+                        jax.device_put(ln, shard_1d),
+                    )
+            args = (packed_d, pred_d, valid_d)
+            if sel_dev is not None:
+                args = args + (sel_dev,)
+            try:
+                with timer.stage("device_step"):
+                    out = step(*args)
+            except DeviceFallback:
+                # expression left the device subset mid-trace: fall back to
+                # a host-computed mask for this and all later blocks
+                cols = None
+                host_var_mask, _ = compute_masks(
+                    var_node, None, pvar, psam, header, records, "device"
+                )
+                step = build_mesh_pipeline_step(mesh, None)
+                args = (packed_d, _host_pred(), valid_d)
+                if sel_dev is not None:
+                    args = args + (sel_dev,)
+                with timer.stage("device_step"):
+                    out = step(*args)
+            text_words, mask, counts, offsets = out
+            pending.append((lo, hi, text_words, mask, counts))
+            if len(pending) >= 2:
+                drain(pending.popleft())
+        while pending:
+            drain(pending.popleft())
+    finally:
+        os.close(fd)
+
+    log.info("mesh filter: %s", timer.report())
+    return FilterResult(
+        out_path=out_file,
+        num_variants_kept=state["rows"],
+        num_samples_kept=n_kept,
+        bytes_written=state["byte_base"],
+        timer=timer,
+    )
