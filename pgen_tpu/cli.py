@@ -151,6 +151,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Emit only shard I of --shards (writes into the shared output at its offset).",
     )
     f.add_argument(
+        "--index",
+        action="store_true",
+        help=(
+            "With a .vcf.gz output: also emit a tabix index ({out}.tbi). "
+            "Row offsets are known at emission time, so this never "
+            "re-reads the output."
+        ),
+    )
+    f.add_argument(
         "--resume",
         action="store_true",
         help=(
@@ -233,6 +242,15 @@ def main(argv=None) -> int:
             kwargs = {}
             if args.block_variants:
                 kwargs["block_variants"] = args.block_variants
+            if args.index:
+                if not str(args.out_file or "").endswith(".gz"):
+                    raise ValueError("--index requires -o out.vcf.gz")
+                if args.workers is not None or args.shards is not None:
+                    raise ValueError(
+                        "--index is not yet supported with --workers/--shards"
+                    )
+                if args.out_format == "pgen":
+                    raise ValueError("--index applies to VCF output only")
             with profile_ctx:
                 if args.out_format == "pgen":
                     from pgen_tpu.pipeline.pgen_out import filter_to_pgen
@@ -299,6 +317,7 @@ def main(argv=None) -> int:
                         out_file=args.out_file,
                         provider=args.provider,
                         emit_threads=args.threads,
+                        index=args.index,
                         **kwargs,
                     )
                 if args.stats:

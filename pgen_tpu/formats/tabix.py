@@ -1,0 +1,308 @@
+"""Tabix (.tbi) index emission for .vcf.gz outputs.
+
+The reference positions itself as "bcftools for .pgen files"
+(/root/reference/README.md:3-5); the practical other half of
+bcftools/tabix compatibility is a region index next to the compressed
+VCF. This implements the tabix index format (SAM/tabix spec §"The Tabix
+index file format"; htslib tbx.c semantics):
+
+* UCSC binning: bin sizes 2^14..2^29, reg2bin over 0-based half-open
+  [beg, end) with end = beg + len(REF) for VCF rows (htslib vcf parse).
+* chunks: (virtual_start, virtual_end) runs of records per bin, merged
+  when consecutive in file order (ti_index_core behavior).
+* 16 kb linear index per reference: smallest virtual offset of any record
+  overlapping each window, zero-gaps back-filled.
+* virtual offsets: (compressed_block_offset << 16) | within_block_offset.
+* the .tbi itself is BGZF-compressed and ends with the BGZF EOF block.
+
+The writer never decompresses the VCF: every kept row's uncompressed
+offset is known arithmetically at emission time, and the
+uncompressed->virtual mapping comes from walking the BGZF member headers
+of the written file (BSIZE in the gzip extra field, ISIZE in the footer —
+a few bytes read per 64 KB member).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+TBX_MAGIC = b"TBI\x01"
+_WINDOW_SHIFT = 14  # 16 kb linear-index windows
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """UCSC bin for 0-based half-open [beg, end) (tabix spec reg2bin)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def reg2bins(beg: int, end: int) -> list:
+    """All bins overlapping [beg, end) — the reader-side query set."""
+    bins = [0]
+    end -= 1
+    for shift, off in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
+    return bins
+
+
+def bgzf_member_table(path: str):
+    """Walk a BGZF file's member headers.
+
+    Returns (c_offsets, u_offsets) int64 arrays: member i occupies
+    compressed bytes [c_offsets[i], c_offsets[i+1]) and carries
+    uncompressed bytes [u_offsets[i], u_offsets[i+1]).
+    """
+    c_offs = [0]
+    u_offs = [0]
+    with open(path, "rb") as f:
+        pos = 0
+        while True:
+            head = f.read(18)
+            if len(head) < 18:
+                if head:
+                    raise ValueError(f"{path}: truncated BGZF member header")
+                break
+            if head[:4] != b"\x1f\x8b\x08\x04" or head[12:14] != b"BC":
+                raise ValueError(f"{path}: not a BGZF member at offset {pos}")
+            bsize = struct.unpack("<H", head[16:18])[0] + 1
+            f.seek(pos + bsize - 4)
+            isize = struct.unpack("<I", f.read(4))[0]
+            pos += bsize
+            f.seek(pos)
+            c_offs.append(pos)
+            u_offs.append(u_offs[-1] + isize)
+    return np.asarray(c_offs, dtype=np.int64), np.asarray(u_offs, dtype=np.int64)
+
+
+def virtual_offsets(u_positions: np.ndarray, c_offs: np.ndarray, u_offs: np.ndarray):
+    """Map uncompressed byte positions to BGZF virtual offsets (vectorized)."""
+    u_positions = np.asarray(u_positions, dtype=np.int64)
+    # member index holding each position (u_offs is the member-start table)
+    idx = np.searchsorted(u_offs[1:-1], u_positions, side="right")
+    within = u_positions - u_offs[idx]
+    if np.any(within >= 1 << 16):
+        raise ValueError("BGZF member larger than 64 KiB: invalid stream")
+    return (c_offs[idx] << 16) | within
+
+
+class TbiWriter:
+    """Accumulate (ref, beg, end, vbeg, vend) records in file order and
+    serialize the .tbi. Records must arrive grouped by reference (VCF row
+    order); positions may be unsorted within a reference (chunks simply
+    don't merge then)."""
+
+    def __init__(self):
+        self.names: list = []
+        self._refs: dict = {}  # name -> (bins {bin: [chunks]}, lidx list)
+        self._order: list = []
+
+    def add(self, ref: str, beg: int, end: int, vbeg: int, vend: int):
+        if ref not in self._refs:
+            self._refs[ref] = ({}, [])
+            self._order.append(ref)
+        bins, lidx = self._refs[ref]
+        b = reg2bin(beg, max(end, beg + 1))
+        chunks = bins.setdefault(b, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1][1] = vend  # merge file-order-adjacent records
+        else:
+            chunks.append([vbeg, vend])
+        # linear index: min voffset per 16 kb window the record overlaps
+        w0 = beg >> _WINDOW_SHIFT
+        w1 = max(end - 1, beg) >> _WINDOW_SHIFT
+        if len(lidx) <= w1:
+            lidx.extend([0] * (w1 + 1 - len(lidx)))
+        for w in range(w0, w1 + 1):
+            if lidx[w] == 0 or vbeg < lidx[w]:
+                lidx[w] = vbeg
+
+    def serialize(self) -> bytes:
+        out = bytearray()
+        out += TBX_MAGIC
+        names_blob = b"".join(n.encode() + b"\x00" for n in self._order)
+        out += struct.pack(
+            "<8i",
+            len(self._order),
+            2,  # format: VCF
+            1,  # seq column
+            2,  # begin column
+            0,  # end column (derived from REF length)
+            ord("#"),  # meta char
+            0,  # lines to skip
+            len(names_blob),
+        )
+        out += names_blob
+        for name in self._order:
+            bins, lidx = self._refs[name]
+            # back-fill zero windows with the previous value (htslib)
+            filled = list(lidx)
+            for i in range(1, len(filled)):
+                if filled[i] == 0:
+                    filled[i] = filled[i - 1]
+            out += struct.pack("<i", len(bins))
+            for b in sorted(bins):
+                chunks = bins[b]
+                out += struct.pack("<Ii", b, len(chunks))
+                for cb, ce in chunks:
+                    out += struct.pack("<QQ", cb, ce)
+            out += struct.pack("<i", len(filled))
+            for v in filled:
+                out += struct.pack("<Q", v)
+        return bytes(out)
+
+    def write(self, path: str) -> None:
+        from pgen_tpu.native import HAVE_NATIVE, native
+        from pgen_tpu.pipeline.filter import BGZF_EOF
+
+        if not HAVE_NATIVE:
+            raise RuntimeError(".tbi emission requires the native runtime")
+        payload = self.serialize()
+        comp = native.bgzf_compress(np.frombuffer(payload, dtype=np.uint8))
+        with open(path, "wb") as f:
+            f.write(bytes(comp))
+            f.write(BGZF_EOF)
+
+
+def build_index_for_vcf_gz(
+    gz_path: str,
+    chroms: list,
+    pos_1based: np.ndarray,
+    ref_lens: np.ndarray,
+    row_u_starts: np.ndarray,
+    row_u_ends: np.ndarray,
+    tbi_path: str | None = None,
+) -> str:
+    """Emit ``{gz_path}.tbi`` from per-row metadata + uncompressed offsets.
+
+    chroms: per kept row reference name (file order); pos_1based/ref_lens:
+    VCF POS and len(REF); row_u_starts/row_u_ends: each row's uncompressed
+    byte span in the VCF stream (known arithmetically at emission time).
+    """
+    c_offs, u_offs = bgzf_member_table(gz_path)
+    vbeg = virtual_offsets(row_u_starts, c_offs, u_offs)
+    vend = virtual_offsets(row_u_ends, c_offs, u_offs)
+    w = TbiWriter()
+    pos0 = np.asarray(pos_1based, dtype=np.int64) - 1
+    ends = pos0 + np.maximum(np.asarray(ref_lens, dtype=np.int64), 1)
+    for i in range(len(chroms)):
+        w.add(chroms[i], int(pos0[i]), int(ends[i]), int(vbeg[i]), int(vend[i]))
+    tbi_path = tbi_path or f"{gz_path}.tbi"
+    w.write(tbi_path)
+    return tbi_path
+
+
+# -- reader side (for tests and region queries) -----------------------------
+
+
+def read_tbi(path: str):
+    """Parse a .tbi file -> (names, refs) where refs[name] = (bins, lidx)."""
+    import gzip
+
+    data = gzip.decompress(open(path, "rb").read())
+    if data[:4] != TBX_MAGIC:
+        raise ValueError(f"{path}: bad tabix magic")
+    (n_ref, fmt, col_seq, col_beg, col_end, meta, skip, l_nm) = struct.unpack(
+        "<8i", data[4:36]
+    )
+    names = data[36 : 36 + l_nm].split(b"\x00")[:-1]
+    names = [n.decode() for n in names]
+    off = 36 + l_nm
+    refs = {}
+    for name in names:
+        (n_bin,) = struct.unpack("<i", data[off : off + 4])
+        off += 4
+        bins = {}
+        for _ in range(n_bin):
+            b, n_chunk = struct.unpack("<Ii", data[off : off + 8])
+            off += 8
+            chunks = []
+            for _ in range(n_chunk):
+                cb, ce = struct.unpack("<QQ", data[off : off + 16])
+                off += 16
+                chunks.append((cb, ce))
+            bins[b] = chunks
+        (n_intv,) = struct.unpack("<i", data[off : off + 4])
+        off += 4
+        lidx = list(
+            struct.unpack(f"<{n_intv}Q", data[off : off + 8 * n_intv])
+        )
+        off += 8 * n_intv
+        refs[name] = (bins, lidx)
+    return names, refs
+
+
+def fetch_region(gz_path: str, tbi_path: str, ref: str, beg: int, end: int):
+    """Region query via the index: decompress only the chunks whose bins
+    overlap [beg, end) (0-based half-open), return matching VCF lines.
+
+    This is the reader-side validation of the index structure (no tabix
+    binary in the environment): results must equal a brute-force scan.
+    """
+    import zlib
+
+    names, refs = read_tbi(tbi_path)
+    if ref not in refs:
+        return []
+    bins, lidx = refs[ref]
+    min_off = 0
+    w = beg >> _WINDOW_SHIFT
+    if lidx:
+        min_off = lidx[min(w, len(lidx) - 1)]
+    chunks = []
+    for b in reg2bins(beg, max(end, beg + 1)):
+        for cb, ce in bins.get(b, ()):
+            if ce > min_off:
+                chunks.append((max(cb, min_off), ce))
+    chunks.sort()
+    lines = []
+    with open(gz_path, "rb") as f:
+        for cb, ce in chunks:
+            c_block, u_off = cb >> 16, cb & 0xFFFF
+            c_end_block, u_end = ce >> 16, ce & 0xFFFF
+            buf = b""
+            pos = c_block
+            while pos <= c_end_block:
+                f.seek(pos)
+                head = f.read(18)
+                if len(head) < 18:
+                    break
+                bsize = struct.unpack("<H", head[16:18])[0] + 1
+                f.seek(pos)
+                member = f.read(bsize)
+                raw = zlib.decompress(member[18:-8], -15)
+                if pos == c_end_block:
+                    raw = raw[:u_end]
+                if pos == c_block:
+                    raw = raw[u_off:]
+                buf += raw
+                pos += bsize
+            for line in buf.split(b"\n"):
+                if not line or line.startswith(b"#"):
+                    continue
+                cols = line.split(b"\t", 4)
+                if cols[0].decode() != ref:
+                    continue
+                p0 = int(cols[1]) - 1
+                rend = p0 + max(len(cols[3]), 1)
+                if p0 < end and rend > beg:
+                    lines.append(line)
+    # chunks can overlap -> dedupe, keep file order
+    seen = set()
+    uniq = []
+    for ln in lines:
+        if ln not in seen:
+            seen.add(ln)
+            uniq.append(ln)
+    return uniq

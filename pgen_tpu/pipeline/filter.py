@@ -272,12 +272,16 @@ def filter_to_vcf(
     block_variants: int = DEFAULT_BLOCK_VARIANTS,
     source_tag: str = DEFAULT_SOURCE_TAG,
     emit_threads: int | None = None,
+    index: bool = False,
 ) -> FilterResult:
     """Filter a pgen fileset to a VCF (reference `filter` subcommand).
 
     emit_threads: host threads driving native block emission into disjoint
     output ranges (the C ABI releases the GIL). Defaults to min(2, cpus)
     for the native provider, 1 otherwise.
+    index: with a .gz output, also emit a tabix index ({out}.tbi) — every
+    row's uncompressed offset is known arithmetically, so indexing never
+    re-reads the VCF body (formats/tabix.py).
     """
     provider = _resolve_provider(provider)
     timer = StageTimer()
@@ -355,6 +359,8 @@ def filter_to_vcf(
             raise ValueError(
                 "bgzf (.gz) output requires the native runtime (C++ toolchain)"
             )
+    if index and not gz:
+        raise ValueError("--index requires a .gz (BGZF) output file")
     use_mmap = _can_mmap(out_file) and not gz
     if use_mmap:
         # Reuse the existing file's pages when the size matches: truncation
@@ -473,6 +479,12 @@ def filter_to_vcf(
         finally:
             os.close(fd)
 
+    if index:
+        with timer.stage("index"):
+            emit_tabix_index(
+                out_file, pvar, var_idx, prefix_sizes, row_fixed, len(header_bytes)
+            )
+
     log.info("filter: %s", timer.report())
     return FilterResult(
         out_path=out_file,
@@ -480,6 +492,42 @@ def filter_to_vcf(
         num_samples_kept=n_kept_samples,
         bytes_written=bytes_written,
         timer=timer,
+    )
+
+
+def emit_tabix_index(
+    gz_path: str,
+    pvar,
+    var_idx: np.ndarray,
+    prefix_sizes: np.ndarray,
+    row_fixed: int,
+    header_len: int,
+) -> str:
+    """Emit {gz_path}.tbi for the rows just written (kept order var_idx).
+
+    Row i's uncompressed byte span is pure arithmetic:
+    [header_len + prefix_sizes[i] + i*row_fixed, ... i+1 ...).
+    """
+    from pgen_tpu.formats.tabix import build_index_for_vcf_gz
+
+    for col in ("CHROM", "POS", "REF"):
+        if col not in pvar.columns:
+            raise ValueError(f"--index requires a {col} column in the .pvar")
+    chroms_all = pvar.get_column_strs("CHROM")
+    pos_all = pvar.get_column_strs("POS")
+    ref_all = pvar.get_column_strs("REF")
+    chroms = [chroms_all[i] for i in var_idx]
+    try:
+        pos = np.array([int(pos_all[i]) for i in var_idx], dtype=np.int64)
+    except ValueError as e:
+        raise ValueError(f"--index requires integer POS values: {e}") from None
+    ref_lens = np.array([len(ref_all[i]) for i in var_idx], dtype=np.int64)
+    n = len(var_idx)
+    idx = np.arange(n, dtype=np.int64)
+    u_starts = header_len + prefix_sizes[:-1] + idx * row_fixed
+    u_ends = header_len + prefix_sizes[1:] + (idx + 1) * row_fixed
+    return build_index_for_vcf_gz(
+        gz_path, chroms, pos, ref_lens, u_starts, u_ends
     )
 
 

@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Kernel stage timing lab for the device pipeline (run on the TPU chip).
+
+Times each stage of the mesh step with chained-dependency fori_loops
+(plain block_until_ready timing lies through the axon tunnel: the chain
+forces serialization on device, and the scalar sum forces materialized
+results). Reports per-stage wall time, implied HBM traffic, and achieved
+GB/s vs the v5e ~819 GB/s roofline.
+
+Usage: timeout 900 python tools/kernel_lab.py [stage ...]
+Stages default to all. V/R via env PGEN_LAB_V / PGEN_LAB_R.
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+V = int(os.environ.get("PGEN_LAB_V", 65536))
+R = int(os.environ.get("PGEN_LAB_R", 626))
+PEAK_GBPS = float(os.environ.get("PGEN_LAB_PEAK", 819))
+
+
+def _chain_time(make_body, x0, n_long=12, n_short=2):
+    """Median-free two-point chained timing: (t_long - t_short)/(n_long-n_short)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(x, n):
+        def body(i, acc):
+            return make_body(acc)
+
+        r = jax.lax.fori_loop(0, n, body, x)
+        return jnp.sum(r.reshape(-1)[:16].astype(jnp.int32))
+
+    int(chain(x0, 1))  # compile
+    t0 = time.perf_counter()
+    int(chain(x0, n_long))
+    t_long = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    int(chain(x0, n_short))
+    t_short = time.perf_counter() - t0
+    return max((t_long - t_short) / (n_long - n_short), 1e-9)
+
+
+def main(stages):
+    import jax
+    import jax.numpy as jnp
+
+    from pgen_tpu.ops.gt_text import _text_word
+    from pgen_tpu.ops.unpack import _unpack_words, unpack_words, words_to_bytes
+
+    backend = jax.default_backend()
+    print(f"# backend={backend} V={V} R={R}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    packed = jnp.asarray(rng.integers(0, 256, size=(V, R), dtype=np.uint8))
+    mask_np = rng.random(V) < 0.5
+    mask = jnp.asarray(mask_np)
+    order_np = np.argsort(~mask_np, kind="stable").astype(np.int32)
+    codes_np = rng.integers(0, 4, size=(V, 4 * R), dtype=np.uint8)
+    codes = jnp.asarray(codes_np)
+
+    results = {}
+
+    def report(name, dt, traffic_bytes):
+        gbps = traffic_bytes / dt / 1e9
+        results[name] = (dt, gbps)
+        print(
+            f"{name:28s} {dt * 1e3:8.2f} ms  {gbps:7.1f} GB/s "
+            f"({100 * gbps / PEAK_GBPS:5.1f}% peak)",
+            flush=True,
+        )
+
+    if "argsort" in stages:
+        # (V,) bool -> argsort -> feed back bool via parity; traffic ~ V*(1+4+4)
+        def body(m):
+            o = jnp.argsort(jnp.logical_not(m), stable=True)
+            return (o & 1).astype(bool)
+
+        dt = _chain_time(body, mask)
+        report("argsort(mask)", dt, V * 9)
+
+    if "take" in stages:
+        order = jnp.asarray(order_np)
+
+        def body(p):
+            return jnp.take(p, order, axis=0)
+
+        dt = _chain_time(body, packed)
+        report("take(packed, order)", dt, 2 * V * R)
+
+    if "take_words" in stages:
+        # same gather but on a u32 view (R/4 words): fewer, wider lanes
+        packed_w = jnp.asarray(
+            np.ascontiguousarray(
+                rng.integers(0, 2**32, size=(V, R // 4), dtype=np.uint32)
+            )
+        )
+        order = jnp.asarray(order_np)
+
+        def body(p):
+            return jnp.take(p, order, axis=0)
+
+        dt = _chain_time(body, packed_w)
+        report("take(u32 words)", dt, 2 * V * (R // 4) * 4)
+
+    if "unpack_pallas" in stages:
+        def body(p):
+            w = unpack_words(p)
+            return jax.lax.bitcast_convert_type(w, jnp.uint8)[:, :, 0]
+
+        dt = _chain_time(body, packed)
+        report("unpack (pallas)", dt, 5 * V * R)
+
+    if "unpack_xla" in stages:
+        def body(p):
+            w = _unpack_words(p)
+            return jax.lax.bitcast_convert_type(w, jnp.uint8)[:, :, 0]
+
+        dt = _chain_time(body, packed)
+        report("unpack (xla jnp)", dt, 5 * V * R)
+
+    if "text_xla" in stages:
+        def body(c):
+            tw = _text_word(c.astype(jnp.uint32))
+            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, :, 0]
+
+        dt = _chain_time(body, codes)
+        report("text words (xla jnp)", dt, (1 + 4) * V * 4 * R)
+
+    if "fused_xla" in stages:
+        # packed -> codes -> text words, all jnp elementwise in one jit:
+        # XLA fuses; traffic should be 1 read + 16 written per record byte
+        def body(p):
+            w = _unpack_words(p)
+            cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
+            tw = _text_word(cb.astype(jnp.uint32))
+            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+
+        dt = _chain_time(body, packed)
+        report("packed->text (xla fused)", dt, 17 * V * R)
+
+    if "full" in stages:
+        # the mesh _local_pipeline minus collectives
+        from pgen_tpu.parallel.mesh import _local_pipeline
+
+        def body(p):
+            tw, cnt = _local_pipeline(p, mask, None)
+            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+
+        dt = _chain_time(body, packed)
+        vps = V / dt
+        print(f"{'full local step':28s} {dt * 1e3:8.2f} ms  {vps / 1e6:7.2f} M var/s", flush=True)
+        report("full step traffic", dt, (1 + 2 + 1 + 16) * V * R)
+
+    if "full_nocompact" in stages:
+        def body(p):
+            w = _unpack_words(p)
+            cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
+            tw = _text_word(cb.astype(jnp.uint32))
+            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+
+        dt = _chain_time(body, packed)
+        print(f"{'no-compact step':28s} {dt * 1e3:8.2f} ms  {V / dt / 1e6:7.2f} M var/s", flush=True)
+
+    return results
+
+
+ALL = [
+    "argsort",
+    "take",
+    "take_words",
+    "unpack_pallas",
+    "unpack_xla",
+    "text_xla",
+    "fused_xla",
+    "full",
+]
+
+if __name__ == "__main__":
+    stages = sys.argv[1:] or ALL
+    main(stages)
