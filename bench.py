@@ -2,26 +2,35 @@
 """Benchmark harness: chr22-scale filter wall-clock vs the reference.
 
 Prints ONE JSON line:
-  {"metric": "chr22_keep_all_filter_wall_s", "value": <median s>,
+  {"metric": "chr22_keep_all_filter_wall_s", "value": <warm median s>,
    "unit": "s", "vs_baseline": <ref_s / ours_s>, ...detail fields}
 
-Baselines (BASELINE.md, /root/reference/README.md:162-189, unstated AVX2
-Intel dev box):
+Baselines (BASELINE.md, /root/reference/README.md:162-189):
   keep-all chr22 filter -> VCF : 30.747 s   (the flagship, output-bound)
   keep-2   chr22 filter -> VCF :  2.773 s   (metadata-scan bound)
+CAVEAT: the reference numbers come from an UNSTATED AVX2 Intel dev box;
+all vs_baseline ratios are cross-hardware comparisons (this VM vs that
+box), not same-machine measurements.
 
-Dataset: synthesized chr22-scale fileset (1,103,547 variants x 2504 samples
-— the 1000G phase3 chr22 shape; ~690 MB .pgen, ~11 GB VCF out). Generation
-is cached under data/chr22/ and untimed. Each config runs once untimed
-(page-cache warmup) then BENCH_RUNS timed runs; the median is reported.
+Cold vs warm: the mmap emission path deliberately reuses an existing
+same-size output file's pages. `keep_all_cold_s` deletes the output first
+(pays kernel page allocation, ~0.25 GB/s on this VM); the headline value
+is the WARM median (`headline_is_warm: true` says so in the output).
+
+Fixtures: the headline runs use uniform random packed bytes (fast
+generation, throughput-equivalent); `keep_all_realistic_s` repeats keep-all
+on a realistic-frequency fixture (mostly hom-ref, like real chr22).
 
 Env knobs: PGEN_BENCH_VARIANTS (default 1103547), BENCH_RUNS (default 5),
-PGEN_BENCH_PROVIDER (default native).
+PGEN_BENCH_PROVIDER (default native), PGEN_BENCH_REALISTIC=0 to skip,
+PGEN_BENCH_DEVICE=0 to skip the device-mesh e2e row, PGEN_BENCH_KERNEL=0
+to skip kernel microbenches.
 """
 
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -32,6 +41,7 @@ sys.path.insert(0, str(REPO / "tools"))
 
 BASELINE_KEEP_ALL_S = 30.747
 BASELINE_KEEP_TWO_S = 2.773
+V5E_HBM_GBPS = 819.0
 
 
 def _timed_runs(fn, runs):
@@ -65,14 +75,21 @@ def main():
 
     out = f"{prefix}.bench.vcf"
 
-    # keep-all: the output-bound flagship config
     def run_keep_all():
         return filter_to_vcf(prefix, out_file=out, provider=provider)
 
+    # cold: no reusable output pages — first-touch page allocation included
+    if os.path.exists(out):
+        os.unlink(out)
+    os.sync()
+    t0 = time.perf_counter()
+    res = run_keep_all()
+    keep_all_cold = time.perf_counter() - t0
+    out_gb = res.bytes_written / 1e9
+
+    # warm: page-reuse steady state (the headline; stated explicitly)
     keep_all_times = _timed_runs(run_keep_all, runs)
     keep_all = statistics.median(keep_all_times)
-    res = run_keep_all()
-    out_gb = res.bytes_written / 1e9
 
     # keep-2: metadata-scan bound (two real POS values from the fixture)
     pvar = read_metadata(f"{prefix}.pvar")
@@ -87,9 +104,24 @@ def main():
     keep_two_times = _timed_runs(run_keep_two, runs)
     keep_two = statistics.median(keep_two_times)
 
-    # half-samples (masked-LUT subset path): opt-in — it writes another
-    # multi-GB output whose page-allocation/writeback would otherwise
-    # perturb the headline configs on fresh machines.
+    # realistic-frequency fixture (mostly hom-ref): one warm timed run
+    realistic = None
+    if os.environ.get("PGEN_BENCH_REALISTIC", "1") == "1":
+        rprefix = str(
+            ensure_chr22(
+                REPO / "data" / "realistic",
+                num_variants=num_variants,
+                uniform_bytes=False,
+            )
+        )
+        rout = f"{rprefix}.bench.vcf"
+
+        def run_realistic():
+            return filter_to_vcf(rprefix, out_file=rout, provider=provider)
+
+        realistic = statistics.median(_timed_runs(run_realistic, max(2, runs - 3)))
+
+    # half-samples (masked-LUT subset path): opt-in — extra multi-GB output
     half = None
     if os.environ.get("PGEN_BENCH_HALF", "0") == "1":
         out3 = f"{prefix}.bench3.vcf"
@@ -102,9 +134,18 @@ def main():
         half = statistics.median(_timed_runs(run_half, max(1, runs - 1)))
 
     detail = {
+        "keep_all_cold_s": round(keep_all_cold, 3),
+        "keep_all_warm_s": round(keep_all, 3),
         "keep_all_runs_s": [round(t, 3) for t in keep_all_times],
+        "headline_is_warm": True,
+        "keep_all_cold_vs_baseline": round(BASELINE_KEEP_ALL_S / keep_all_cold, 2),
         "keep_two_wall_s": round(keep_two, 3),
         "keep_two_vs_baseline": round(BASELINE_KEEP_TWO_S / keep_two, 2),
+        **(
+            {"keep_all_realistic_s": round(realistic, 3)}
+            if realistic is not None
+            else {}
+        ),
         **({"half_samples_wall_s": round(half, 3)} if half is not None else {}),
         "output_gb": round(out_gb, 2),
         "emit_gbps": round(out_gb / keep_all, 2),
@@ -115,12 +156,18 @@ def main():
         "fixture_gen_s": round(gen_s, 1),
         "baseline_keep_all_s": BASELINE_KEEP_ALL_S,
         "baseline_keep_two_s": BASELINE_KEEP_TWO_S,
+        "baseline_hardware": "unstated AVX2 Intel dev box (cross-hardware)",
     }
 
-    # device decode kernel throughput (best-effort; absent off-TPU; run in a
-    # subprocess with a hard timeout — remote-compile tunnels can hang)
+    # device-mesh end-to-end row (the flagship multi-chip path, small size:
+    # this VM's device tunnel is ~25-33 MB/s, so wall time here is
+    # transfer-dominated — see docs/BENCHMARKS.md for the PCIe projection)
+    if os.environ.get("PGEN_BENCH_DEVICE", "1") == "1":
+        detail.update(_subprocess_row("--device-bench", "device_e2e", 560))
+
+    # device decode kernel throughput + per-round compile smoke
     if os.environ.get("PGEN_BENCH_KERNEL", "1") == "1":
-        detail.update(_bench_unpack_kernel_subprocess())
+        detail.update(_subprocess_row("--kernel-bench", "unpack_kernel", 560))
 
     print(
         json.dumps(
@@ -135,30 +182,59 @@ def main():
     )
 
 
-def _bench_unpack_kernel_subprocess() -> dict:
-    import subprocess
-
+def _subprocess_row(flag: str, prefix: str, timeout_s: int) -> dict:
+    """Run a device-touching bench in a subprocess with a hard timeout
+    (remote-compile tunnels can hang) and namespace its JSON result."""
     try:
         r = subprocess.run(
-            [sys.executable, __file__, "--kernel-bench"],
+            [sys.executable, __file__, flag],
             capture_output=True,
             text=True,
-            timeout=300,
+            timeout=timeout_s,
             cwd=str(REPO),
         )
         line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
         if r.returncode == 0 and line:
-            return {"unpack_kernel_gbps": round(float(line), 1)}
-        return {"unpack_kernel_error": (r.stderr or "no output")[-160:]}
+            return {f"{prefix}_{k}": v for k, v in json.loads(line).items()}
+        return {f"{prefix}_error": (r.stderr or "no output")[-160:]}
     except subprocess.TimeoutExpired:
-        return {"unpack_kernel_error": "timeout"}
+        return {f"{prefix}_error": "timeout"}
 
 
-def _bench_unpack_kernel() -> float:
-    """Chained-dependency unpack-words benchmark on the JAX default backend.
+def _device_bench() -> dict:
+    """End-to-end mesh filter on the default backend (small fixture)."""
+    import jax
 
-    Returns achieved GB/s counting 1 byte read + 4 written per record byte.
-    """
+    from make_fixtures import ensure_chr22
+
+    from pgen_tpu.pipeline.mesh_filter import filter_to_vcf_mesh
+
+    nvar = int(os.environ.get("PGEN_BENCH_DEVICE_VARIANTS", 16384))
+    prefix = str(
+        ensure_chr22(REPO / "data" / "devbench", num_variants=nvar, uniform_bytes=True)
+    )
+    out = f"{prefix}.device.vcf"
+    t0 = time.perf_counter()
+    filter_to_vcf_mesh(prefix, out_file=out)  # compile + first run
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = filter_to_vcf_mesh(prefix, out_file=out)
+    wall = time.perf_counter() - t0
+    return {
+        "wall_s": round(wall, 3),
+        "first_call_s": round(first, 3),
+        "variants": nvar,
+        "variants_per_s": int(nvar / wall),
+        "out_mb": round(res.bytes_written / 1e6, 1),
+        "backend": jax.default_backend(),
+        "note": "transfer-dominated through this VM's device tunnel",
+    }
+
+
+def _kernel_bench() -> dict:
+    """Chained-dependency unpack benchmark + compile smoke of every Pallas
+    kernel on the default backend (catches Mosaic lowering regressions the
+    CPU interpret-mode suite can't)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -166,12 +242,31 @@ def _bench_unpack_kernel() -> float:
     if jax.default_backend() == "cpu":
         raise RuntimeError("no accelerator backend")
 
+    from pgen_tpu.ops.gt_text import _text_words_from_codes
+    from pgen_tpu.ops.pack import pack_codes_device
     from pgen_tpu.ops.unpack import unpack_words
 
     V, R = 65536, 626
-    x = jnp.asarray(
-        np.random.default_rng(0).integers(0, 256, size=(V, R), dtype=np.uint8)
-    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, size=(V, R), dtype=np.uint8))
+
+    # compile smoke: every production Pallas kernel lowers + runs on-chip
+    smoke = {}
+    try:
+        jax.block_until_ready(unpack_words(x[:256]))
+        jax.block_until_ready(
+            _text_words_from_codes(
+                jnp.asarray(rng.integers(0, 4, size=(256, 4 * R), dtype=np.uint8)),
+                False,
+            )
+        )
+        jax.block_until_ready(
+            pack_codes_device(jnp.asarray(rng.integers(0, 4, (256, 4 * R), dtype=np.uint8)))
+        )
+        smoke["kernel_compile_ok"] = True
+    except Exception as e:  # pragma: no cover
+        smoke["kernel_compile_ok"] = False
+        smoke["kernel_compile_error"] = str(e)[-160:]
 
     @jax.jit
     def chain(x, n):
@@ -190,11 +285,18 @@ def _bench_unpack_kernel() -> float:
     int(chain(x, 2))
     t2 = time.perf_counter() - t0
     dt = max((t12 - t2) / 10, 1e-9)
-    return 5 * V * R / dt / 1e9
+    gbps = 5 * V * R / dt / 1e9
+    return {
+        "gbps": round(gbps, 1),
+        "pct_hbm_peak": round(100 * gbps / V5E_HBM_GBPS, 1),
+        **smoke,
+    }
 
 
 if __name__ == "__main__":
     if "--kernel-bench" in sys.argv:
-        print(_bench_unpack_kernel())
+        print(json.dumps(_kernel_bench()))
+    elif "--device-bench" in sys.argv:
+        print(json.dumps(_device_bench()))
     else:
         main()

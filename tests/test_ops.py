@@ -38,6 +38,18 @@ def test_unpack_lsb_first():
     assert got.tolist() == [[1, 2, 3, 0]]
 
 
+def test_unpack_all_256_bytes_exhaustive():
+    """The multiply-spread word formula equals the reference bit extraction
+    for every possible packed byte (both the Pallas kernel body and the
+    XLA form share _unpack_words)."""
+    packed = np.arange(256, dtype=np.uint8).reshape(1, 256)
+    ref = unpack_codes_reference(packed, 1024)
+    got = np.asarray(unpack_codes(jnp.asarray(packed), 1024, interpret=True))
+    assert (got == ref).all()
+    got_xla = np.asarray(unpack_codes_xla(jnp.asarray(packed), 1024))
+    assert (got_xla == ref).all()
+
+
 @pytest.mark.parametrize("shape", [(3, 4), (17, 30), (64, 2504)])
 def test_pack_unpack_roundtrip(shape):
     rng = np.random.default_rng(1)

@@ -159,6 +159,104 @@ def main(stages):
         print(f"{'full local step':28s} {dt * 1e3:8.2f} ms  {vps / 1e6:7.2f} M var/s", flush=True)
         report("full step traffic", dt, (1 + 2 + 1 + 16) * V * R)
 
+    def _spread(xi):
+        e = xi & 0x33
+        o = xi & 0xCC
+        return ((e * 0x1001) & 0x00030003) | ((o * 0x40040) & 0x03000300)
+
+    def _text_lut(c):
+        c2 = c << 1
+        d0 = (jnp.uint32(0x3A) >> c2) & 3
+        d1 = (jnp.uint32(0x3E) >> c2) & 3
+        return jnp.uint32(0x2E2F2E09) + (d0 << 8) + (d1 << 24)
+
+    if "unpack_mul" in stages:
+        # multiply-spread: 2 and + 2 mul + 2 and + 1 or vs ~11 shift/and/or
+        def body(p):
+            w = _spread(p.astype(jnp.uint32))
+            return jax.lax.bitcast_convert_type(w, jnp.uint8)[:, :, 0]
+
+        dt = _chain_time(body, packed)
+        report("unpack (mul-spread)", dt, 5 * V * R)
+
+    if "text_lut" in stages:
+        def body(c):
+            tw = _text_lut(c.astype(jnp.uint32))
+            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, :, 0]
+
+        dt = _chain_time(body, codes)
+        report("text words (2-bit LUT)", dt, (1 + 4) * V * 4 * R)
+
+    if "fused_mul" in stages:
+        def body(p):
+            w = _spread(p.astype(jnp.uint32))
+            cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
+            tw = _text_lut(cb.astype(jnp.uint32))
+            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+
+        dt = _chain_time(body, packed)
+        report("packed->text (mul+lut)", dt, 17 * V * R)
+
+    if "full_v2" in stages:
+        # materialization barrier between unpack and text: stops XLA from
+        # fusing the chain into one slow loop (fused measures ~11 ms vs
+        # ~3.2 ms for separately-materialized stages)
+        def body(p):
+            order = jnp.argsort(jnp.logical_not(mask), stable=True)
+            g = jnp.take(p, order, axis=0)
+            w = _unpack_words(g)
+            cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
+            cb = jax.lax.optimization_barrier(cb)
+            tw = _text_word(cb.astype(jnp.uint32))
+            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+
+        dt = _chain_time(body, packed)
+        print(f"{'full v2 (barrier)':28s} {dt * 1e3:8.2f} ms  {V / dt / 1e6:7.2f} M var/s", flush=True)
+
+    if "full_v3" in stages:
+        # barrier + mul-spread unpack + 2-bit-LUT text
+        def body(p):
+            order = jnp.argsort(jnp.logical_not(mask), stable=True)
+            g = jnp.take(p, order, axis=0)
+            w = _spread(g.astype(jnp.uint32))
+            cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
+            cb = jax.lax.optimization_barrier(cb)
+            tw = _text_lut(cb.astype(jnp.uint32))
+            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+
+        dt = _chain_time(body, packed)
+        print(f"{'full v3 (mul+lut+barrier)':28s} {dt * 1e3:8.2f} ms  {V / dt / 1e6:7.2f} M var/s", flush=True)
+
+    if "full_v2m" in stages:
+        # barrier + mul-spread unpack + select-based text (the best mix)
+        def body(p):
+            order = jnp.argsort(jnp.logical_not(mask), stable=True)
+            g = jnp.take(p, order, axis=0)
+            w = _spread(g.astype(jnp.uint32))
+            cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
+            cb = jax.lax.optimization_barrier(cb)
+            tw = _text_word(cb.astype(jnp.uint32))
+            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+
+        dt = _chain_time(body, packed)
+        print(f"{'full v2m (mul+sel+barrier)':28s} {dt * 1e3:8.2f} ms  {V / dt / 1e6:7.2f} M var/s", flush=True)
+
+    if "full_pallas2" in stages:
+        # two explicit pallas kernels as the materialization points
+        from pgen_tpu.ops.gt_text import _text_words_from_codes
+        from pgen_tpu.ops.unpack import unpack_words
+
+        def body(p):
+            order = jnp.argsort(jnp.logical_not(mask), stable=True)
+            g = jnp.take(p, order, axis=0)
+            w = unpack_words(g)
+            cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
+            tw = _text_words_from_codes(cb, False)
+            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+
+        dt = _chain_time(body, packed)
+        print(f"{'full pallas x2':28s} {dt * 1e3:8.2f} ms  {V / dt / 1e6:7.2f} M var/s", flush=True)
+
     if "full_nocompact" in stages:
         def body(p):
             w = _unpack_words(p)
@@ -178,8 +276,11 @@ ALL = [
     "take_words",
     "unpack_pallas",
     "unpack_xla",
+    "unpack_mul",
     "text_xla",
+    "text_lut",
     "fused_xla",
+    "fused_mul",
     "full",
 ]
 
