@@ -66,6 +66,23 @@ def main(stages):
     codes_np = rng.integers(0, 4, size=(V, 4 * R), dtype=np.uint8)
     codes = jnp.asarray(codes_np)
 
+
+    def _fold(w):
+        """Consume all 4 bytes of each u32 -> 1 byte (prevents XLA from
+        dead-code-eliminating any part of the producer, unlike a byte-plane
+        slice); ~4 extra lane-ops per word."""
+        y = w ^ (w >> 16)
+        y = (y ^ (y >> 8)) & 0xFF
+        return y.astype(jnp.uint8)
+
+    def _fold4(tw):
+        """(V, 4R) u32 text words -> (V, R) u8, consuming every byte, with
+        no strided gathers (the [::4] slice feedback was itself a gather
+        that dominated earlier full-chain measurements)."""
+        y = _fold(tw).astype(jnp.uint32)
+        v, n = y.shape
+        return (y.reshape(v, n // 4, 4).sum(-1) & 0xFF).astype(jnp.uint8)
+
     results = {}
 
     def report(name, dt, traffic_bytes):
@@ -112,24 +129,21 @@ def main(stages):
 
     if "unpack_pallas" in stages:
         def body(p):
-            w = unpack_words(p)
-            return jax.lax.bitcast_convert_type(w, jnp.uint8)[:, :, 0]
+            return _fold(unpack_words(p))
 
         dt = _chain_time(body, packed)
         report("unpack (pallas)", dt, 5 * V * R)
 
     if "unpack_xla" in stages:
         def body(p):
-            w = _unpack_words(p)
-            return jax.lax.bitcast_convert_type(w, jnp.uint8)[:, :, 0]
+            return _fold(_unpack_words(p))
 
         dt = _chain_time(body, packed)
         report("unpack (xla jnp)", dt, 5 * V * R)
 
     if "text_xla" in stages:
         def body(c):
-            tw = _text_word(c.astype(jnp.uint32))
-            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, :, 0]
+            return _fold(_text_word(c.astype(jnp.uint32)))
 
         dt = _chain_time(body, codes)
         report("text words (xla jnp)", dt, (1 + 4) * V * 4 * R)
@@ -141,7 +155,7 @@ def main(stages):
             w = _unpack_words(p)
             cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
             tw = _text_word(cb.astype(jnp.uint32))
-            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+            return _fold4(tw)
 
         dt = _chain_time(body, packed)
         report("packed->text (xla fused)", dt, 17 * V * R)
@@ -152,7 +166,7 @@ def main(stages):
 
         def body(p):
             tw, cnt = _local_pipeline(p, mask, None)
-            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+            return _fold4(tw)
 
         dt = _chain_time(body, packed)
         vps = V / dt
@@ -173,16 +187,14 @@ def main(stages):
     if "unpack_mul" in stages:
         # multiply-spread: 2 and + 2 mul + 2 and + 1 or vs ~11 shift/and/or
         def body(p):
-            w = _spread(p.astype(jnp.uint32))
-            return jax.lax.bitcast_convert_type(w, jnp.uint8)[:, :, 0]
+            return _fold(_spread(p.astype(jnp.uint32)))
 
         dt = _chain_time(body, packed)
         report("unpack (mul-spread)", dt, 5 * V * R)
 
     if "text_lut" in stages:
         def body(c):
-            tw = _text_lut(c.astype(jnp.uint32))
-            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, :, 0]
+            return _fold(_text_lut(c.astype(jnp.uint32)))
 
         dt = _chain_time(body, codes)
         report("text words (2-bit LUT)", dt, (1 + 4) * V * 4 * R)
@@ -192,7 +204,7 @@ def main(stages):
             w = _spread(p.astype(jnp.uint32))
             cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
             tw = _text_lut(cb.astype(jnp.uint32))
-            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+            return _fold4(tw)
 
         dt = _chain_time(body, packed)
         report("packed->text (mul+lut)", dt, 17 * V * R)
@@ -208,7 +220,7 @@ def main(stages):
             cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
             cb = jax.lax.optimization_barrier(cb)
             tw = _text_word(cb.astype(jnp.uint32))
-            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+            return _fold4(tw)
 
         dt = _chain_time(body, packed)
         print(f"{'full v2 (barrier)':28s} {dt * 1e3:8.2f} ms  {V / dt / 1e6:7.2f} M var/s", flush=True)
@@ -222,7 +234,7 @@ def main(stages):
             cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
             cb = jax.lax.optimization_barrier(cb)
             tw = _text_lut(cb.astype(jnp.uint32))
-            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+            return _fold4(tw)
 
         dt = _chain_time(body, packed)
         print(f"{'full v3 (mul+lut+barrier)':28s} {dt * 1e3:8.2f} ms  {V / dt / 1e6:7.2f} M var/s", flush=True)
@@ -236,7 +248,7 @@ def main(stages):
             cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
             cb = jax.lax.optimization_barrier(cb)
             tw = _text_word(cb.astype(jnp.uint32))
-            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+            return _fold4(tw)
 
         dt = _chain_time(body, packed)
         print(f"{'full v2m (mul+sel+barrier)':28s} {dt * 1e3:8.2f} ms  {V / dt / 1e6:7.2f} M var/s", flush=True)
@@ -252,7 +264,7 @@ def main(stages):
             w = unpack_words(g)
             cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
             tw = _text_words_from_codes(cb, False)
-            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+            return _fold4(tw)
 
         dt = _chain_time(body, packed)
         print(f"{'full pallas x2':28s} {dt * 1e3:8.2f} ms  {V / dt / 1e6:7.2f} M var/s", flush=True)
@@ -262,12 +274,58 @@ def main(stages):
             w = _unpack_words(p)
             cb = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(V, 4 * R)
             tw = _text_word(cb.astype(jnp.uint32))
-            return jax.lax.bitcast_convert_type(tw, jnp.uint8)[:, ::4, 0][:, :R]
+            return _fold4(tw)
 
         dt = _chain_time(body, packed)
         print(f"{'no-compact step':28s} {dt * 1e3:8.2f} ms  {V / dt / 1e6:7.2f} M var/s", flush=True)
 
     return results
+
+
+def _dispatch_time(fn, args, n=16):
+    """Time n async dispatches of a jitted fn, blocking once at the end.
+
+    Valid when per-call work >> tunnel RTT; calibrate against the chained
+    method with a known stage before trusting new numbers.
+    """
+    import jax
+
+    jax.block_until_ready(fn(*args))  # compile
+    jax.block_until_ready(fn(*args))  # steady state
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(n)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / n
+
+
+def prod_stages(stages):
+    """Timings of the REAL production step (full HBM outputs, no feedback
+    slicing) via pipelined async dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from pgen_tpu.ops.unpack import _unpack_words
+
+    rng = np.random.default_rng(0)
+    packed = jnp.asarray(rng.integers(0, 256, size=(V, R), dtype=np.uint8))
+    mask = jnp.asarray(rng.random(V) < 0.5)
+    print(f"# dispatch-timing backend={jax.default_backend()} V={V} R={R}", file=sys.stderr)
+
+    if "prod_unpack" in stages:
+        f = jax.jit(lambda p: _unpack_words(p))
+        dt = _dispatch_time(f, (packed,))
+        print(f"{'prod unpack (full write)':28s} {dt * 1e3:8.2f} ms  {5 * V * R / dt / 1e9:7.1f} GB/s", flush=True)
+
+    if "prod_step" in stages:
+        from jax.sharding import Mesh
+
+        from pgen_tpu.parallel.mesh import build_mesh_pipeline_step
+
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("v",))
+        step = build_mesh_pipeline_step(mesh, None)
+        valid = jnp.ones(V, dtype=bool)
+        dt = _dispatch_time(step, (packed, mask, valid))
+        print(f"{'prod mesh step (1 dev)':28s} {dt * 1e3:8.2f} ms  {V / dt / 1e6:7.2f} M var/s", flush=True)
 
 
 ALL = [
@@ -286,4 +344,9 @@ ALL = [
 
 if __name__ == "__main__":
     stages = sys.argv[1:] or ALL
-    main(stages)
+    prod = [s for s in stages if s.startswith("prod_")]
+    rest = [s for s in stages if not s.startswith("prod_")]
+    if rest:
+        main(rest)
+    if prod:
+        prod_stages(prod)

@@ -52,6 +52,36 @@ def _random_packed(rng, num_variants: int, num_samples: int) -> np.ndarray:
     return packed
 
 
+def _random_packed_bytes(rng, num_variants: int, num_samples: int) -> np.ndarray:
+    """Realistic-frequency packed records sampled at BYTE level.
+
+    The distribution of a packed byte is the product of 4 iid 2-bit code
+    draws, so sampling bytes from the 256-entry CDF is ~10x faster than
+    sampling codes and packing. Used for the chr22-scale realistic
+    fixture; basic1 keeps the original code-level sampler so its committed
+    golden hashes stay stable. Tail-byte padding bits carry random codes
+    (beyond num_samples, never read)."""
+    rec = (2 * num_samples + 7) // 8
+    p_code = np.asarray(_GT_PROBS)
+    idx = np.arange(256)
+    p_byte = np.ones(256)
+    for k in range(4):
+        p_byte *= p_code[(idx >> (2 * k)) & 3]
+    cdf = np.cumsum(p_byte)
+    cdf[-1] = 1.0
+    packed = np.empty((num_variants, rec), dtype=np.uint8)
+    chunk = max(1, (1 << 26) // max(rec, 1))
+    for lo in range(0, num_variants, chunk):
+        hi = min(lo + chunk, num_variants)
+        u = rng.random((hi - lo) * rec)
+        packed[lo:hi] = (
+            np.searchsorted(cdf, u, side="right")
+            .astype(np.uint8)
+            .reshape(hi - lo, rec)
+        )
+    return packed
+
+
 def _write_pvar(path: Path, num_variants: int, chrom: str, seed: int, info: bool = True):
     rng = np.random.default_rng(seed)
     pos = np.cumsum(rng.integers(10, 500, size=num_variants)) + 10_000
@@ -178,7 +208,7 @@ def ensure_chr22(
             rec = (2 * num_samples + 7) // 8
             packed = rng.integers(0, 256, size=(num_variants, rec), dtype=np.uint8)
         else:
-            packed = _random_packed(rng, num_variants, num_samples)
+            packed = _random_packed_bytes(rng, num_variants, num_samples)
         write_pgen_packed(pgen, packed, num_samples)
     return prefix
 
