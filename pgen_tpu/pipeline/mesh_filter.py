@@ -231,23 +231,48 @@ def filter_to_vcf_mesh(
         state["byte_base"] += int(psz[-1]) + nk * row_fixed
         state["rows"] += nk
 
+    # Double-buffered staging (SURVEY.md §2 "I/O parallelism"): a reader
+    # thread faults in and pads block i+1's host arrays (the page-cache
+    # read is the slow host half on cold files) while the main thread
+    # ships block i to the devices and drains block i-1's output.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def stage_block(lo: int):
+        hi = min(lo + vb, nvar_meta)
+        n = hi - lo
+        packed = np.zeros((vb, rec), dtype=np.uint8)
+        packed[:n] = records[lo:hi]
+        valid = np.zeros(vb, dtype=bool)
+        valid[:n] = True
+        if cols is None:
+            pred = np.zeros(vb, dtype=bool)
+            pred[:n] = host_var_mask[lo:hi]
+            host_pred = pred
+        else:
+            host_pred = None
+        return lo, hi, n, packed, valid, host_pred
+
+    reader = ThreadPoolExecutor(1, thread_name_prefix="pgen-stage")
+
     # Streamed: dispatch block i+1 while block i drains (dispatch is
     # async, so the device computes ahead of the host readback/write).
     pending = deque()
     try:
         os.pwrite(fd, header_bytes, 0)
-        for lo in range(0, nvar_meta, vb):
-            hi = min(lo + vb, nvar_meta)
-            n = hi - lo
-            packed = np.zeros((vb, rec), dtype=np.uint8)
-            packed[:n] = records[lo:hi]
-            valid = np.zeros(vb, dtype=bool)
-            valid[:n] = True
+        block_los = list(range(0, nvar_meta, vb))
+        staged = reader.submit(stage_block, block_los[0]) if block_los else None
+        for bi in range(len(block_los)):
+            with timer.stage("stage_read"):
+                lo, hi, n, packed, valid, host_pred = staged.result()
+            if bi + 1 < len(block_los):
+                staged = reader.submit(stage_block, block_los[bi + 1])
             with timer.stage("h2d", nbytes=packed.nbytes):
                 packed_d = jax.device_put(packed, shard_2d)
                 valid_d = jax.device_put(valid, shard_1d)
 
             def _host_pred():
+                if host_pred is not None:
+                    return jax.device_put(host_pred, shard_1d)
                 pred = np.zeros(vb, dtype=bool)
                 pred[:n] = host_var_mask[lo:hi]
                 return jax.device_put(pred, shard_1d)
@@ -291,6 +316,7 @@ def filter_to_vcf_mesh(
         while pending:
             drain(pending.popleft())
     finally:
+        reader.shutdown(wait=False, cancel_futures=True)
         os.close(fd)
 
     log.info("mesh filter: %s", timer.report())
