@@ -488,7 +488,19 @@ void pgen_count_seps(const unsigned char* buf, int64_t n, int64_t* n_tabs,
                      int64_t* n_nls, int64_t* n_crs) {
   int64_t tabs = 0, nls = 0, crs = 0;
   int64_t i = 0;
-#ifdef PGEN_HAVE_NT
+#if defined(__AVX512BW__)
+  // 64 B/iter with mask registers: compare-to-mask + popcount, no
+  // per-byte accumulators or overflow flushes needed.
+  const __m512i wt = _mm512_set1_epi8('\t');
+  const __m512i wn = _mm512_set1_epi8('\n');
+  const __m512i wr = _mm512_set1_epi8('\r');
+  for (; i + 64 <= n; i += 64) {
+    __m512i x = _mm512_loadu_si512((const void*)(buf + i));
+    tabs += (int64_t)__builtin_popcountll(_mm512_cmpeq_epi8_mask(x, wt));
+    nls += (int64_t)__builtin_popcountll(_mm512_cmpeq_epi8_mask(x, wn));
+    crs += (int64_t)__builtin_popcountll(_mm512_cmpeq_epi8_mask(x, wr));
+  }
+#elif defined(PGEN_HAVE_NT)
   const __m128i vt = _mm_set1_epi8('\t');
   const __m128i vn = _mm_set1_epi8('\n');
   const __m128i vr = _mm_set1_epi8('\r');
@@ -529,7 +541,23 @@ void pgen_count_seps(const unsigned char* buf, int64_t n, int64_t* n_tabs,
 void pgen_fill_seps(const unsigned char* buf, int64_t n, int64_t* tab_out,
                     int64_t* nl_out) {
   int64_t i = 0;
-#ifdef PGEN_HAVE_NT
+#if defined(__AVX512BW__)
+  const __m512i wt = _mm512_set1_epi8('\t');
+  const __m512i wn = _mm512_set1_epi8('\n');
+  for (; i + 64 <= n; i += 64) {
+    __m512i x = _mm512_loadu_si512((const void*)(buf + i));
+    unsigned long long mt = _mm512_cmpeq_epi8_mask(x, wt);
+    unsigned long long mn = _mm512_cmpeq_epi8_mask(x, wn);
+    while (mt) {
+      *tab_out++ = i + __builtin_ctzll(mt);
+      mt &= mt - 1;
+    }
+    while (mn) {
+      *nl_out++ = i + __builtin_ctzll(mn);
+      mn &= mn - 1;
+    }
+  }
+#elif defined(PGEN_HAVE_NT)
   const __m128i vt = _mm_set1_epi8('\t');
   const __m128i vn = _mm_set1_epi8('\n');
   for (; i + 16 <= n; i += 16) {
