@@ -160,6 +160,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
         ),
     )
     f.add_argument(
+        "--index-format",
+        choices=("auto", "tbi", "csi"),
+        default="auto",
+        help=(
+            "Index flavor for --index: .tbi (tabix), .csi (no 2^29 "
+            "position limit), or auto (.csi only when a position "
+            "needs it)."
+        ),
+    )
+    f.add_argument(
         "--resume",
         action="store_true",
         help=(
@@ -318,6 +328,7 @@ def main(argv=None) -> int:
                         provider=args.provider,
                         emit_threads=args.threads,
                         index=args.index,
+                        index_format=args.index_format,
                         **kwargs,
                     )
                 if args.stats:

@@ -29,7 +29,13 @@ import struct
 import numpy as np
 
 TBX_MAGIC = b"TBI\x01"
+CSI_MAGIC = b"CSI\x01"
 _WINDOW_SHIFT = 14  # 16 kb linear-index windows
+# .tbi's fixed 5-level/14-shift binning caps positions at 2^29 (512 Mb);
+# longer contigs need the generalized .csi index (htslib behavior).
+TBI_MAX_POS = 1 << 29
+CSI_MIN_SHIFT = 14
+CSI_DEPTH = 5
 
 
 def reg2bin(beg: int, end: int) -> int:
@@ -53,6 +59,35 @@ def reg2bins(beg: int, end: int) -> list:
     bins = [0]
     end -= 1
     for shift, off in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
+    return bins
+
+
+def reg2bin_csi(beg: int, end: int, min_shift: int = CSI_MIN_SHIFT, depth: int = CSI_DEPTH) -> int:
+    """Generalized CSI bin for [beg, end) (CSI spec reg2bin; at the
+    default min_shift=14/depth=5 this equals the tabix binning but with
+    no position ceiling)."""
+    end -= 1
+    s = min_shift
+    t = ((1 << (depth * 3)) - 1) // 7
+    for level in range(depth, 0, -1):
+        if beg >> s == end >> s:
+            return t + (beg >> s)
+        s += 3
+        t -= 1 << ((level - 1) * 3)
+    return 0
+
+
+def reg2bins_csi(beg: int, end: int, min_shift: int = CSI_MIN_SHIFT, depth: int = CSI_DEPTH) -> list:
+    """All CSI bins overlapping [beg, end) — the reader-side query set.
+
+    Level l (1..depth) bins start at offset (8^l - 1)/7 and cover
+    2^(min_shift + 3*(depth-l)) bases each."""
+    bins = [0]
+    end -= 1
+    for level in range(1, depth + 1):
+        off = ((1 << (level * 3)) - 1) // 7
+        shift = min_shift + 3 * (depth - level)
         bins.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
     return bins
 
@@ -175,6 +210,87 @@ class TbiWriter:
             f.write(BGZF_EOF)
 
 
+class CsiWriter:
+    """CSI (.csi) index writer: the generalized binning index with no
+    2^29 position ceiling (htslib csi spec). Same ``add`` interface as
+    TbiWriter; the tabix column configuration travels in the aux blob so
+    htslib readers treat the file as a tabix index."""
+
+    def __init__(self, min_shift: int = CSI_MIN_SHIFT, depth: int = CSI_DEPTH):
+        self.min_shift = min_shift
+        self.depth = depth
+        self._refs: dict = {}  # name -> ({bin: [chunks]}, lidx list)
+        self._order: list = []
+
+    def add(self, ref: str, beg: int, end: int, vbeg: int, vend: int):
+        if ref not in self._refs:
+            self._refs[ref] = ({}, [])
+            self._order.append(ref)
+        bins, lidx = self._refs[ref]
+        b = reg2bin_csi(beg, max(end, beg + 1), self.min_shift, self.depth)
+        chunks = bins.setdefault(b, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1][1] = vend
+        else:
+            chunks.append([vbeg, vend])
+        # finest-level linear index (min_shift windows): min voffset of any
+        # record overlapping each window — the source of bin loffsets
+        # (htslib update_loff semantics)
+        w0 = beg >> self.min_shift
+        w1 = max(end - 1, beg) >> self.min_shift
+        if len(lidx) <= w1:
+            lidx.extend([0] * (w1 + 1 - len(lidx)))
+        for w in range(w0, w1 + 1):
+            if lidx[w] == 0 or vbeg < lidx[w]:
+                lidx[w] = vbeg
+
+    def _bin_bot(self, b: int) -> int:
+        """First finest-level window covered by bin b (htslib hts_bin_bot)."""
+        level = 0
+        while b >= ((1 << ((level + 1) * 3)) - 1) // 7:
+            level += 1
+        first = ((1 << (level * 3)) - 1) // 7
+        return (b - first) << (3 * (self.depth - level))
+
+    def serialize(self) -> bytes:
+        out = bytearray()
+        out += CSI_MAGIC
+        names_blob = b"".join(n.encode() + b"\x00" for n in self._order)
+        aux = struct.pack(
+            "<7i", 2, 1, 2, 0, ord("#"), 0, len(names_blob)
+        ) + names_blob  # tabix conf: VCF preset, CHROM/POS columns
+        out += struct.pack("<3i", self.min_shift, self.depth, len(aux))
+        out += aux
+        out += struct.pack("<i", len(self._order))
+        for name in self._order:
+            bins, lidx = self._refs[name]
+            filled = list(lidx)
+            for i in range(1, len(filled)):
+                if filled[i] == 0:
+                    filled[i] = filled[i - 1]
+            out += struct.pack("<i", len(bins))
+            for b in sorted(bins):
+                chunks = bins[b]
+                bot = self._bin_bot(b)
+                loff = filled[bot] if bot < len(filled) else 0
+                out += struct.pack("<IQi", b, loff, len(chunks))
+                for cb, ce in chunks:
+                    out += struct.pack("<QQ", cb, ce)
+        return bytes(out)
+
+    def write(self, path: str) -> None:
+        from pgen_tpu.native import HAVE_NATIVE, native
+        from pgen_tpu.pipeline.filter import BGZF_EOF
+
+        if not HAVE_NATIVE:
+            raise RuntimeError(".csi emission requires the native runtime")
+        payload = self.serialize()
+        comp = native.bgzf_compress(np.frombuffer(payload, dtype=np.uint8))
+        with open(path, "wb") as f:
+            f.write(bytes(comp))
+            f.write(BGZF_EOF)
+
+
 def build_index_for_vcf_gz(
     gz_path: str,
     chroms: list,
@@ -183,22 +299,45 @@ def build_index_for_vcf_gz(
     row_u_starts: np.ndarray,
     row_u_ends: np.ndarray,
     tbi_path: str | None = None,
+    fmt: str = "auto",
 ) -> str:
-    """Emit ``{gz_path}.tbi`` from per-row metadata + uncompressed offsets.
+    """Emit ``{gz_path}.tbi`` (or ``.csi``) from per-row metadata +
+    uncompressed offsets.
 
     chroms: per kept row reference name (file order); pos_1based/ref_lens:
     VCF POS and len(REF); row_u_starts/row_u_ends: each row's uncompressed
     byte span in the VCF stream (known arithmetically at emission time).
+    fmt: "tbi", "csi", or "auto" (csi iff any end exceeds the .tbi 2^29
+    position ceiling — htslib's switch-over rule).
     """
     c_offs, u_offs = bgzf_member_table(gz_path)
     vbeg = virtual_offsets(row_u_starts, c_offs, u_offs)
     vend = virtual_offsets(row_u_ends, c_offs, u_offs)
-    w = TbiWriter()
     pos0 = np.asarray(pos_1based, dtype=np.int64) - 1
     ends = pos0 + np.maximum(np.asarray(ref_lens, dtype=np.int64), 1)
+    if fmt == "auto":
+        fmt = "csi" if len(ends) and int(ends.max()) > TBI_MAX_POS else "tbi"
+    if fmt not in ("tbi", "csi"):
+        raise ValueError(f"unknown index format {fmt!r} (tbi/csi/auto)")
+    if fmt == "tbi" and len(ends) and int(ends.max()) > TBI_MAX_POS:
+        raise ValueError(
+            f"position {int(ends.max())} exceeds the .tbi 2^29 limit; "
+            "use the .csi format"
+        )
+    if fmt == "tbi":
+        w = TbiWriter()
+    else:
+        # depth must cover the max coordinate: capacity is
+        # 2^(min_shift + 3*depth) (htslib idx_check_range; it suggests
+        # deeper n_lvls for out-of-range positions — we just compute it)
+        max_end = int(ends.max()) if len(ends) else 0
+        depth = CSI_DEPTH
+        while (1 << (CSI_MIN_SHIFT + 3 * depth)) <= max_end:
+            depth += 1
+        w = CsiWriter(depth=depth)
     for i in range(len(chroms)):
         w.add(chroms[i], int(pos0[i]), int(ends[i]), int(vbeg[i]), int(vend[i]))
-    tbi_path = tbi_path or f"{gz_path}.tbi"
+    tbi_path = tbi_path or f"{gz_path}.{fmt}"
     w.write(tbi_path)
     return tbi_path
 
@@ -243,28 +382,85 @@ def read_tbi(path: str):
     return names, refs
 
 
+def read_csi(path: str):
+    """Parse a .csi file -> (names, refs, min_shift, depth) where
+    refs[name] = {bin: (loffset, chunks)}."""
+    import gzip
+
+    data = gzip.decompress(open(path, "rb").read())
+    if data[:4] != CSI_MAGIC:
+        raise ValueError(f"{path}: bad CSI magic")
+    min_shift, depth, l_aux = struct.unpack("<3i", data[4:16])
+    aux = data[16 : 16 + l_aux]
+    names = []
+    if len(aux) >= 28:
+        (l_nm,) = struct.unpack("<i", aux[24:28])
+        names = [n.decode() for n in aux[28 : 28 + l_nm].split(b"\x00")[:-1]]
+    off = 16 + l_aux
+    (n_ref,) = struct.unpack("<i", data[off : off + 4])
+    off += 4
+    refs = {}
+    for r in range(n_ref):
+        (n_bin,) = struct.unpack("<i", data[off : off + 4])
+        off += 4
+        bins = {}
+        for _ in range(n_bin):
+            b, loff, n_chunk = struct.unpack("<IQi", data[off : off + 16])
+            off += 16
+            chunks = []
+            for _ in range(n_chunk):
+                cb, ce = struct.unpack("<QQ", data[off : off + 16])
+                off += 16
+                chunks.append((cb, ce))
+            bins[b] = (loff, chunks)
+        name = names[r] if r < len(names) else str(r)
+        refs[name] = bins
+    return names, refs, min_shift, depth
+
+
 def fetch_region(gz_path: str, tbi_path: str, ref: str, beg: int, end: int):
     """Region query via the index: decompress only the chunks whose bins
     overlap [beg, end) (0-based half-open), return matching VCF lines.
+    Dispatches on the index magic (.tbi or .csi).
 
     This is the reader-side validation of the index structure (no tabix
     binary in the environment): results must equal a brute-force scan.
     """
+    import gzip
     import zlib
 
-    names, refs = read_tbi(tbi_path)
-    if ref not in refs:
-        return []
-    bins, lidx = refs[ref]
-    min_off = 0
-    w = beg >> _WINDOW_SHIFT
-    if lidx:
-        min_off = lidx[min(w, len(lidx) - 1)]
+    magic = gzip.decompress(open(tbi_path, "rb").read())[:4]
     chunks = []
-    for b in reg2bins(beg, max(end, beg + 1)):
-        for cb, ce in bins.get(b, ()):
-            if ce > min_off:
-                chunks.append((max(cb, min_off), ce))
+    if magic == CSI_MAGIC:
+        names, refs, min_shift, depth = read_csi(tbi_path)
+        if ref not in refs:
+            return []
+        bins = refs[ref]
+        # min_off: loffset of the smallest bin containing beg
+        min_off = 0
+        b_beg = reg2bin_csi(beg, beg + 1, min_shift, depth)
+        if b_beg in bins:
+            min_off = bins[b_beg][0]
+        for b in reg2bins_csi(beg, max(end, beg + 1), min_shift, depth):
+            ent = bins.get(b)
+            if ent is None:
+                continue
+            for cb, ce in ent[1]:
+                if ce > min_off:
+                    chunks.append((max(cb, min_off), ce))
+    else:
+        names, refs = read_tbi(tbi_path)
+        if ref not in refs:
+            return []
+        bins, lidx = refs[ref]
+        min_off = 0
+        w = beg >> _WINDOW_SHIFT
+        if lidx:
+            min_off = lidx[min(w, len(lidx) - 1)]
+        for b in reg2bins(beg, max(end, beg + 1)):
+            for cb, ce in bins.get(b, ()):
+                if ce > min_off:
+                    chunks.append((max(cb, min_off), ce))
     chunks.sort()
     lines = []
     with open(gz_path, "rb") as f:

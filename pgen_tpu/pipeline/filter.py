@@ -273,14 +273,16 @@ def filter_to_vcf(
     source_tag: str = DEFAULT_SOURCE_TAG,
     emit_threads: int | None = None,
     index: bool = False,
+    index_format: str = "auto",
 ) -> FilterResult:
     """Filter a pgen fileset to a VCF (reference `filter` subcommand).
 
     emit_threads: host threads driving native block emission into disjoint
     output ranges (the C ABI releases the GIL). Defaults to min(2, cpus)
     for the native provider, 1 otherwise.
-    index: with a .gz output, also emit a tabix index ({out}.tbi) — every
-    row's uncompressed offset is known arithmetically, so indexing never
+    index: with a .gz output, also emit a tabix index ({out}.tbi, or .csi
+    for positions beyond 2^29 / index_format="csi") — every row's
+    uncompressed offset is known arithmetically, so indexing never
     re-reads the VCF body (formats/tabix.py).
     """
     provider = _resolve_provider(provider)
@@ -482,7 +484,13 @@ def filter_to_vcf(
     if index:
         with timer.stage("index"):
             emit_tabix_index(
-                out_file, pvar, var_idx, prefix_sizes, row_fixed, len(header_bytes)
+                out_file,
+                pvar,
+                var_idx,
+                prefix_sizes,
+                row_fixed,
+                len(header_bytes),
+                fmt=index_format,
             )
 
     log.info("filter: %s", timer.report())
@@ -502,8 +510,11 @@ def emit_tabix_index(
     prefix_sizes: np.ndarray,
     row_fixed: int,
     header_len: int,
+    fmt: str = "auto",
 ) -> str:
-    """Emit {gz_path}.tbi for the rows just written (kept order var_idx).
+    """Emit {gz_path}.tbi (or .csi) for the rows just written (kept order
+    var_idx). fmt: tbi/csi/auto — auto picks .csi when any position
+    exceeds the .tbi 2^29 ceiling.
 
     Row i's uncompressed byte span is pure arithmetic:
     [header_len + prefix_sizes[i] + i*row_fixed, ... i+1 ...).
@@ -527,7 +538,7 @@ def emit_tabix_index(
     u_starts = header_len + prefix_sizes[:-1] + idx * row_fixed
     u_ends = header_len + prefix_sizes[1:] + (idx + 1) * row_fixed
     return build_index_for_vcf_gz(
-        gz_path, chroms, pos, ref_lens, u_starts, u_ends
+        gz_path, chroms, pos, ref_lens, u_starts, u_ends, fmt=fmt
     )
 
 

@@ -158,3 +158,128 @@ def test_index_requires_gz(tmp_path):
     )
     with pytest.raises(ValueError, match="gz"):
         filter_to_vcf(prefix, out_file=tmp_path / "e.vcf", index=True)
+
+
+# -- CSI (.csi) generalized index -------------------------------------------
+
+
+def test_reg2bin_csi_matches_tbi_binning():
+    from pgen_tpu.formats.tabix import reg2bin_csi, reg2bins_csi
+
+    rng = np.random.default_rng(7)
+    for _ in range(400):
+        beg = int(rng.integers(0, 1 << 28))
+        end = beg + int(rng.integers(1, 1 << 20))
+        assert reg2bin_csi(beg, end) == reg2bin(beg, end)
+    assert reg2bins_csi(12345, 700_000) == sorted(reg2bins(12345, 700_000))
+
+
+def test_reg2bin_csi_beyond_tbi_limit():
+    from pgen_tpu.formats.tabix import reg2bin_csi, reg2bins_csi
+
+    # positions past 2^29 bin at depth 6 (capacity 2^32), and the query
+    # set contains the record's bin
+    beg = (1 << 30) + 12345
+    b = reg2bin_csi(beg, beg + 10, depth=6)
+    assert b > 0
+    assert b in reg2bins_csi(beg - 5, beg + 20, depth=6)
+
+
+@pytest.fixture(scope="module")
+def csi_vcf(tmp_path_factory):
+    from conftest import build_fileset
+
+    td = tmp_path_factory.mktemp("csi")
+    rng = np.random.default_rng(31)
+    nvar, nsamp = 700, 31
+    codes = rng.integers(0, 4, size=(nvar, nsamp), dtype=np.uint8)
+    # one long contig with positions past the .tbi 2^29 ceiling
+    pos = np.sort(rng.integers(1, (1 << 30) + (1 << 21), nvar))
+    pvar_rows = [
+        f"1\t{pos[i]}\tv{i}\t{'ACGT'[: 1 + i % 4]}\tG\t.\t.\t." for i in range(nvar)
+    ]
+    prefix = build_fileset(
+        td, "L", codes, pvar_rows, [f"s{i}\tM" for i in range(nsamp)]
+    )
+    gz = td / "L.vcf.gz"
+    filter_to_vcf(prefix, out_file=gz, index=True)  # auto -> .csi
+    return gz
+
+
+def test_auto_switches_to_csi(csi_vcf):
+    import os
+
+    assert os.path.exists(str(csi_vcf) + ".csi")
+    assert not os.path.exists(str(csi_vcf) + ".tbi")
+
+
+def test_csi_structure(csi_vcf):
+    from pgen_tpu.formats.tabix import read_csi
+
+    names, refs, min_shift, depth = read_csi(str(csi_vcf) + ".csi")
+    assert names == ["1"]
+    assert min_shift == 14
+    # depth grew to cover positions past 2^29 (capacity 2^(14+3*depth))
+    assert depth == 6
+    bins = refs["1"]
+    assert bins
+    for b, (loff, chunks) in bins.items():
+        for cb, ce in chunks:
+            assert cb < ce
+            assert loff <= cb  # loffset precedes the bin's own chunks
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_csi_fetch_matches_brute_force(csi_vcf, seed):
+    csi = str(csi_vcf) + ".csi"
+    rng = np.random.default_rng(seed)
+    span = (1 << 30) + (1 << 21)
+    for _ in range(12):
+        beg = int(rng.integers(0, span))
+        end = beg + int(rng.integers(1, span // 3))
+        got = fetch_region(str(csi_vcf), csi, "1", beg, end)
+        want = _brute_force(csi_vcf, "1", beg, end)
+        assert got == want, (beg, end)
+    # whole-contig and empty-region queries
+    assert len(fetch_region(str(csi_vcf), csi, "1", 0, 1 << 31)) == 700
+    assert fetch_region(str(csi_vcf), csi, "2", 0, 1 << 31) == []
+
+
+def test_explicit_tbi_rejects_long_positions(tmp_path):
+    from conftest import build_fileset
+
+    codes = np.zeros((2, 3), dtype=np.uint8)
+    prefix = build_fileset(
+        tmp_path,
+        "x",
+        codes,
+        [f"1\t{(1 << 29) + 7}\ta\tA\tC\t.\t.\t.", f"1\t{(1 << 29) + 9}\tb\tA\tC\t.\t.\t."],
+        ["s0\tM", "s1\tM", "s2\tM"],
+    )
+    with pytest.raises(ValueError, match="2\\^29"):
+        filter_to_vcf(
+            prefix, out_file=tmp_path / "x.vcf.gz", index=True, index_format="tbi"
+        )
+
+
+def test_cli_index_format_csi(tmp_path):
+    from conftest import build_fileset
+    from cli_helpers import run_cli
+
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, size=(25, 5), dtype=np.uint8)
+    prefix = build_fileset(
+        tmp_path,
+        "k",
+        codes,
+        [f"1\t{100 + i}\tr{i}\tA\tC\t.\t.\t." for i in range(25)],
+        [f"s{i}\tF" for i in range(5)],
+    )
+    out = tmp_path / "k.vcf.gz"
+    assert (
+        run_cli(["filter", prefix, "-o", str(out), "--index", "--index-format", "csi"])
+        == 0
+    )
+    assert (tmp_path / "k.vcf.gz.csi").exists()
+    got = fetch_region(str(out), str(out) + ".csi", "1", 0, 1000)
+    assert len(got) == 25
