@@ -255,9 +255,10 @@ def main(argv=None) -> int:
             if args.index:
                 if not str(args.out_file or "").endswith(".gz"):
                     raise ValueError("--index requires -o out.vcf.gz")
-                if args.workers is not None or args.shards is not None:
+                if args.shards is not None and args.shard_index is not None:
                     raise ValueError(
-                        "--index is not yet supported with --workers/--shards"
+                        "--index needs the complete file: drop --shard-index "
+                        "(the merged run can index) or index afterwards"
                     )
                 if args.out_format == "pgen":
                     raise ValueError("--index applies to VCF output only")
@@ -287,6 +288,8 @@ def main(argv=None) -> int:
                         provider=args.provider,
                         num_workers=args.workers,
                         resume=args.resume,
+                        index=args.index,
+                        index_format=args.index_format,
                         **kwargs,
                     )
                 elif args.shards is not None:
@@ -300,6 +303,8 @@ def main(argv=None) -> int:
                         provider=args.provider,
                         num_shards=args.shards,
                         shard_index=args.shard_index,
+                        index=args.index,
+                        index_format=args.index_format,
                         **kwargs,
                     )
                 elif args.provider == "device" and not str(

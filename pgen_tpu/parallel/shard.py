@@ -137,6 +137,8 @@ def filter_to_vcf_parallel(
     num_workers: int = 2,
     block_variants: int = 1 << 16,
     resume: bool = False,
+    index: bool = False,
+    index_format: str = "auto",
 ) -> FilterResult:
     """Run the shards in parallel worker processes, one shard each.
 
@@ -161,7 +163,11 @@ def filter_to_vcf_parallel(
             provider=provider,
             num_shards=1,
             block_variants=block_variants,
+            index=index,
+            index_format=index_format,
         )
+    if index and not str(out_file or f"{pfile_prefix}.pgen-rs.vcf").endswith(".gz"):
+        raise ValueError("--index requires a .gz (BGZF) output file")
     if out_file is None:
         out_file = f"{pfile_prefix}.pgen-rs.vcf"
     out_file = str(out_file)
@@ -276,6 +282,13 @@ def filter_to_vcf_parallel(
         bytes_written = _concat_gz_parts(out_file, num_workers)
     else:
         bytes_written = os.path.getsize(out_file)
+    if index:
+        # The merged file is a complete BGZF stream; the parent re-derives
+        # the row layout (one metadata predicate pass — a second genotype
+        # pass only for GT_* queries) and indexes it.
+        _index_merged_gz(
+            out_file, pfile_prefix, var_query, sam_query, provider, index_format
+        )
     os.unlink(mpath)
     return FilterResult(
         out_path=out_file,
@@ -283,6 +296,52 @@ def filter_to_vcf_parallel(
         num_samples_kept=ns,
         bytes_written=bytes_written,
         timer=StageTimer(),
+    )
+
+
+def _index_merged_gz(
+    gz_path: str,
+    pfile_prefix: str,
+    var_query,
+    sam_query,
+    provider: str,
+    index_format: str,
+) -> str:
+    """Index a merged sharded .vcf.gz: re-derive the deterministic row
+    layout (the same arithmetic every worker used) and emit .tbi/.csi."""
+    from pgen_tpu.pipeline.filter import compute_masks, emit_tabix_index
+
+    header = read_pgen_header(f"{pfile_prefix}.pgen")
+    pvar = read_metadata(f"{pfile_prefix}.pvar")
+    psam = read_metadata(f"{pfile_prefix}.psam")
+    rec = header.record_size
+    pgen_mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    records = pgen_mm[12 : 12 + header.num_variants * rec].reshape(
+        header.num_variants, rec
+    )
+    var_mask, sam_mask = compute_masks(
+        var_query, sam_query, pvar, psam, header, records, provider
+    )
+    var_idx = np.flatnonzero(var_mask)
+    sam_idx = np.flatnonzero(sam_mask)
+    all_iids = psam.get_column_strs("IID")
+    header_bytes = vcf_header_bytes(
+        pvar, [all_iids[i] for i in sam_idx], DEFAULT_SOURCE_TAG
+    )
+    line_starts_all, line_ends_all = pvar.row_line_spans()
+    v_starts = line_starts_all[var_idx]
+    v_ends = line_ends_all[var_idx]
+    prefix_sizes = np.zeros(len(var_idx) + 1, dtype=np.int64)
+    np.cumsum(v_ends - v_starts + 3, out=prefix_sizes[1:])
+    row_fixed = 4 * len(sam_idx) + 1
+    return emit_tabix_index(
+        gz_path,
+        pvar,
+        var_idx,
+        prefix_sizes,
+        row_fixed,
+        len(header_bytes),
+        fmt=index_format,
     )
 
 
@@ -309,6 +368,8 @@ def filter_to_vcf_sharded(
     source_tag: str = DEFAULT_SOURCE_TAG,
     standalone: bool = False,
     gz: bool | None = None,
+    index: bool = False,
+    index_format: str = "auto",
 ) -> FilterResult:
     """Shard the kept variants over ``num_shards`` workers writing one VCF.
 
@@ -336,6 +397,11 @@ def filter_to_vcf_sharded(
             "bgzf (.gz) output cannot target a shared sharded file "
             "(compressed offsets aren't precomputable); use "
             "filter_to_vcf_parallel (standalone parts) or a single shard"
+        )
+    if index and (not gz or shard_index is not None):
+        raise ValueError(
+            "--index with shards requires a complete .gz file "
+            "(run all shards in one process, or use --workers)"
         )
 
     with timer.stage("metadata_load"):
@@ -451,6 +517,19 @@ def filter_to_vcf_sharded(
                 written += len(BGZF_EOF)
         finally:
             os.close(fd)
+        if index:
+            from pgen_tpu.pipeline.filter import emit_tabix_index
+
+            with timer.stage("index"):
+                emit_tabix_index(
+                    out_file,
+                    pvar,
+                    var_idx,
+                    prefix_sizes,
+                    row_fixed,
+                    len(header_bytes),
+                    fmt=index_format,
+                )
         return FilterResult(
             out_path=out_file,
             num_variants_kept=len(var_idx),

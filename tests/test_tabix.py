@@ -283,3 +283,66 @@ def test_cli_index_format_csi(tmp_path):
     assert (tmp_path / "k.vcf.gz.csi").exists()
     got = fetch_region(str(out), str(out) + ".csi", "1", 0, 1000)
     assert len(got) == 25
+
+
+def test_index_with_workers_merged_gz(tmp_path):
+    """--workers N -o out.vcf.gz --index: the merged sharded BGZF stream
+    gets a valid index (parent re-derives the deterministic row layout)."""
+    from conftest import build_fileset
+    from pgen_tpu.parallel.shard import filter_to_vcf_parallel
+
+    rng = np.random.default_rng(17)
+    nvar, nsamp = 300, 11
+    codes = rng.integers(0, 4, size=(nvar, nsamp), dtype=np.uint8)
+    pos = np.sort(rng.integers(1, 900_000, nvar))
+    prefix = build_fileset(
+        tmp_path,
+        "w",
+        codes,
+        [f"7\t{pos[i]}\tv{i}\tA\tG\t.\t.\t." for i in range(nvar)],
+        [f"s{i}\tM" for i in range(nsamp)],
+    )
+    out = tmp_path / "w.vcf.gz"
+    filter_to_vcf_parallel(
+        prefix, out_file=str(out), num_workers=3, index=True
+    )
+    tbi = str(out) + ".tbi"
+    import os
+
+    assert os.path.exists(tbi)
+    rng2 = np.random.default_rng(18)
+    for _ in range(8):
+        beg = int(rng2.integers(0, 900_000))
+        end = beg + int(rng2.integers(1, 300_000))
+        assert fetch_region(str(out), tbi, "7", beg, end) == _brute_force(
+            out, "7", beg, end
+        )
+
+
+def test_index_with_shards_sequential_gz(tmp_path):
+    from conftest import build_fileset
+    from pgen_tpu.parallel.shard import filter_to_vcf_sharded
+
+    rng = np.random.default_rng(19)
+    codes = rng.integers(0, 4, size=(120, 9), dtype=np.uint8)
+    prefix = build_fileset(
+        tmp_path,
+        "sq",
+        codes,
+        [f"3\t{50 + 13 * i}\tv{i}\tAC\tG\t.\t.\t." for i in range(120)],
+        [f"s{i}\tF" for i in range(9)],
+    )
+    out = tmp_path / "sq.vcf.gz"
+    filter_to_vcf_sharded(prefix, out_file=str(out), num_shards=3, index=True)
+    got = fetch_region(str(out), str(out) + ".tbi", "3", 100, 800)
+    assert got == _brute_force(out, "3", 100, 800)
+    # a single standalone shard cannot be indexed (incomplete file)
+    with pytest.raises(ValueError, match="complete"):
+        filter_to_vcf_sharded(
+            prefix,
+            out_file=str(tmp_path / "p.vcf.gz.shard0000.part"),
+            num_shards=3,
+            shard_index=0,
+            standalone=True,
+            index=True,
+        )
