@@ -163,7 +163,12 @@ def build_mesh_pipeline_step(mesh: Mesh, expr_ast):
             )
             counts = jax.lax.all_gather(count, VARIANT_AXIS)
             offsets = jnp.cumsum(counts) - counts
-            return text_words, mask_l, counts, offsets
+            # replicate the mask (vb bits over ICI): every HOST needs the
+            # whole block's mask for its row-offset arithmetic — with
+            # process-sharded devices a P('v') mask would have
+            # non-addressable shards
+            mask_g = jax.lax.all_gather(mask_l, VARIANT_AXIS, tiled=True)
+            return text_words, mask_g, counts, offsets
 
         if expr_ast is not None:
             pred_spec = {k: (P(VARIANT_AXIS, None), P(VARIANT_AXIS)) for k in pred_in}
@@ -176,7 +181,7 @@ def build_mesh_pipeline_step(mesh: Mesh, expr_ast):
             inner,
             mesh=mesh,
             in_specs=tuple(in_specs),
-            out_specs=(P(VARIANT_AXIS, None), P(VARIANT_AXIS), P(), P()),
+            out_specs=(P(VARIANT_AXIS, None), P(), P(), P()),
             check_vma=False,
         )(packed, pred_in, valid, *sel)
 

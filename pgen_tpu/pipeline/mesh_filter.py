@@ -183,7 +183,12 @@ def filter_to_vcf_mesh(
     n_text_cols = 4 * n_kept  # bytes of GT text per row
     per = vb // ndev
 
-    fd = os.open(out_file, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    # No O_TRUNC: on a multi-process deployment every process opens the
+    # SAME shared-filesystem output and pwrites its own shards' rows — a
+    # late opener must not wipe an early writer's bytes. The final size is
+    # set by the ftruncate below (identical in every process: the byte
+    # accounting is derived from the replicated counts).
+    fd = os.open(out_file, os.O_WRONLY | os.O_CREAT, 0o644)
     state = {"byte_base": len(header_bytes), "rows": 0}
 
     def drain(block):
@@ -315,6 +320,9 @@ def filter_to_vcf_mesh(
                 drain(pending.popleft())
         while pending:
             drain(pending.popleft())
+        # every process computes the same final size; trims any stale
+        # tail from a previous larger file at this path
+        os.ftruncate(fd, state["byte_base"])
     finally:
         reader.shutdown(wait=False, cancel_futures=True)
         os.close(fd)

@@ -146,3 +146,66 @@ def test_two_process_global_mesh_collectives(tmp_path):
             raise
         assert p.returncode == 0, errb.decode()[-2500:]
         assert b"MESH_OK" in outb
+
+
+_MESH_FILTER_WORKER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+jax.distributed.initialize(
+    coordinator_address="localhost:{port}", num_processes=2, process_id=pid
+)
+from pgen_tpu.parallel.mesh import make_mesh
+from pgen_tpu.pipeline.mesh_filter import filter_to_vcf_mesh
+
+mesh = make_mesh(jax.devices())  # 4-device mesh spanning both processes
+res = filter_to_vcf_mesh(
+    {prefix!r},
+    var_query={var_query!r},
+    out_file={out!r},
+    mesh=mesh,
+    block_variants=8,  # several blocks, so streaming + offsets are exercised
+)
+print("MESH_FILTER_OK", pid, res.num_variants_kept)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_mesh_filter_end_to_end(tiny_fileset, tmp_path):
+    """The flagship multi-chip path across a PROCESS boundary: both
+    processes run filter_to_vcf_mesh over one global 4-device mesh against
+    the same shared-filesystem output; each pwrites only its addressable
+    shards' rows and the result must be byte-identical to the oracle."""
+    prefix, _ = tiny_fileset
+    out = tmp_path / "meshdist.vcf"
+    script = _MESH_FILTER_WORKER.format(
+        repo=str(REPO),
+        port=12461,
+        prefix=prefix,
+        var_query='REF == "A"',
+        out=str(out),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            cwd=str(REPO),
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            outb, errb = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, errb.decode()[-2500:]
+        assert b"MESH_FILTER_OK" in outb
+    expected = scalar_filter_vcf(prefix, lambda v: v["REF"] == "A", None)
+    assert out.read_bytes() == expected
