@@ -111,15 +111,21 @@ def build_sharded_predicate_and_filter_step(mesh: Mesh, expr_ast, col_names):
     return jax.jit(step)
 
 
-def _local_pipeline(packed_l, mask_l, sample_sel):
+def _local_pipeline(packed_l, mask_l, sample_sel, compact: bool = True):
     """Shard-local compute shared by the end-to-end mesh steps.
 
     Compacts kept rows to the front (stable: original variant order),
     unpacks, optionally gathers the kept-sample columns, and formats GT
-    text words. Returns (text_words, count).
+    text words. Returns (text_words, count). compact=False skips the
+    argsort+gather when the caller guarantees the mask is already a
+    prefix-run of ones (host pre-gathered the kept rows) — saves the
+    2 B/record-byte gather pass.
     """
-    order = jnp.argsort(jnp.logical_not(mask_l), stable=True)
-    gathered = jnp.take(packed_l, order, axis=0)
+    if compact:
+        order = jnp.argsort(jnp.logical_not(mask_l), stable=True)
+        gathered = jnp.take(packed_l, order, axis=0)
+    else:
+        gathered = packed_l
     words = _unpack_words(gathered)  # (v_local, R) u32: 4 codes per word
     v, r = words.shape
     codes = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(v, 4 * r)
@@ -130,7 +136,7 @@ def _local_pipeline(packed_l, mask_l, sample_sel):
     return text_words, count
 
 
-def build_mesh_pipeline_step(mesh: Mesh, expr_ast):
+def build_mesh_pipeline_step(mesh: Mesh, expr_ast, precompacted: bool = False):
     """The end-to-end per-block device step driven by the CLI filter path
     (pipeline/mesh_filter.py): what SURVEY.md §7 L4 calls the flagship
     multi-chip pipeline.
@@ -147,6 +153,9 @@ def build_mesh_pipeline_step(mesh: Mesh, expr_ast):
     counts/offsets replicated (ndev,) — the all-gather ordered-merge
     collective: every shard learns every shard's kept count and hence its
     global output row offset.
+
+    precompacted=True (host already gathered kept rows; mask is a prefix
+    of ones per shard) skips the on-device argsort+gather.
     """
     from pgen_tpu.query.compile_device import lower_device
 
@@ -159,7 +168,8 @@ def build_mesh_pipeline_step(mesh: Mesh, expr_ast):
             else:
                 mask_l = pred_l & valid_l
             text_words, count = _local_pipeline(
-                packed_l, mask_l, sel_l[0] if sel_l else None
+                packed_l, mask_l, sel_l[0] if sel_l else None,
+                compact=not precompacted,
             )
             counts = jax.lax.all_gather(count, VARIANT_AXIS)
             offsets = jnp.cumsum(counts) - counts

@@ -161,12 +161,27 @@ def filter_to_vcf_mesh(
         )
     row_fixed = 4 * n_kept + 1
 
+    # Host-known mask (no query, or an expression outside the device
+    # subset): pre-gather ONLY the kept rows into the blocks. h2d traffic
+    # then scales with kept rows, every block ships full, and the mask is
+    # a prefix-run of ones per shard so the step skips the on-device
+    # argsort+gather compaction (precompacted=True).
+    if cols is None:
+        universe = np.flatnonzero(host_var_mask)
+        precompacted = True
+    else:
+        universe = None  # device-evaluated predicate: all rows ship
+        precompacted = False
+    total_rows = len(universe) if universe is not None else nvar_meta
+
     # Fixed block geometry: every block is padded to the same sharded shape
     # so ONE compiled step serves all blocks.
-    vb = min(block_variants, max(nvar_meta, 1))
+    vb = min(block_variants, max(total_rows, 1))
     vb += (-vb) % ndev
 
-    step = build_mesh_pipeline_step(mesh, None if cols is None else var_node)
+    step = build_mesh_pipeline_step(
+        mesh, None if cols is None else var_node, precompacted=precompacted
+    )
     shard_2d = NamedSharding(mesh, P(VARIANT_AXIS, None))
     shard_1d = NamedSharding(mesh, P(VARIANT_AXIS))
     repl = NamedSharding(mesh, P())
@@ -197,14 +212,14 @@ def filter_to_vcf_mesh(
         Each process handles only its addressable shards; the byte offsets
         come from the replicated all-gathered counts, so no coordination.
         """
-        lo, hi, text_words, mask, counts = block
+        n, ls_blk, le_blk, text_words, mask, counts = block
         counts_h = np.asarray(counts)
         offs_h = np.concatenate(([0], np.cumsum(counts_h)[:-1]))
-        mask_h = np.asarray(mask)[: hi - lo]
+        mask_h = np.asarray(mask)[:n]
         kept_local = np.flatnonzero(mask_h)
         nk = len(kept_local)
-        ls = line_starts_all[lo:hi][kept_local]
-        le = line_ends_all[lo:hi][kept_local]
+        ls = ls_blk[kept_local]
+        le = le_blk[kept_local]
         psz = np.zeros(nk + 1, dtype=np.int64)
         np.cumsum(le - ls + 3, out=psz[1:])
         for shard in text_words.addressable_shards:
@@ -243,19 +258,25 @@ def filter_to_vcf_mesh(
     from concurrent.futures import ThreadPoolExecutor
 
     def stage_block(lo: int):
-        hi = min(lo + vb, nvar_meta)
+        hi = min(lo + vb, total_rows)
         n = hi - lo
         packed = np.zeros((vb, rec), dtype=np.uint8)
-        packed[:n] = records[lo:hi]
         valid = np.zeros(vb, dtype=bool)
         valid[:n] = True
-        if cols is None:
-            pred = np.zeros(vb, dtype=bool)
-            pred[:n] = host_var_mask[lo:hi]
-            host_pred = pred
+        if universe is not None:
+            rows = universe[lo:hi]
+            packed[:n] = records[rows]  # host gather: only kept rows ship
+            host_pred = valid  # prefix-ones: mask == valid on device
         else:
-            host_pred = None
-        return lo, hi, n, packed, valid, host_pred
+            rows = np.arange(lo, hi)
+            packed[:n] = records[lo:hi]
+            if host_var_mask is not None:  # post-fallback blocks
+                pred = np.zeros(vb, dtype=bool)
+                pred[:n] = host_var_mask[lo:hi]
+                host_pred = pred
+            else:
+                host_pred = None
+        return lo, hi, n, packed, valid, host_pred, line_starts_all[rows], line_ends_all[rows]
 
     reader = ThreadPoolExecutor(1, thread_name_prefix="pgen-stage")
 
@@ -264,11 +285,11 @@ def filter_to_vcf_mesh(
     pending = deque()
     try:
         os.pwrite(fd, header_bytes, 0)
-        block_los = list(range(0, nvar_meta, vb))
+        block_los = list(range(0, total_rows, vb))
         staged = reader.submit(stage_block, block_los[0]) if block_los else None
         for bi in range(len(block_los)):
             with timer.stage("stage_read"):
-                lo, hi, n, packed, valid, host_pred = staged.result()
+                lo, hi, n, packed, valid, host_pred, ls_blk, le_blk = staged.result()
             if bi + 1 < len(block_los):
                 staged = reader.submit(stage_block, block_los[bi + 1])
             with timer.stage("h2d", nbytes=packed.nbytes):
@@ -303,7 +324,9 @@ def filter_to_vcf_mesh(
                     out = step(*args)
             except DeviceFallback:
                 # expression left the device subset mid-trace: fall back to
-                # a host-computed mask for this and all later blocks
+                # a host-computed mask for this and all later blocks. The
+                # blocks keep their all-rows layout (universe stays None);
+                # only the predicate moves to the host.
                 cols = None
                 host_var_mask, _ = compute_masks(
                     var_node, None, pvar, psam, header, records, "device"
@@ -315,7 +338,7 @@ def filter_to_vcf_mesh(
                 with timer.stage("device_step"):
                     out = step(*args)
             text_words, mask, counts, offsets = out
-            pending.append((lo, hi, text_words, mask, counts))
+            pending.append((n, ls_blk, le_blk, text_words, mask, counts))
             if len(pending) >= 2:
                 drain(pending.popleft())
         while pending:
