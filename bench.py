@@ -356,37 +356,51 @@ def _kernel_bench() -> dict:
     fdt = max((f48 - f2) / 46, 1e-9)
     fused_gbps = 2 * V * R / fdt / 1e9
 
-    # production step body (compact -> unpack -> text words), chained:
-    # dispatch/block_until_ready timing is NOT trustworthy through the
-    # axon tunnel (it returns before execution; measured >1000 M var/s,
-    # beyond physics), so chain the pipeline with a fold that feeds the
-    # (V, 4R) u32 text back as the next (V, R) u8 packed input.
-    from pgen_tpu.parallel.mesh import _local_pipeline
+    # Production step, measured honestly: the mesh filter's plane-form
+    # step (parallel/mesh.py _local_pipeline_planes) with its outputs
+    # MATERIALIZED as jit outputs (exactly what production pays), chained
+    # across two jits via a real data dependency — dispatch/
+    # block_until_ready timing is NOT trustworthy through the axon tunnel
+    # (it returns before execution; measured beyond-physics throughputs).
+    # The fold jit's cost (reads 16 B + writes 1 B per record byte) is
+    # subtracted at the model floor to bound the bare step.
+    from pgen_tpu.parallel.mesh import _local_pipeline_planes
 
     mask = jnp.asarray(rng.random(V) < 0.5)
+    # production geometry: the mesh filter lane-aligns the record dim to
+    # a 128-byte multiple (mesh_filter.py rec_pad)
+    RP = R + (-R) % 128
+    xp = jnp.asarray(rng.integers(0, 256, size=(V, RP), dtype=np.uint8))
 
     @jax.jit
-    def step_chain(x0, n):
-        def body(i, acc):
-            tw, cnt = _local_pipeline(acc, mask, None)
-            y = tw ^ (tw >> 16)
-            y = ((y ^ (y >> 8)) & 0xFF).astype(jnp.uint32)
-            v, m = y.shape
-            return (y.reshape(v, m // 4, 4).sum(-1) & 0xFF).astype(jnp.uint8)
+    def step_prod(x0):
+        planes, cnt = _local_pipeline_planes(x0, mask)
+        return planes
 
-        r = jax.lax.fori_loop(0, n, body, x0)
-        return jnp.sum(r[:, :8].astype(jnp.int32))
+    @jax.jit
+    def fold_jit(planes):
+        t0, t1, t2, t3 = planes
+        y = t0 ^ t1 ^ (t2 >> 8) ^ (t3 >> 16)
+        return ((y ^ (y >> 8)) & 0xFF).astype(jnp.uint8)
 
-    int(step_chain(x, 1))
+    def _srun(n):
+        acc = xp
+        for _ in range(n):
+            acc = fold_jit(step_prod(acc))
+        return int(jnp.sum(acc[:, :8].astype(jnp.int32)))
+
+    _srun(1)
 
     def _sonce(n):
         t0 = time.perf_counter()
-        int(step_chain(x, n))
+        _srun(n)
         return time.perf_counter() - t0
 
     s24 = min(_sonce(24) for _ in range(5))
     s2 = min(_sonce(2) for _ in range(5))
-    step_dt = max((s24 - s2) / 22, 1e-9)
+    pair_dt = max((s24 - s2) / 22, 1e-9)
+    fold_floor = 17 * V * RP / (V5E_HBM_GBPS * 1e9)
+    step_dt = max(pair_dt - fold_floor, 1e-9)
     return {
         "gbps": round(gbps, 1),
         "pct_hbm_peak": round(100 * gbps / V5E_HBM_GBPS, 1),
@@ -394,15 +408,14 @@ def _kernel_bench() -> dict:
         "fused_pct_hbm_peak": round(100 * fused_gbps / V5E_HBM_GBPS, 1),
         "fused_note": "XLA-fused unpack (what the mesh step compiles to): "
         "1 B read + 1 B written per record byte",
-        # traffic model per chained iteration: the step itself moves
-        # gather 2B + unpack 1r+4w + text 4r+16w = 27 B of HBM per record
-        # byte (16-B text write is the floor) and the measurement fold
-        # (text -> next packed input) adds 16r+1w = 17 B, so 44 B total.
-        # step_mvar_s therefore UNDER-reports the bare step (tare incl.).
+        # plane-form step traffic: gather 2 B + read 1 B + write 16 B of
+        # text planes per record byte = 19 B (the 16-B plane write is the
+        # floor); the measurement pair subtracts the fold jit at ITS model
+        # floor, so step_mvar_s is still a (tight) lower bound.
         "step_mvar_s": round(V / step_dt / 1e6, 2),
-        "step_mvar_s_note": "lower bound: includes the chained-measurement fold",
-        "step_gbps": round(44 * V * R / step_dt / 1e9, 1),
-        "step_pct_hbm_peak": round(100 * 44 * V * R / step_dt / 1e9 / V5E_HBM_GBPS, 1),
+        "step_mvar_s_note": "production plane-form step, outputs materialized",
+        "step_gbps": round(19 * V * RP / step_dt / 1e9, 1),
+        "step_pct_hbm_peak": round(100 * 19 * V * RP / step_dt / 1e9 / V5E_HBM_GBPS, 1),
         **smoke,
     }
 

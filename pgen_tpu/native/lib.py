@@ -96,6 +96,12 @@ class _Native:
         lib.pgen_assemble_rows_buf.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, u8p, ctypes.c_int64,
         ]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.pgen_assemble_rows_planes.restype = ctypes.c_int64
+        lib.pgen_assemble_rows_planes.argtypes = [
+            u32p, u32p, u32p, u32p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, u8p, i64p, u8p, ctypes.c_int64,
+        ]
         lib.pgen_gt_counts.restype = None
         lib.pgen_gt_counts.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p,
@@ -303,6 +309,37 @@ class _Native:
         )
         if ret < 0:
             raise ValueError("native row assembly: output buffer too small")
+        return int(ret)
+
+    def assemble_rows_planes(
+        self,
+        planes,  # sequence of four (n_var, plane_words) u32 arrays
+        gt_len: int,
+        prefix_buf: np.ndarray,
+        prefix_off: np.ndarray,
+        out: np.ndarray,
+    ) -> int:
+        """Interleave 4 text-word planes while assembling rows (plane k
+        lane j = text word of sample 4j+k; device plane-form output)."""
+        ps = [np.ascontiguousarray(p, dtype=np.uint32) for p in planes]
+        n_var, plane_words = ps[0].shape
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        prefix_off = np.ascontiguousarray(prefix_off, dtype=np.int64)
+        ret = self._lib.pgen_assemble_rows_planes(
+            ps[0].ctypes.data_as(u32p),
+            ps[1].ctypes.data_as(u32p),
+            ps[2].ctypes.data_as(u32p),
+            ps[3].ctypes.data_as(u32p),
+            plane_words,
+            gt_len,
+            n_var,
+            self._u8(np.ascontiguousarray(prefix_buf, dtype=np.uint8)),
+            prefix_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._u8(out),
+            out.nbytes,
+        )
+        if ret < 0:
+            raise ValueError("native plane assembly: output buffer too small")
         return int(ret)
 
     def gt_counts(self, packed: np.ndarray, n_samples: int) -> np.ndarray:

@@ -481,6 +481,66 @@ int64_t pgen_assemble_rows_buf(const unsigned char* gt_text, int64_t gt_len,
   return dst - out;
 }
 
+// Assemble rows from FOUR text-word planes (device plane-form output:
+// plane k lane j = u32 text word of sample 4j+k — the interleaved layout
+// is a relayout TPU materialization pays ~10x for, so the device emits
+// planes and the interleave happens here, a sequential 4-stream merge).
+// gt_len = bytes of genotype text per row (4 * n_kept_samples);
+// plane_words = u32 lanes per plane row (>= ceil(gt_len/16)).
+int64_t pgen_assemble_rows_planes(const uint32_t* t0, const uint32_t* t1,
+                                  const uint32_t* t2, const uint32_t* t3,
+                                  int64_t plane_words, int64_t gt_len,
+                                  int64_t n_var,
+                                  const unsigned char* prefix_buf,
+                                  const int64_t* prefix_off,
+                                  unsigned char* out, int64_t cap) {
+  unsigned char* dst = out;
+  unsigned char* end = out + cap;
+  const int64_t full = gt_len / 16;        // whole 16-byte groups (4 samples)
+  const int64_t tail = gt_len - full * 16; // remaining bytes (1-3 samples + part)
+  for (int64_t v = 0; v < n_var; ++v) {
+    const int64_t plen = prefix_off[v + 1] - prefix_off[v];
+    if (dst + plen + gt_len + 1 > end) return -1;
+    std::memcpy(dst, prefix_buf + prefix_off[v], (size_t)plen);
+    dst += plen;
+    const uint32_t* p0 = t0 + v * plane_words;
+    const uint32_t* p1 = t1 + v * plane_words;
+    const uint32_t* p2 = t2 + v * plane_words;
+    const uint32_t* p3 = t3 + v * plane_words;
+    int64_t j = 0;
+#if defined(__SSE2__)
+    for (; j + 4 <= full; j += 4) {
+      // 4x4 u32 transpose: four 16-byte loads -> four interleaved stores
+      __m128i a = _mm_loadu_si128((const __m128i*)(p0 + j));
+      __m128i b = _mm_loadu_si128((const __m128i*)(p1 + j));
+      __m128i c = _mm_loadu_si128((const __m128i*)(p2 + j));
+      __m128i d = _mm_loadu_si128((const __m128i*)(p3 + j));
+      __m128i ab_lo = _mm_unpacklo_epi32(a, b);  // a0 b0 a1 b1
+      __m128i ab_hi = _mm_unpackhi_epi32(a, b);  // a2 b2 a3 b3
+      __m128i cd_lo = _mm_unpacklo_epi32(c, d);  // c0 d0 c1 d1
+      __m128i cd_hi = _mm_unpackhi_epi32(c, d);  // c2 d2 c3 d3
+      _mm_storeu_si128((__m128i*)(dst + 0), _mm_unpacklo_epi64(ab_lo, cd_lo));
+      _mm_storeu_si128((__m128i*)(dst + 16), _mm_unpackhi_epi64(ab_lo, cd_lo));
+      _mm_storeu_si128((__m128i*)(dst + 32), _mm_unpacklo_epi64(ab_hi, cd_hi));
+      _mm_storeu_si128((__m128i*)(dst + 48), _mm_unpackhi_epi64(ab_hi, cd_hi));
+      dst += 64;
+    }
+#endif
+    for (; j < full; ++j) {
+      uint32_t w[4] = {p0[j], p1[j], p2[j], p3[j]};
+      std::memcpy(dst, w, 16);
+      dst += 16;
+    }
+    if (tail) {
+      uint32_t w[4] = {p0[full], p1[full], p2[full], p3[full]};
+      std::memcpy(dst, w, (size_t)tail);
+      dst += tail;
+    }
+    *dst++ = '\n';
+  }
+  return dst - out;
+}
+
 // Single-pass SIMD scan for metadata separators: counts '\t' and '\n' in
 // buf (pgen_count_seps) and fills their positions (pgen_fill_seps). The
 // columnar .pvar/.psam loader is bound by this scan on chr22-scale files.

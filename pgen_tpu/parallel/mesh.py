@@ -136,7 +136,35 @@ def _local_pipeline(packed_l, mask_l, sample_sel, compact: bool = True):
     return text_words, count
 
 
-def build_mesh_pipeline_step(mesh: Mesh, expr_ast, precompacted: bool = False):
+def _local_pipeline_planes(packed_l, mask_l, compact: bool = True):
+    """Plane-form shard-local compute: keep-all-samples fast path.
+
+    The interleaved text layout (byte j -> output u32 lanes 4j..4j+3) is a
+    lane-expansion relayout that costs ~10x when materialized as a jit
+    output on TPU (measured 16.6 ms vs 1.5 ms per 64Ki x 640 block). So
+    the step emits FOUR dense planes instead — plane k holds the text
+    word of sample 4j+k at lane j, pure elementwise from the packed byte:
+
+        code_k = (byte >> 2k) & 3;  t_k = text_word(code_k)
+
+    (no unpack bitcast, no interleave anywhere on device); the host
+    assembler interleaves plane words while copying rows (a sequential
+    4-stream merge at DRAM speed). Returns ((t0, t1, t2, t3), count).
+    """
+    if compact:
+        order = jnp.argsort(jnp.logical_not(mask_l), stable=True)
+        gathered = jnp.take(packed_l, order, axis=0)
+    else:
+        gathered = packed_l
+    xi = gathered.astype(jnp.uint32)
+    planes = tuple(_text_word((xi >> (2 * k)) & 3) for k in range(4))
+    count = jnp.sum(mask_l.astype(jnp.int32))
+    return planes, count
+
+
+def build_mesh_pipeline_step(
+    mesh: Mesh, expr_ast, precompacted: bool = False, planes: bool = False
+):
     """The end-to-end per-block device step driven by the CLI filter path
     (pipeline/mesh_filter.py): what SURVEY.md §7 L4 calls the flagship
     multi-chip pipeline.
@@ -156,6 +184,11 @@ def build_mesh_pipeline_step(mesh: Mesh, expr_ast, precompacted: bool = False):
 
     precompacted=True (host already gathered kept rows; mask is a prefix
     of ones per shard) skips the on-device argsort+gather.
+
+    planes=True (keep-all-samples only: no sample_sel) emits the text as
+    four dense (v, R) u32 planes instead of one interleaved (v, 4R)
+    tensor — see _local_pipeline_planes for why this is ~10x faster to
+    materialize; the first return value becomes the 4-tuple of planes.
     """
     from pgen_tpu.query.compile_device import lower_device
 
@@ -167,10 +200,15 @@ def build_mesh_pipeline_step(mesh: Mesh, expr_ast, precompacted: bool = False):
                 mask_l = lower_device(expr_ast, pred_l) & valid_l
             else:
                 mask_l = pred_l & valid_l
-            text_words, count = _local_pipeline(
-                packed_l, mask_l, sel_l[0] if sel_l else None,
-                compact=not precompacted,
-            )
+            if planes:
+                text_out, count = _local_pipeline_planes(
+                    packed_l, mask_l, compact=not precompacted
+                )
+            else:
+                text_out, count = _local_pipeline(
+                    packed_l, mask_l, sel_l[0] if sel_l else None,
+                    compact=not precompacted,
+                )
             counts = jax.lax.all_gather(count, VARIANT_AXIS)
             offsets = jnp.cumsum(counts) - counts
             # replicate the mask (vb bits over ICI): every HOST needs the
@@ -178,7 +216,7 @@ def build_mesh_pipeline_step(mesh: Mesh, expr_ast, precompacted: bool = False):
             # process-sharded devices a P('v') mask would have
             # non-addressable shards
             mask_g = jax.lax.all_gather(mask_l, VARIANT_AXIS, tiled=True)
-            return text_words, mask_g, counts, offsets
+            return text_out, mask_g, counts, offsets
 
         if expr_ast is not None:
             pred_spec = {k: (P(VARIANT_AXIS, None), P(VARIANT_AXIS)) for k in pred_in}
@@ -187,11 +225,14 @@ def build_mesh_pipeline_step(mesh: Mesh, expr_ast, precompacted: bool = False):
         in_specs = [P(VARIANT_AXIS, None), pred_spec, P(VARIANT_AXIS)]
         if sample_sel is not None:
             in_specs.append(P())
+        text_spec = (
+            (P(VARIANT_AXIS, None),) * 4 if planes else P(VARIANT_AXIS, None)
+        )
         return jax.shard_map(
             inner,
             mesh=mesh,
             in_specs=tuple(in_specs),
-            out_specs=(P(VARIANT_AXIS, None), P(), P(), P()),
+            out_specs=(text_spec, P(), P(), P()),
             check_vma=False,
         )(packed, pred_in, valid, *sel)
 
