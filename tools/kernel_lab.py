@@ -282,6 +282,49 @@ def main(stages):
         dt = _chain_time(body, packed)
         print(f"{'full pallas x2':28s} {dt * 1e3:8.2f} ms  {V / dt / 1e6:7.2f} M var/s", flush=True)
 
+    if "planes_prod" in stages:
+        # THE production form: plane outputs materialized as jit outputs,
+        # chained across two jits by a real data dependency (see
+        # docs/BENCHMARKS.md round-2: in-chain fusion hides the
+        # materialization cost; barriers over-count it)
+        from pgen_tpu.parallel.mesh import _local_pipeline_planes
+
+        for name, compact in (("compact", True), ("precompacted", False)):
+            @jax.jit
+            def step_prod(x0, compact=compact):
+                planes, cnt = _local_pipeline_planes(x0, mask, compact=compact)
+                return planes
+
+            @jax.jit
+            def fold_jit(planes):
+                t0, t1, t2, t3 = planes
+                y = t0 ^ t1 ^ (t2 >> 8) ^ (t3 >> 16)
+                return ((y ^ (y >> 8)) & 0xFF).astype(jnp.uint8)
+
+            def run(n):
+                acc = packed
+                for _ in range(n):
+                    acc = fold_jit(step_prod(acc))
+                return int(jnp.sum(acc[:, :8].astype(jnp.int32)))
+
+            run(1)
+
+            def once(n):
+                t0 = time.perf_counter()
+                run(n)
+                return time.perf_counter() - t0
+
+            t24 = min(once(24) for _ in range(5))
+            t2 = min(once(2) for _ in range(5))
+            pair = max((t24 - t2) / 22, 1e-9)
+            fold_floor = 17 * V * R / (PEAK_GBPS * 1e9)
+            bare = max(pair - fold_floor, 1e-9)
+            print(
+                f"{'planes prod (' + name + ')':28s} {bare * 1e3:8.2f} ms  "
+                f"{V / bare / 1e6:7.2f} M var/s (pair {pair * 1e3:.2f} ms)",
+                flush=True,
+            )
+
     if "full_nocompact" in stages:
         def body(p):
             w = _unpack_words(p)
