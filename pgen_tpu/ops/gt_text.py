@@ -83,6 +83,17 @@ def genotype_text(packed: jnp.ndarray, num_samples: int, interpret: bool = False
     return genotype_text_from_codes(codes, interpret=interpret)[:, : 4 * num_samples]
 
 
+@jax.jit
+def genotype_text_planes(packed: jnp.ndarray):
+    """Plane-form text: four (V, R) u32 planes, plane k lane j = text word
+    of sample 4j+k, elementwise from the packed byte (no unpack bitcast,
+    no interleave). Materializes ~10x faster than the interleaved tensor
+    on TPU (docs/BENCHMARKS.md round 2); the host assembler interleaves
+    (native assemble_rows_planes)."""
+    xi = packed.astype(jnp.uint32)
+    return tuple(_text_word((xi >> (2 * k)) & 3) for k in range(4))
+
+
 def genotype_text_reference(codes: np.ndarray) -> np.ndarray:
     """Numpy oracle: codes (V,S) -> text (V,4S) via an explicit token table."""
     table = np.frombuffer(b"\t0/0\t0/1\t1/1\t./.", dtype=np.uint8).reshape(4, 4)
