@@ -93,3 +93,71 @@ def test_random_filter_matches_oracle(tmp_path, trial):
     )
     expected = scalar_filter_vcf(prefix, var_pred, sam_pred)
     assert out.read_bytes() == expected, (trial, var_q, sam_q, provider)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_random_filter_mesh_matches_oracle(tmp_path, trial):
+    """The device-mesh pipeline (8 virtual devices) against the oracle:
+    rotates host-known-mask (pre-gathered, precompacted planes) and
+    device-lowered predicates across random filesets."""
+    from pgen_tpu.pipeline.mesh_filter import filter_to_vcf_mesh
+
+    rng = np.random.default_rng(8100 + trial)
+    prefix, meta = _random_fileset(tmp_path, rng, trial)
+    var_q, var_pred = _random_var_query(rng, meta)
+    sam_q, sam_pred = _random_sam_query(rng, meta)
+    out = tmp_path / "out.vcf"
+    filter_to_vcf_mesh(
+        prefix, var_query=var_q, sam_query=sam_q, out_file=out, block_variants=16
+    )
+    expected = scalar_filter_vcf(prefix, var_pred, sam_pred)
+    assert out.read_bytes() == expected, (trial, var_q, sam_q)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_random_gz_index_roundtrip(tmp_path, trial):
+    """Sharded/unsharded .vcf.gz + index fuzz: the decompressed stream
+    must match the oracle and indexed region fetches must match a brute
+    scan."""
+    import gzip
+
+    from pgen_tpu.formats.tabix import fetch_region
+    from pgen_tpu.parallel.shard import filter_to_vcf_parallel, filter_to_vcf_sharded
+
+    rng = np.random.default_rng(8200 + trial)
+    nvar = int(rng.integers(4, 80))
+    nsamp = int(rng.integers(1, 30))
+    codes = rng.integers(0, 4, size=(nvar, nsamp), dtype=np.uint8)
+    pos = np.sort(rng.integers(1, 1_000_000, nvar))
+    pvar_rows = [
+        f"9\t{pos[i]}\tv{i}\t{'ACGT'[i % 4]}\tT\t.\t.\t." for i in range(nvar)
+    ]
+    prefix = build_fileset(
+        tmp_path, f"gz{trial}", codes, pvar_rows,
+        [f"s{i}\tM" for i in range(nsamp)],
+    )
+    out = tmp_path / "o.vcf.gz"
+    fmt = ["auto", "tbi", "csi"][trial % 3]
+    if trial % 2 == 0:
+        filter_to_vcf_parallel(
+            prefix, out_file=str(out), num_workers=2, index=True, index_format=fmt
+        )
+    else:
+        filter_to_vcf_sharded(
+            prefix, out_file=str(out), num_shards=2, index=True, index_format=fmt
+        )
+    expected = scalar_filter_vcf(prefix, None, None)
+    assert gzip.decompress(out.read_bytes()) == expected
+    suffix = ".csi" if fmt == "csi" else ".tbi"
+    idx = str(out) + suffix
+    for _ in range(4):
+        beg = int(rng.integers(0, 1_000_000))
+        end = beg + int(rng.integers(1, 400_000))
+        got = fetch_region(str(out), idx, "9", beg, end)
+        want = [
+            ln
+            for ln in expected.split(b"\n")
+            if ln and not ln.startswith(b"#")
+            and beg < int(ln.split(b"\t", 2)[1]) <= end  # REF len 1: p0 in [beg,end)
+        ]
+        assert got == want, (trial, fmt, beg, end)
