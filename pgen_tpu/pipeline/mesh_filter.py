@@ -210,6 +210,10 @@ def filter_to_vcf_mesh(
 
     n_text_cols = 4 * n_kept  # bytes of GT text per row
     per = vb // ndev
+    # Shard position from the DEVICE's mesh coordinate, not the array
+    # index: zero-width arrays (0 samples) degenerate every shard's
+    # index to start 0, which would alias all shards onto d=0.
+    dev_to_d = {dev.id: i for i, dev in enumerate(mesh.devices.flat)}
 
     # No O_TRUNC: on a multi-process deployment every process opens the
     # SAME shared-filesystem output and pwrites its own shards' rows — a
@@ -236,26 +240,25 @@ def filter_to_vcf_mesh(
         psz = np.zeros(nk + 1, dtype=np.int64)
         np.cumsum(le - ls + 3, out=psz[1:])
         if planes_mode:
-            # align the four planes' addressable shards by row start
+            # align the four planes' addressable shards by device
             shard_maps = [
-                {(s.index[0].start or 0): s for s in p.addressable_shards}
+                {dev_to_d[s.device.id]: s for s in p.addressable_shards}
                 for p in text_out
             ]
-            starts = sorted(shard_maps[0])
+            ds = sorted(shard_maps[0])
         else:
             shard_maps = None
-            starts = None
+            ds = None
 
         def shard_iter():
             if planes_mode:
-                for st in starts:
-                    yield st, [shard_maps[k][st] for k in range(4)]
+                for d in ds:
+                    yield d, [shard_maps[k][d] for k in range(4)]
             else:
                 for s in text_out.addressable_shards:
-                    yield (s.index[0].start or 0), s
+                    yield dev_to_d[s.device.id], s
 
-        for start, shard in shard_iter():
-            d = start // per
+        for d, shard in shard_iter():
             c = int(counts_h[d])
             if c == 0:
                 continue

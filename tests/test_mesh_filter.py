@@ -137,3 +137,35 @@ def test_graft_dryrun_drives_mesh_filter():
 
     src = inspect.getsource(g.dryrun_multichip)
     assert "filter_to_vcf_mesh" in src
+
+
+def test_mesh_zero_samples(tmp_path):
+    """0-sample fileset: rec=0 makes every text shard zero-width, which
+    degenerates array indices (all starts 0) — shard position must come
+    from the device's mesh coordinate or all rows alias onto shard 0."""
+    from conftest import build_fileset
+    from oracle import scalar_filter_vcf
+
+    codes = np.zeros((5, 0), dtype=np.uint8)
+    p = build_fileset(
+        tmp_path, "z", codes,
+        [f"1\t{i + 1}\tv{i}\tA\tC\t.\t.\t." for i in range(5)], [],
+    )
+    out = tmp_path / "z.vcf"
+    filter_to_vcf_mesh(p, out_file=out)
+    assert out.read_bytes() == scalar_filter_vcf(p, None, None)
+
+
+def test_mesh_empty_filter(tmp_path):
+    from conftest import build_fileset
+    from oracle import scalar_filter_vcf
+
+    codes = np.ones((4, 3), dtype=np.uint8)
+    p = build_fileset(
+        tmp_path, "e", codes,
+        [f"1\t{i + 1}\tv{i}\tA\tC\t.\t.\t." for i in range(4)],
+        ["s0\tM", "s1\tF", "s2\tM"],
+    )
+    out = tmp_path / "e.vcf"
+    filter_to_vcf_mesh(p, var_query='ALT=="Z"', out_file=out)
+    assert out.read_bytes() == scalar_filter_vcf(p, lambda v: False, None)
