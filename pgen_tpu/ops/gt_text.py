@@ -83,15 +83,26 @@ def genotype_text(packed: jnp.ndarray, num_samples: int, interpret: bool = False
     return genotype_text_from_codes(codes, interpret=interpret)[:, : 4 * num_samples]
 
 
-@jax.jit
-def genotype_text_planes(packed: jnp.ndarray):
+def planes_from_packed(packed: jnp.ndarray):
     """Plane-form text: four (V, R) u32 planes, plane k lane j = text word
     of sample 4j+k, elementwise from the packed byte (no unpack bitcast,
     no interleave). Materializes ~10x faster than the interleaved tensor
     on TPU (docs/BENCHMARKS.md round 2); the host assembler interleaves
-    (native assemble_rows_planes)."""
+    (native assemble_rows_planes / interleave_planes). This is THE
+    plane-k/sample-4j+k contract — every producer and consumer goes
+    through here or the two assemblers."""
     xi = packed.astype(jnp.uint32)
     return tuple(_text_word((xi >> (2 * k)) & 3) for k in range(4))
+
+
+genotype_text_planes = jax.jit(planes_from_packed)
+
+
+def interleave_planes_numpy(planes, gt_len: int) -> np.ndarray:
+    """Host fallback for the native plane assembler: (V, W) u32 x4 ->
+    (V, gt_len) u8 interleaved text (sample s's word = planes[s%4][s//4])."""
+    inter = np.stack([np.asarray(p) for p in planes], axis=2)  # (V, W, 4)
+    return inter.view(np.uint8).reshape(inter.shape[0], -1)[:, :gt_len]
 
 
 def genotype_text_reference(codes: np.ndarray) -> np.ndarray:

@@ -151,13 +151,14 @@ def _local_pipeline_planes(packed_l, mask_l, compact: bool = True):
     assembler interleaves plane words while copying rows (a sequential
     4-stream merge at DRAM speed). Returns ((t0, t1, t2, t3), count).
     """
+    from pgen_tpu.ops.gt_text import planes_from_packed
+
     if compact:
         order = jnp.argsort(jnp.logical_not(mask_l), stable=True)
         gathered = jnp.take(packed_l, order, axis=0)
     else:
         gathered = packed_l
-    xi = gathered.astype(jnp.uint32)
-    planes = tuple(_text_word((xi >> (2 * k)) & 3) for k in range(4))
+    planes = planes_from_packed(gathered)
     count = jnp.sum(mask_l.astype(jnp.int32))
     return planes, count
 
@@ -177,10 +178,10 @@ def build_mesh_pipeline_step(
     P('v') masking padding rows; sample_sel is a replicated i32 vector of
     kept sample indices (None/absent = all samples in record order).
 
-    Returns (text_words P('v', None), mask P('v'), counts, offsets) with
-    counts/offsets replicated (ndev,) — the all-gather ordered-merge
-    collective: every shard learns every shard's kept count and hence its
-    global output row offset.
+    Returns (text_words P('v', None), mask replicated, counts replicated
+    (ndev,)) — the all-gather ordered-merge collective: every shard
+    learns every shard's kept count and hence its global output row
+    offset (derived on host as cumsum(counts)).
 
     precompacted=True (host already gathered kept rows; mask is a prefix
     of ones per shard) skips the on-device argsort+gather.
@@ -210,13 +211,13 @@ def build_mesh_pipeline_step(
                     compact=not precompacted,
                 )
             counts = jax.lax.all_gather(count, VARIANT_AXIS)
-            offsets = jnp.cumsum(counts) - counts
             # replicate the mask (vb bits over ICI): every HOST needs the
             # whole block's mask for its row-offset arithmetic — with
             # process-sharded devices a P('v') mask would have
-            # non-addressable shards
+            # non-addressable shards. (Row offsets are cumsum(counts) on
+            # host; no device-side offsets output.)
             mask_g = jax.lax.all_gather(mask_l, VARIANT_AXIS, tiled=True)
-            return text_out, mask_g, counts, offsets
+            return text_out, mask_g, counts
 
         if expr_ast is not None:
             pred_spec = {k: (P(VARIANT_AXIS, None), P(VARIANT_AXIS)) for k in pred_in}
@@ -232,7 +233,7 @@ def build_mesh_pipeline_step(
             inner,
             mesh=mesh,
             in_specs=tuple(in_specs),
-            out_specs=(text_spec, P(), P(), P()),
+            out_specs=(text_spec, P(), P()),
             check_vma=False,
         )(packed, pred_in, valid, *sel)
 

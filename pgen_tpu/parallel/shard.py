@@ -35,6 +35,7 @@ from pgen_tpu.pipeline.filter import (
     FilterResult,
     _emit_block_meta,
     _gather_rows,
+    _pwrite_all,
     _resolve_provider,
     _write_all,
 )
@@ -279,9 +280,25 @@ def filter_to_vcf_parallel(
     nv = max((s["variants_kept"] for s in done), default=0)
     ns = max((s["samples_kept"] for s in done), default=0)
     if gz:
-        bytes_written = _concat_gz_parts(out_file, num_workers)
+        parts = [_shard_part_path(out_file, i) for i in range(num_workers)]
+        if all(os.path.exists(p) for p in parts):
+            bytes_written = _concat_gz_parts(out_file, num_workers)
+        elif os.path.exists(out_file) and not any(os.path.exists(p) for p in parts):
+            # resume after a crash in the concat..manifest-unlink window:
+            # the merge already completed (parts are consumed atomically
+            # after the full write), so the file is the finished output
+            bytes_written = os.path.getsize(out_file)
+        else:
+            raise RuntimeError(
+                f"{out_file}: shard parts are incomplete but the manifest "
+                "says all shards are done; delete the manifest and rerun"
+            )
     else:
         bytes_written = os.path.getsize(out_file)
+    # The filter itself is complete: drop the manifest BEFORE indexing so
+    # an index failure (e.g. non-integer POS) can't strand an all-done
+    # manifest whose parts were already consumed by the merge.
+    os.unlink(mpath)
     if index:
         # The merged file is a complete BGZF stream; the parent re-derives
         # the row layout (one metadata predicate pass — a second genotype
@@ -289,7 +306,6 @@ def filter_to_vcf_parallel(
         _index_merged_gz(
             out_file, pfile_prefix, var_query, sam_query, provider, index_format
         )
-    os.unlink(mpath)
     return FilterResult(
         out_path=out_file,
         num_variants_kept=nv,
@@ -542,7 +558,7 @@ def filter_to_vcf_sharded(
     try:
         os.ftruncate(fd, local_total)
         if emits_header:
-            os.pwrite(fd, header_bytes, 0)
+            _pwrite_all(fd, header_bytes, 0)
         written = 0
         for si in my_shards:
             lo, hi = shards[si]
@@ -566,7 +582,7 @@ def filter_to_vcf_sharded(
                         scratch,
                     )
                 with timer.stage("pwrite", nbytes=n):
-                    os.pwrite(fd, memoryview(scratch[:n]), pos)
+                    _pwrite_all(fd, scratch[:n], pos)
                 pos += n
                 written += n
             assert pos == shard_byte_start(hi) - base, "shard offset accounting bug"

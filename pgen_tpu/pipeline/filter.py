@@ -236,10 +236,9 @@ def _emit_block(
                 return native.assemble_rows_planes(
                     planes, gt_len, prefix_buf, prefix_off, out_view
                 )
-            inter = np.stack(planes, axis=2)  # (V, R, 4) u32
-            text_host = inter.view(np.uint8).reshape(inter.shape[0], -1)[
-                :, :gt_len
-            ]
+            from pgen_tpu.ops.gt_text import interleave_planes_numpy
+
+            text_host = interleave_planes_numpy(planes, gt_len)
         else:
             codes = unpack_codes(dev_packed, int(packed_block.shape[1] * 4), interpret=interp)
             codes = codes[:, jnp.asarray(sample_idx)]
@@ -539,15 +538,13 @@ def emit_tabix_index(
     for col in ("CHROM", "POS", "REF"):
         if col not in pvar.columns:
             raise ValueError(f"--index requires a {col} column in the .pvar")
-    chroms_all = pvar.get_column_strs("CHROM")
-    pos_all = pvar.get_column_strs("POS")
-    ref_all = pvar.get_column_strs("REF")
-    chroms = [chroms_all[i] for i in var_idx]
+    chroms = pvar.get_column_bytes("CHROM")[var_idx]
     try:
-        pos = np.array([int(pos_all[i]) for i in var_idx], dtype=np.int64)
-    except ValueError as e:
+        pos = pvar.get_column_bytes("POS")[var_idx].astype(np.int64)
+    except (ValueError, OverflowError) as e:
         raise ValueError(f"--index requires integer POS values: {e}") from None
-    ref_lens = np.array([len(ref_all[i]) for i in var_idx], dtype=np.int64)
+    _, ref_lens_all = pvar.get_column_padded("REF")
+    ref_lens = np.asarray(ref_lens_all, dtype=np.int64)[var_idx]
     n = len(var_idx)
     idx = np.arange(n, dtype=np.int64)
     u_starts = header_len + prefix_sizes[:-1] + idx * row_fixed
@@ -565,6 +562,17 @@ def _write_all(fd: int, view: memoryview) -> None:
     while len(view):
         n = os.write(fd, view)
         view = view[n:]
+
+
+def _pwrite_all(fd: int, data, offset: int) -> None:
+    """os.pwrite until everything lands at offset. A single pwrite caps at
+    ~2 GiB on Linux (and may return short on EINTR); dropping the
+    remainder would leave stale bytes mid-file with no error."""
+    view = memoryview(data).cast("B")
+    while len(view):
+        n = os.pwrite(fd, view, offset)
+        view = view[n:]
+        offset += n
 
 
 def _gather_rows(records: np.ndarray, idx: np.ndarray) -> np.ndarray:

@@ -33,6 +33,7 @@ from pgen_tpu.formats.metadata import read_metadata
 from pgen_tpu.pipeline.filter import (
     DEFAULT_BLOCK_VARIANTS,
     FilterResult,
+    _pwrite_all,
     compute_masks,
     materialize_prefixes,
 )
@@ -279,12 +280,10 @@ def filter_to_vcf_mesh(
                             plane_data, n_text_cols, pbuf, poff, scratch
                         )
                     else:
+                        from pgen_tpu.ops.gt_text import interleave_planes_numpy
                         from pgen_tpu.pipeline.filter import _assemble_rows_numpy
 
-                        inter = np.stack(plane_data, axis=2)  # (c, W, 4) u32
-                        text_u8 = inter.view(np.uint8).reshape(c, -1)[
-                            :, :n_text_cols
-                        ]
+                        text_u8 = interleave_planes_numpy(plane_data, n_text_cols)
                         n = _assemble_rows_numpy(text_u8, pbuf, poff, scratch)
             else:
                 with timer.stage("fetch", nbytes=c * n_text_cols):
@@ -302,7 +301,7 @@ def filter_to_vcf_mesh(
                         n = _assemble_rows_numpy(text_u8, pbuf, poff, scratch)
             assert n == nbytes, f"mesh shard wrote {n}, planned {nbytes}"
             with timer.stage("pwrite", nbytes=nbytes):
-                os.pwrite(fd, scratch, bstart)
+                _pwrite_all(fd, scratch, bstart)
         state["byte_base"] += int(psz[-1]) + nk * row_fixed
         state["rows"] += nk
 
@@ -339,7 +338,7 @@ def filter_to_vcf_mesh(
     # async, so the device computes ahead of the host readback/write).
     pending = deque()
     try:
-        os.pwrite(fd, header_bytes, 0)
+        _pwrite_all(fd, header_bytes, 0)
         block_los = list(range(0, total_rows, vb))
         staged = reader.submit(stage_block, block_los[0]) if block_los else None
         for bi in range(len(block_los)):
@@ -392,7 +391,7 @@ def filter_to_vcf_mesh(
                     args = args + (sel_dev,)
                 with timer.stage("device_step"):
                     out = step(*args)
-            text_words, mask, counts, offsets = out
+            text_words, mask, counts = out
             pending.append((n, ls_blk, le_blk, text_words, mask, counts))
             if len(pending) >= 2:
                 drain(pending.popleft())

@@ -346,3 +346,42 @@ def test_index_with_shards_sequential_gz(tmp_path):
             standalone=True,
             index=True,
         )
+
+
+def test_bulk_add_many_matches_scalar_add():
+    """The vectorized bulk writer path must serialize byte-identically to
+    the scalar add() loop (chunk merging, lidx sentinel, loffsets)."""
+    from pgen_tpu.formats.tabix import CsiWriter, TbiWriter
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    pos0 = np.sort(rng.integers(0, 3_000_000, n)).astype(np.int64)
+    ends = pos0 + rng.integers(1, 5, n)
+    vbeg = 100 + np.arange(n, dtype=np.int64) * 777
+    vend = vbeg + 777 - rng.integers(0, 2, n)  # break some merges
+    for cls in (TbiWriter, CsiWriter):
+        bulk = cls()
+        bulk.add_many("7", pos0, ends, vbeg, vend)
+        scalar = cls()
+        for i in range(n):
+            scalar.add("7", int(pos0[i]), int(ends[i]), int(vbeg[i]), int(vend[i]))
+        assert bulk.serialize() == scalar.serialize(), cls.__name__
+
+
+def test_fetch_keeps_duplicate_rows(tmp_path):
+    """Two byte-identical VCF rows must BOTH come back from an indexed
+    region query (chunk-merge, not content-dedup)."""
+    from conftest import build_fileset
+
+    codes = np.zeros((2, 3), dtype=np.uint8)
+    prefix = build_fileset(
+        tmp_path,
+        "dup",
+        codes,
+        ["5\t42\tdup\tA\tC\t.\t.\t.", "5\t42\tdup\tA\tC\t.\t.\t."],
+        ["s0\tM", "s1\tM", "s2\tM"],
+    )
+    out = tmp_path / "dup.vcf.gz"
+    filter_to_vcf(prefix, out_file=out, index=True)
+    got = fetch_region(str(out), str(out) + ".tbi", "5", 0, 100)
+    assert len(got) == 2 and got[0] == got[1]
