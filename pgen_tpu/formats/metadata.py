@@ -79,11 +79,20 @@ class MetadataTable:
             ends = self.field_ends(j)
             lens = ends - starts
             width = max(int(lens.max(initial=0)), 1)
-            offs = np.arange(width, dtype=np.int64)
-            idx = starts[:, None] + offs[None, :]
-            np.minimum(idx, len(self._buf) - 1, out=idx)
-            mat = self._buf[idx]
-            mat[offs[None, :] >= lens[:, None]] = 0
+            try:
+                from pgen_tpu.native import HAVE_NATIVE, native
+            except ImportError:
+                HAVE_NATIVE = False
+            if HAVE_NATIVE and self.num_rows > 4096:
+                # one memcpy pass; the numpy fallback's fancy-index gather
+                # builds a rows*width int64 index matrix (query hot spot)
+                mat = native.extract_column(self._buf, starts, lens, width)
+            else:
+                offs = np.arange(width, dtype=np.int64)
+                idx = starts[:, None] + offs[None, :]
+                np.minimum(idx, len(self._buf) - 1, out=idx)
+                mat = self._buf[idx]
+                mat[offs[None, :] >= lens[:, None]] = 0
             self._col_cache[key] = (mat, lens.astype(np.int32))
         return self._col_cache[key]
 

@@ -96,6 +96,10 @@ class _Native:
         lib.pgen_assemble_rows_buf.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p, u8p, ctypes.c_int64,
         ]
+        lib.pgen_extract_column.restype = None
+        lib.pgen_extract_column.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, u8p,
+        ]
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.pgen_assemble_rows_planes.restype = ctypes.c_int64
         lib.pgen_assemble_rows_planes.argtypes = [
@@ -310,6 +314,28 @@ class _Native:
         if ret < 0:
             raise ValueError("native row assembly: output buffer too small")
         return int(ret)
+
+    def extract_column(
+        self,
+        buf: np.ndarray,
+        starts: np.ndarray,
+        lens: np.ndarray,
+        width: int,
+    ) -> np.ndarray:
+        """Zero-padded (rows, width) u8 column matrix in one memcpy pass."""
+        starts = np.ascontiguousarray(starts, dtype=np.int64)
+        lens = np.ascontiguousarray(lens, dtype=np.int64)
+        n = len(starts)
+        out = np.empty((n, width), dtype=np.uint8)
+        self._lib.pgen_extract_column(
+            self._u8(buf),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            width,
+            self._u8(out),
+        )
+        return out
 
     def assemble_rows_planes(
         self,

@@ -541,6 +541,19 @@ int64_t pgen_assemble_rows_planes(const uint32_t* t0, const uint32_t* t1,
   return dst - out;
 }
 
+// Extract a metadata column into a zero-padded (rows, width) u8 matrix:
+// out[i, :lens[i]] = buf[starts[i] : starts[i]+lens[i]], rest zeros.
+// Replaces a numpy fancy-index gather that builds a rows*width int64
+// index matrix (the query path's hot spot at chr22 scale).
+void pgen_extract_column(const unsigned char* buf, const int64_t* starts,
+                         const int64_t* lens, int64_t n_rows, int64_t width,
+                         unsigned char* out) {
+  std::memset(out, 0, (size_t)(n_rows * width));
+  for (int64_t i = 0; i < n_rows; ++i) {
+    std::memcpy(out + i * width, buf + starts[i], (size_t)lens[i]);
+  }
+}
+
 // Single-pass SIMD scan for metadata separators: counts '\t' and '\n' in
 // buf (pgen_count_seps) and fills their positions (pgen_fill_seps). The
 // columnar .pvar/.psam loader is bound by this scan on chr22-scale files.
