@@ -46,6 +46,7 @@ def _build() -> Path | None:
             str(tmp_so),
             str(_SRC),
             "-lz",
+            "-pthread",
         ]
         # Prefer libdeflate for the bgzf path (~3x zlib); fall back silently.
         attempts = [
@@ -100,6 +101,8 @@ class _Native:
         lib.pgen_extract_column.argtypes = [
             u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, u8p,
         ]
+        lib.pgen_fill_seps_par.restype = None
+        lib.pgen_fill_seps_par.argtypes = [u8p, ctypes.c_int64, i64p, i64p]
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.pgen_assemble_rows_planes.restype = ctypes.c_int64
         lib.pgen_assemble_rows_planes.argtypes = [
@@ -493,7 +496,7 @@ class _Native:
         )
         tabs = np.empty(nt.value, dtype=np.int64)
         nls = np.empty(nn.value, dtype=np.int64)
-        self._lib.pgen_fill_seps(
+        self._lib.pgen_fill_seps_par(
             self._u8(buf),
             buf.nbytes,
             tabs.ctypes.data_as(i64p),

@@ -21,6 +21,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
 #include <unistd.h>
 #include <errno.h>
 
@@ -651,6 +652,29 @@ void pgen_fill_seps(const unsigned char* buf, int64_t n, int64_t* tab_out,
     if (buf[i] == '\t') *tab_out++ = i;
     if (buf[i] == '\n') *nl_out++ = i;
   }
+}
+
+// Parallel position fill: counts the first half (cheap compare-to-mask
+// pass) to find each half's output offsets, then fills both halves
+// concurrently — the fill is bound by the position-array writes, which
+// split cleanly across cores. Second-half positions are shifted by mid.
+void pgen_fill_seps_par(const unsigned char* buf, int64_t n,
+                        int64_t* tab_out, int64_t* nl_out) {
+  if (n < (8 << 20)) {  // small files: threading overhead dominates
+    pgen_fill_seps(buf, n, tab_out, nl_out);
+    return;
+  }
+  const int64_t mid = n / 2;
+  int64_t t0 = 0, l0 = 0, c0 = 0, t1 = 0, l1 = 0, c1 = 0;
+  pgen_count_seps(buf, mid, &t0, &l0, &c0);
+  std::thread th([&] { pgen_fill_seps(buf, mid, tab_out, nl_out); });
+  int64_t* tab_hi = tab_out + t0;
+  int64_t* nl_hi = nl_out + l0;
+  pgen_fill_seps(buf + mid, n - mid, tab_hi, nl_hi);
+  pgen_count_seps(buf + mid, n - mid, &t1, &l1, &c1);
+  for (int64_t k = 0; k < t1; ++k) tab_hi[k] += mid;
+  for (int64_t k = 0; k < l1; ++k) nl_hi[k] += mid;
+  th.join();
 }
 
 // Per-variant 2-bit code histogram: counts[v*4+k] = #samples with code k.
