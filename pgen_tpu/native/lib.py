@@ -113,6 +113,8 @@ class _Native:
         lib.pgen_gt_counts.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p,
         ]
+        lib.pgen_gt_counts_par.restype = None
+        lib.pgen_gt_counts_par.argtypes = lib.pgen_gt_counts.argtypes
         lib.pgen_bgzf_compress.restype = ctypes.c_int64
         lib.pgen_bgzf_compress.argtypes = [
             u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int,
@@ -128,6 +130,8 @@ class _Native:
         lib.pgen_gt_counts_masked.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, i64p,
         ]
+        lib.pgen_gt_counts_masked_par.restype = None
+        lib.pgen_gt_counts_masked_par.argtypes = lib.pgen_gt_counts_masked.argtypes
         lib.pgen_join_lines.restype = ctypes.c_int64
         lib.pgen_join_lines.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, i32p, u8p, ctypes.c_int64,
@@ -375,7 +379,7 @@ class _Native:
         packed = np.ascontiguousarray(packed, dtype=np.uint8)
         n_var, rec = packed.shape
         out = np.empty((n_var, 4), dtype=np.int64)
-        self._lib.pgen_gt_counts(
+        self._lib.pgen_gt_counts_par(
             self._u8(packed),
             n_var,
             rec,
@@ -431,7 +435,7 @@ class _Native:
         n_var, rec = packed.shape
         byte_masks = np.ascontiguousarray(byte_masks, dtype=np.uint8)
         out = np.empty((n_var, 4), dtype=np.int64)
-        self._lib.pgen_gt_counts_masked(
+        self._lib.pgen_gt_counts_masked_par(
             self._u8(packed),
             n_var,
             rec,

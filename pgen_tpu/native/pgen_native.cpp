@@ -760,6 +760,41 @@ void pgen_gt_counts_masked(const unsigned char* packed, int64_t n_var,
   }
 }
 
+// Variant-parallel wrappers: rows are independent, so split the variant
+// range across two threads (GT_* predicate queries and `stats` walk the
+// whole packed matrix through these).
+void pgen_gt_counts_par(const unsigned char* packed, int64_t n_var,
+                        int64_t rec_size, int64_t n_samples,
+                        int64_t* counts) {
+  if (n_var * rec_size < (16 << 20)) {
+    pgen_gt_counts(packed, n_var, rec_size, n_samples, counts);
+    return;
+  }
+  const int64_t mid = n_var / 2;
+  std::thread th(
+      [&] { pgen_gt_counts(packed, mid, rec_size, n_samples, counts); });
+  pgen_gt_counts(packed + mid * rec_size, n_var - mid, rec_size, n_samples,
+                 counts + mid * 4);
+  th.join();
+}
+
+void pgen_gt_counts_masked_par(const unsigned char* packed, int64_t n_var,
+                               int64_t rec_size,
+                               const unsigned char* byte_masks,
+                               int64_t* counts) {
+  if (n_var * rec_size < (16 << 20)) {
+    pgen_gt_counts_masked(packed, n_var, rec_size, byte_masks, counts);
+    return;
+  }
+  const int64_t mid = n_var / 2;
+  std::thread th([&] {
+    pgen_gt_counts_masked(packed, mid, rec_size, byte_masks, counts);
+  });
+  pgen_gt_counts_masked(packed + mid * rec_size, n_var - mid, rec_size,
+                        byte_masks, counts + mid * 4);
+  th.join();
+}
+
 // Extract an INFO subfield per row: within each field span, find the
 // ';'-separated segment "KEY=value" (value span returned) or bare "KEY"
 // (flag, len=-2); absent keys get len=-1. First occurrence wins.
