@@ -105,6 +105,14 @@ def interleave_planes_numpy(planes, gt_len: int) -> np.ndarray:
     return inter.view(np.uint8).reshape(inter.shape[0], -1)[:, :gt_len]
 
 
+def interleave_planes_subset_numpy(planes, sel: np.ndarray) -> np.ndarray:
+    """Subset fallback: kept sample s's u32 word = planes[s%4][s//4];
+    returns (V, 4*len(sel)) u8 text in kept-sample order."""
+    inter = np.stack([np.asarray(p) for p in planes], axis=2)  # (V, W, 4) u32
+    words = np.ascontiguousarray(inter.reshape(inter.shape[0], -1)[:, sel])
+    return words.view(np.uint8).reshape(words.shape[0], -1)
+
+
 def genotype_text_reference(codes: np.ndarray) -> np.ndarray:
     """Numpy oracle: codes (V,S) -> text (V,4S) via an explicit token table."""
     table = np.frombuffer(b"\t0/0\t0/1\t1/1\t./.", dtype=np.uint8).reshape(4, 4)

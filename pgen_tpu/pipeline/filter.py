@@ -218,20 +218,17 @@ def _emit_block(
         import jax.numpy as jnp
 
         from pgen_tpu.native import HAVE_NATIVE, native
-        from pgen_tpu.ops.gt_text import genotype_text_from_codes
-        from pgen_tpu.ops.unpack import unpack_codes
-        from pgen_tpu.pipeline.device import is_interpret_backend
 
-        interp = is_interpret_backend()
+        # Plane-form emission for both keep-all and subsets: the
+        # interleaved text tensor costs ~10x to materialize on TPU (see
+        # ops/gt_text.genotype_text_planes); subsets gather per kept
+        # sample on the host (planes[s%4][s//4]).
+        from pgen_tpu.ops.gt_text import genotype_text_planes
+
         dev_packed = jnp.asarray(packed_block)
+        planes = [np.asarray(p) for p in genotype_text_planes(dev_packed)]
+        gt_len = 4 * n_kept_samples
         if sample_idx is None:
-            # keep-all fast path: plane-form emission — the interleaved
-            # text tensor costs ~10x to materialize on TPU (see
-            # ops/gt_text.genotype_text_planes)
-            from pgen_tpu.ops.gt_text import genotype_text_planes
-
-            planes = [np.asarray(p) for p in genotype_text_planes(dev_packed)]
-            gt_len = 4 * n_kept_samples
             if HAVE_NATIVE:
                 return native.assemble_rows_planes(
                     planes, gt_len, prefix_buf, prefix_off, out_view
@@ -240,11 +237,13 @@ def _emit_block(
 
             text_host = interleave_planes_numpy(planes, gt_len)
         else:
-            codes = unpack_codes(dev_packed, int(packed_block.shape[1] * 4), interpret=interp)
-            codes = codes[:, jnp.asarray(sample_idx)]
-            text_host = np.asarray(
-                genotype_text_from_codes(codes, interpret=interp)
-            )
+            if HAVE_NATIVE:
+                return native.assemble_rows_planes_sel(
+                    planes, sample_idx, prefix_buf, prefix_off, out_view
+                )
+            from pgen_tpu.ops.gt_text import interleave_planes_subset_numpy
+
+            text_host = interleave_planes_subset_numpy(planes, sample_idx)
         if HAVE_NATIVE:
             return native.assemble_rows_buf(text_host, prefix_buf, prefix_off, out_view)
         return _assemble_rows_numpy(text_host, prefix_buf, prefix_off, out_view)

@@ -8,8 +8,9 @@ stack (/root/reference/src/pfile.rs:104-194) over a `jax.sharding.Mesh`
           step (jit in_shardings place each host array on its shard)
     device (per shard): predicate mask (device-lowered expression over
           padded column tensors, or a host-computed mask for expressions
-          outside the device subset) -> stable kept-first compaction ->
-          2-bit unpack -> optional kept-sample gather -> GT text words
+          outside the device subset) -> stable kept-first compaction
+          (skipped when the host pre-gathered kept rows) -> four GT text
+          planes, elementwise from the packed bytes
     collective: all_gather of per-shard kept counts over ICI -> every
           shard's global output row offset (the ordered merge is pure
           arithmetic; genotype text never crosses chips)
@@ -185,22 +186,20 @@ def filter_to_vcf_mesh(
     # pad bytes decode to "\t0/0" text that the drain slice discards.
     rec_pad = rec + (-rec) % 128
 
-    # Keep-all-samples runs use the plane-form step: four dense (v, R)
-    # u32 text planes materialize ~10x faster than the interleaved
-    # (v, 4R) tensor (see parallel/mesh.py _local_pipeline_planes); the
-    # native assembler interleaves planes while copying rows.
-    planes_mode = sample_sel is None
+    # Plane-form step for ALL runs: four dense (v, R) u32 text planes
+    # materialize ~10x faster than the interleaved (v, 4R) tensor (see
+    # parallel/mesh.py _local_pipeline_planes). The host assembler
+    # interleaves planes while copying rows; sample subsets become a
+    # per-kept-sample gather there (planes[s%4][s//4]) instead of an
+    # on-device column gather.
     step = build_mesh_pipeline_step(
         mesh,
         None if cols is None else var_node,
         precompacted=precompacted,
-        planes=planes_mode,
+        planes=True,
     )
     shard_2d = NamedSharding(mesh, P(VARIANT_AXIS, None))
     shard_1d = NamedSharding(mesh, P(VARIANT_AXIS))
-    repl = NamedSharding(mesh, P())
-
-    sel_dev = None if sample_sel is None else jax.device_put(sample_sel, repl)
 
     from collections import deque
 
@@ -240,26 +239,13 @@ def filter_to_vcf_mesh(
         le = le_blk[kept_local]
         psz = np.zeros(nk + 1, dtype=np.int64)
         np.cumsum(le - ls + 3, out=psz[1:])
-        if planes_mode:
-            # align the four planes' addressable shards by device
-            shard_maps = [
-                {dev_to_d[s.device.id]: s for s in p.addressable_shards}
-                for p in text_out
-            ]
-            ds = sorted(shard_maps[0])
-        else:
-            shard_maps = None
-            ds = None
-
-        def shard_iter():
-            if planes_mode:
-                for d in ds:
-                    yield d, [shard_maps[k][d] for k in range(4)]
-            else:
-                for s in text_out.addressable_shards:
-                    yield dev_to_d[s.device.id], s
-
-        for d, shard in shard_iter():
+        # align the four planes' addressable shards by device
+        shard_maps = [
+            {dev_to_d[s.device.id]: s for s in p.addressable_shards}
+            for p in text_out
+        ]
+        for d in sorted(shard_maps[0]):
+            shard = [shard_maps[k][d] for k in range(4)]
             c = int(counts_h[d])
             if c == 0:
                 continue
@@ -268,37 +254,35 @@ def filter_to_vcf_mesh(
             nbytes = int(psz[k0 + c] - psz[k0]) + c * row_fixed
             pbuf, poff = materialize_prefixes(pvar.data_buffer, ls[k0 : k0 + c], le[k0 : k0 + c])
             scratch = np.empty(nbytes, dtype=np.uint8)
-            if planes_mode:
-                with timer.stage("fetch", nbytes=c * n_text_cols):
-                    plane_data = [
-                        np.ascontiguousarray(np.asarray(s.data[:c]))
-                        for s in shard
-                    ]
-                with timer.stage("assemble", nbytes=nbytes):
-                    if HAVE_NATIVE:
-                        n = native.assemble_rows_planes(
-                            plane_data, n_text_cols, pbuf, poff, scratch
-                        )
-                    else:
-                        from pgen_tpu.ops.gt_text import interleave_planes_numpy
-                        from pgen_tpu.pipeline.filter import _assemble_rows_numpy
+            with timer.stage("fetch", nbytes=c * n_text_cols):
+                # slice the kept rows ON DEVICE (shard.data[:c]) so only
+                # them cross to the host
+                plane_data = [
+                    np.ascontiguousarray(np.asarray(s.data[:c])) for s in shard
+                ]
+            with timer.stage("assemble", nbytes=nbytes):
+                if HAVE_NATIVE and sample_sel is None:
+                    n = native.assemble_rows_planes(
+                        plane_data, n_text_cols, pbuf, poff, scratch
+                    )
+                elif HAVE_NATIVE:
+                    n = native.assemble_rows_planes_sel(
+                        plane_data, sample_sel, pbuf, poff, scratch
+                    )
+                else:
+                    from pgen_tpu.ops.gt_text import (
+                        interleave_planes_numpy,
+                        interleave_planes_subset_numpy,
+                    )
+                    from pgen_tpu.pipeline.filter import _assemble_rows_numpy
 
+                    if sample_sel is None:
                         text_u8 = interleave_planes_numpy(plane_data, n_text_cols)
-                        n = _assemble_rows_numpy(text_u8, pbuf, poff, scratch)
-            else:
-                with timer.stage("fetch", nbytes=c * n_text_cols):
-                    # slice the kept rows ON DEVICE (shard.data[:c]) so only
-                    # them cross to the host; device layouts may come back
-                    # strided, and the u8 view needs a C-contiguous last axis
-                    text = np.ascontiguousarray(np.asarray(shard.data[:c]))
-                text_u8 = text.view(np.uint8).reshape(c, -1)[:, :n_text_cols]
-                with timer.stage("assemble", nbytes=nbytes):
-                    if HAVE_NATIVE:
-                        n = native.assemble_rows_buf(text_u8, pbuf, poff, scratch)
                     else:
-                        from pgen_tpu.pipeline.filter import _assemble_rows_numpy
-
-                        n = _assemble_rows_numpy(text_u8, pbuf, poff, scratch)
+                        text_u8 = interleave_planes_subset_numpy(
+                            plane_data, sample_sel
+                        )
+                    n = _assemble_rows_numpy(text_u8, pbuf, poff, scratch)
             assert n == nbytes, f"mesh shard wrote {n}, planned {nbytes}"
             with timer.stage("pwrite", nbytes=nbytes):
                 _pwrite_all(fd, scratch, bstart)
@@ -371,8 +355,6 @@ def filter_to_vcf_mesh(
                         jax.device_put(ln, shard_1d),
                     )
             args = (packed_d, pred_d, valid_d)
-            if sel_dev is not None:
-                args = args + (sel_dev,)
             try:
                 with timer.stage("device_step"):
                     out = step(*args)
@@ -385,10 +367,8 @@ def filter_to_vcf_mesh(
                 host_var_mask, _ = compute_masks(
                     var_node, None, pvar, psam, header, records, "device"
                 )
-                step = build_mesh_pipeline_step(mesh, None, planes=planes_mode)
+                step = build_mesh_pipeline_step(mesh, None, planes=True)
                 args = (packed_d, _host_pred(), valid_d)
-                if sel_dev is not None:
-                    args = args + (sel_dev,)
                 with timer.stage("device_step"):
                     out = step(*args)
             text_words, mask, counts = out
