@@ -213,7 +213,6 @@ class TbiWriter:
     don't merge then)."""
 
     def __init__(self):
-        self.names: list = []
         self._refs: dict = {}  # name -> (bins {bin: [chunks]}, lidx list)
         self._order: list = []
 
@@ -222,6 +221,7 @@ class TbiWriter:
             self._refs[ref] = ({}, [])
             self._order.append(ref)
         bins, lidx = self._refs[ref]
+        beg = max(beg, 0)  # POS=0 telomere rows: htslib clamps beg<0 to 0
         b = reg2bin(beg, max(end, beg + 1))
         chunks = bins.setdefault(b, [])
         if chunks and chunks[-1][1] == vbeg:
@@ -245,7 +245,7 @@ class TbiWriter:
         """
         if ref in self._refs:
             raise ValueError(f"add_many: {ref} already populated")
-        beg = np.asarray(beg, dtype=np.int64)
+        beg = np.maximum(np.asarray(beg, dtype=np.int64), 0)  # htslib clamp
         end = np.maximum(np.asarray(end, dtype=np.int64), beg + 1)
         vbeg = np.asarray(vbeg, dtype=np.int64)
         vend = np.asarray(vend, dtype=np.int64)
@@ -320,6 +320,7 @@ class CsiWriter:
             self._refs[ref] = ({}, [])
             self._order.append(ref)
         bins, lidx = self._refs[ref]
+        beg = max(beg, 0)  # POS=0 telomere rows: htslib clamps beg<0 to 0
         b = reg2bin_csi(beg, max(end, beg + 1), self.min_shift, self.depth)
         chunks = bins.setdefault(b, [])
         if chunks and chunks[-1][1] == vbeg:
@@ -341,7 +342,7 @@ class CsiWriter:
         """Bulk-vectorized add of one reference's rows (file order)."""
         if ref in self._refs:
             raise ValueError(f"add_many: {ref} already populated")
-        beg = np.asarray(beg, dtype=np.int64)
+        beg = np.maximum(np.asarray(beg, dtype=np.int64), 0)  # htslib clamp
         end = np.maximum(np.asarray(end, dtype=np.int64), beg + 1)
         vbeg = np.asarray(vbeg, dtype=np.int64)
         vend = np.asarray(vend, dtype=np.int64)
@@ -620,7 +621,7 @@ def fetch_region(gz_path: str, tbi_path: str, ref: str, beg: int, end: int):
                 cols = line.split(b"\t", 4)
                 if cols[0].decode() != ref:
                     continue
-                p0 = int(cols[1]) - 1
+                p0 = max(int(cols[1]) - 1, 0)  # htslib clamp (POS=0 rows)
                 rend = p0 + max(len(cols[3]), 1)
                 if p0 < end and rend > beg:
                     lines.append(line)

@@ -109,11 +109,6 @@ class _Native:
             u32p, u32p, u32p, u32p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, u8p, i64p, u8p, ctypes.c_int64,
         ]
-        lib.pgen_assemble_rows_planes_sel.restype = ctypes.c_int64
-        lib.pgen_assemble_rows_planes_sel.argtypes = [
-            u32p, u32p, u32p, u32p, ctypes.c_int64, i32p, ctypes.c_int64,
-            ctypes.c_int64, u8p, i64p, u8p, ctypes.c_int64,
-        ]
         lib.pgen_gt_counts.restype = None
         lib.pgen_gt_counts.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p,
@@ -378,39 +373,6 @@ class _Native:
         )
         if ret < 0:
             raise ValueError("native plane assembly: output buffer too small")
-        return int(ret)
-
-    def assemble_rows_planes_sel(
-        self,
-        planes,
-        sel: np.ndarray,  # kept sample indices (record order)
-        prefix_buf: np.ndarray,
-        prefix_off: np.ndarray,
-        out: np.ndarray,
-    ) -> int:
-        """Plane assembly with a sample subset: kept sample s's word is
-        planes[s%4][s//4] (scalar gather per kept sample)."""
-        ps = [np.ascontiguousarray(p, dtype=np.uint32) for p in planes]
-        n_var, plane_words = ps[0].shape
-        u32p = ctypes.POINTER(ctypes.c_uint32)
-        sel = np.ascontiguousarray(sel, dtype=np.int32)
-        prefix_off = np.ascontiguousarray(prefix_off, dtype=np.int64)
-        ret = self._lib.pgen_assemble_rows_planes_sel(
-            ps[0].ctypes.data_as(u32p),
-            ps[1].ctypes.data_as(u32p),
-            ps[2].ctypes.data_as(u32p),
-            ps[3].ctypes.data_as(u32p),
-            plane_words,
-            sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            len(sel),
-            n_var,
-            self._u8(np.ascontiguousarray(prefix_buf, dtype=np.uint8)),
-            prefix_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            self._u8(out),
-            out.nbytes,
-        )
-        if ret < 0:
-            raise ValueError("native plane-sel assembly: output buffer too small")
         return int(ret)
 
     def gt_counts(self, packed: np.ndarray, n_samples: int) -> np.ndarray:

@@ -555,35 +555,6 @@ void pgen_extract_column(const unsigned char* buf, const int64_t* starts,
   }
 }
 
-// Plane assembly with a sample subset: kept sample s reads the u32 text
-// word at plane[s%4] lane s/4 (scalar gather per kept sample — the
-// subset makes SIMD transposes pointless; still one pass, DRAM-bound).
-int64_t pgen_assemble_rows_planes_sel(
-    const uint32_t* t0, const uint32_t* t1, const uint32_t* t2,
-    const uint32_t* t3, int64_t plane_words, const int32_t* sel,
-    int64_t n_sel, int64_t n_var, const unsigned char* prefix_buf,
-    const int64_t* prefix_off, unsigned char* out, int64_t cap) {
-  const uint32_t* pl[4] = {t0, t1, t2, t3};
-  unsigned char* dst = out;
-  unsigned char* end = out + cap;
-  const int64_t gt_len = 4 * n_sel;
-  for (int64_t v = 0; v < n_var; ++v) {
-    const int64_t plen = prefix_off[v + 1] - prefix_off[v];
-    if (dst + plen + gt_len + 1 > end) return -1;
-    std::memcpy(dst, prefix_buf + prefix_off[v], (size_t)plen);
-    dst += plen;
-    const int64_t base = v * plane_words;
-    for (int64_t i = 0; i < n_sel; ++i) {
-      const int32_t s = sel[i];
-      const uint32_t w = pl[s & 3][base + (s >> 2)];
-      std::memcpy(dst, &w, 4);
-      dst += 4;
-    }
-    *dst++ = '\n';
-  }
-  return dst - out;
-}
-
 // Single-pass SIMD scan for metadata separators: counts '\t' and '\n' in
 // buf (pgen_count_seps) and fills their positions (pgen_fill_seps). The
 // columnar .pvar/.psam loader is bound by this scan on chr22-scale files.

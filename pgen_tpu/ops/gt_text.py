@@ -105,12 +105,30 @@ def interleave_planes_numpy(planes, gt_len: int) -> np.ndarray:
     return inter.view(np.uint8).reshape(inter.shape[0], -1)[:, :gt_len]
 
 
-def interleave_planes_subset_numpy(planes, sel: np.ndarray) -> np.ndarray:
-    """Subset fallback: kept sample s's u32 word = planes[s%4][s//4];
-    returns (V, 4*len(sel)) u8 text in kept-sample order."""
-    inter = np.stack([np.asarray(p) for p in planes], axis=2)  # (V, W, 4) u32
-    words = np.ascontiguousarray(inter.reshape(inter.shape[0], -1)[:, sel])
-    return words.view(np.uint8).reshape(words.shape[0], -1)
+@jax.jit
+def _subset_words(packed: jnp.ndarray, byte_idx, shift) -> jnp.ndarray:
+    """Kept-sample text words straight from the packed bytes: (V, K) u32.
+
+    byte_idx = sel//4 (record byte of each kept sample), shift = 2*(sel%4).
+    Only the gathered byte columns are read and only K words/variant are
+    materialized, so the d2h transfer behind the host's np.asarray is
+    4*K B/variant instead of the full-width plane set (16 B per record
+    byte) — subset queries' device traffic scales with the subset."""
+    xi = packed[:, byte_idx].astype(jnp.uint32)
+    return _text_word((xi >> shift) & 3)
+
+
+def subset_text_from_packed(packed: jnp.ndarray, sel) -> np.ndarray:
+    """(V, rec) device bytes + kept sample ids -> (V, 4*len(sel)) u8 host
+    text in kept-sample order (the subset twin of the plane path)."""
+    sel = np.asarray(sel, dtype=np.int64)
+    n_var = packed.shape[0]
+    if len(sel) == 0 or n_var == 0:
+        return np.zeros((n_var, 4 * len(sel)), dtype=np.uint8)
+    words = np.asarray(
+        _subset_words(packed, sel // 4, (2 * (sel % 4)).astype(np.uint32))
+    )
+    return words.view(np.uint8).reshape(n_var, -1)
 
 
 def genotype_text_reference(codes: np.ndarray) -> np.ndarray:

@@ -218,34 +218,33 @@ def _emit_block(
         import jax.numpy as jnp
 
         from pgen_tpu.native import HAVE_NATIVE, native
-
-        # Plane-form emission for both keep-all and subsets: the
-        # interleaved text tensor costs ~10x to materialize on TPU (see
-        # ops/gt_text.genotype_text_planes); subsets gather per kept
-        # sample on the host (planes[s%4][s//4]).
-        from pgen_tpu.ops.gt_text import genotype_text_planes
+        from pgen_tpu.ops.gt_text import (
+            genotype_text_planes,
+            subset_text_from_packed,
+        )
 
         dev_packed = jnp.asarray(packed_block)
+        if sample_idx is not None:
+            # device-side kept-sample gather: d2h ships 4*n_kept B/variant
+            # instead of the full 16-B-per-record-byte plane set
+            text_host = subset_text_from_packed(dev_packed, sample_idx)
+            if HAVE_NATIVE:
+                return native.assemble_rows_buf(
+                    text_host, prefix_buf, prefix_off, out_view
+                )
+            return _assemble_rows_numpy(text_host, prefix_buf, prefix_off, out_view)
+        # keep-all: plane-form emission — the interleaved text tensor costs
+        # ~10x to materialize on TPU (ops/gt_text.planes_from_packed); the
+        # host assembler interleaves while copying rows
         planes = [np.asarray(p) for p in genotype_text_planes(dev_packed)]
         gt_len = 4 * n_kept_samples
-        if sample_idx is None:
-            if HAVE_NATIVE:
-                return native.assemble_rows_planes(
-                    planes, gt_len, prefix_buf, prefix_off, out_view
-                )
-            from pgen_tpu.ops.gt_text import interleave_planes_numpy
-
-            text_host = interleave_planes_numpy(planes, gt_len)
-        else:
-            if HAVE_NATIVE:
-                return native.assemble_rows_planes_sel(
-                    planes, sample_idx, prefix_buf, prefix_off, out_view
-                )
-            from pgen_tpu.ops.gt_text import interleave_planes_subset_numpy
-
-            text_host = interleave_planes_subset_numpy(planes, sample_idx)
         if HAVE_NATIVE:
-            return native.assemble_rows_buf(text_host, prefix_buf, prefix_off, out_view)
+            return native.assemble_rows_planes(
+                planes, gt_len, prefix_buf, prefix_off, out_view
+            )
+        from pgen_tpu.ops.gt_text import interleave_planes_numpy
+
+        text_host = interleave_planes_numpy(planes, gt_len)
         return _assemble_rows_numpy(text_host, prefix_buf, prefix_off, out_view)
     if provider == "numpy":
         return emit_rows_numpy(

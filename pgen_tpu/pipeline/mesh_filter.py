@@ -209,6 +209,19 @@ def filter_to_vcf_mesh(
         from pgen_tpu.native import native
 
     n_text_cols = 4 * n_kept  # bytes of GT text per row
+    if sample_sel is not None:
+        # Sample-subset readback: gather each kept sample's text word ON
+        # DEVICE before the host fetch (plane s%4, lane s//4), so d2h
+        # ships 4*n_kept B/row instead of the full-width plane set.
+        # Precompute per-plane lane lists + the column order that restores
+        # kept-sample order after per-plane concatenation.
+        _sel_div = (sample_sel // 4).astype(np.int64)
+        _sel_mod = sample_sel % 4
+        _plane_kept = [np.flatnonzero(_sel_mod == k) for k in range(4)]
+        plane_gather = [_sel_div[p] for p in _plane_kept]
+        subset_col_order = np.argsort(
+            np.concatenate(_plane_kept), kind="stable"
+        )
     per = vb // ndev
     # Shard position from the DEVICE's mesh coordinate, not the array
     # index: zero-width arrays (0 samples) degenerate every shard's
@@ -254,35 +267,48 @@ def filter_to_vcf_mesh(
             nbytes = int(psz[k0 + c] - psz[k0]) + c * row_fixed
             pbuf, poff = materialize_prefixes(pvar.data_buffer, ls[k0 : k0 + c], le[k0 : k0 + c])
             scratch = np.empty(nbytes, dtype=np.uint8)
-            with timer.stage("fetch", nbytes=c * n_text_cols):
-                # slice the kept rows ON DEVICE (shard.data[:c]) so only
-                # them cross to the host
-                plane_data = [
-                    np.ascontiguousarray(np.asarray(s.data[:c])) for s in shard
-                ]
-            with timer.stage("assemble", nbytes=nbytes):
-                if HAVE_NATIVE and sample_sel is None:
-                    n = native.assemble_rows_planes(
-                        plane_data, n_text_cols, pbuf, poff, scratch
-                    )
-                elif HAVE_NATIVE:
-                    n = native.assemble_rows_planes_sel(
-                        plane_data, sample_sel, pbuf, poff, scratch
-                    )
-                else:
-                    from pgen_tpu.ops.gt_text import (
-                        interleave_planes_numpy,
-                        interleave_planes_subset_numpy,
-                    )
-                    from pgen_tpu.pipeline.filter import _assemble_rows_numpy
-
-                    if sample_sel is None:
-                        text_u8 = interleave_planes_numpy(plane_data, n_text_cols)
-                    else:
-                        text_u8 = interleave_planes_subset_numpy(
-                            plane_data, sample_sel
+            if sample_sel is None:
+                with timer.stage("fetch", nbytes=c * n_text_cols):
+                    # slice the kept rows ON DEVICE (shard.data[:c]) so
+                    # only them cross to the host
+                    plane_data = [
+                        np.ascontiguousarray(np.asarray(s.data[:c]))
+                        for s in shard
+                    ]
+                with timer.stage("assemble", nbytes=nbytes):
+                    if HAVE_NATIVE:
+                        n = native.assemble_rows_planes(
+                            plane_data, n_text_cols, pbuf, poff, scratch
                         )
-                    n = _assemble_rows_numpy(text_u8, pbuf, poff, scratch)
+                    else:
+                        from pgen_tpu.ops.gt_text import interleave_planes_numpy
+                        from pgen_tpu.pipeline.filter import _assemble_rows_numpy
+
+                        text_u8 = interleave_planes_numpy(plane_data, n_text_cols)
+                        n = _assemble_rows_numpy(text_u8, pbuf, poff, scratch)
+            else:
+                with timer.stage("fetch", nbytes=c * n_text_cols):
+                    # kept rows AND kept sample lanes sliced on device
+                    parts = [
+                        np.asarray(shard[k].data[:c][:, plane_gather[k]])
+                        for k in range(4)
+                        if len(plane_gather[k])
+                    ]
+                    words = (
+                        np.ascontiguousarray(
+                            np.concatenate(parts, axis=1)[:, subset_col_order]
+                        )
+                        if parts
+                        else np.zeros((c, 0), dtype=np.uint32)
+                    )
+                text_u8 = words.view(np.uint8).reshape(c, -1)
+                with timer.stage("assemble", nbytes=nbytes):
+                    if HAVE_NATIVE:
+                        n = native.assemble_rows_buf(text_u8, pbuf, poff, scratch)
+                    else:
+                        from pgen_tpu.pipeline.filter import _assemble_rows_numpy
+
+                        n = _assemble_rows_numpy(text_u8, pbuf, poff, scratch)
             assert n == nbytes, f"mesh shard wrote {n}, planned {nbytes}"
             with timer.stage("pwrite", nbytes=nbytes):
                 _pwrite_all(fd, scratch, bstart)

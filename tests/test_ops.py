@@ -123,3 +123,25 @@ def test_fused_transposed_kernel(shape):
     codes = unpack_codes_reference(packed_t.T.copy(), 4 * rec)
     exp = genotype_text_reference(codes)  # (v, 16*rec), row-major
     assert (out_t.T == exp).all()
+
+
+def test_subset_text_from_packed_matches_oracle():
+    """Device-side kept-sample gather (the subset d2h shrinker) must equal
+    the oracle's column slice for arbitrary subsets, incl. empty/all."""
+    from pgen_tpu.ops.gt_text import subset_text_from_packed
+
+    rng = np.random.default_rng(11)
+    nvar, nsamp = 23, 61
+    rec = (2 * nsamp + 7) // 8
+    packed = rng.integers(0, 256, size=(nvar, rec), dtype=np.uint8)
+    ref = genotype_text_reference(unpack_codes_reference(packed, nsamp))
+    for sel in (
+        np.array([0]),
+        np.array([3, 4, 60]),
+        rng.choice(nsamp, 17, replace=False),
+        np.arange(nsamp),
+        np.array([], dtype=np.int64),
+    ):
+        got = subset_text_from_packed(jnp.asarray(packed), sel)
+        want = ref.reshape(nvar, nsamp, 4)[:, sel].reshape(nvar, -1)
+        assert got.shape == want.shape and (got == want).all(), sel

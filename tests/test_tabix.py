@@ -385,3 +385,39 @@ def test_fetch_keeps_duplicate_rows(tmp_path):
     filter_to_vcf(prefix, out_file=out, index=True)
     got = fetch_region(str(out), str(out) + ".tbi", "5", 0, 100)
     assert len(got) == 2 and got[0] == got[1]
+
+
+def test_pos_zero_row_indexed_and_fetchable(tmp_path):
+    """POS=0 (legal telomere coordinate) gives beg=-1 before clamping;
+    htslib clamps beg<0 to 0. Un-clamped it lands in a wrong bin (4680)
+    or crashes the linear-index fill — the row must instead come back
+    from a [0, N) region query, via both the bulk and scalar paths."""
+    from conftest import build_fileset
+
+    from pgen_tpu.formats.tabix import CsiWriter, TbiWriter, reg2bin_vec
+
+    # vectorized binning: clamped inside add_many; raw reg2bin_vec on the
+    # clamped beg must give the same bin as a POS=1 row of the same span
+    assert reg2bin_vec([0], [1])[0] == reg2bin(0, 1)
+
+    codes = np.zeros((3, 2), dtype=np.uint8)
+    prefix = build_fileset(
+        tmp_path,
+        "tel",
+        codes,
+        ["9\t0\ttel\tA\tC\t.\t.\t.", "9\t5\tv1\tA\tC\t.\t.\t.", "9\t9\tv2\tAC\tG\t.\t.\t."],
+        ["s0\tM", "s1\tM"],
+    )
+    out = tmp_path / "tel.vcf.gz"
+    filter_to_vcf(prefix, out_file=out, index=True)
+    got = fetch_region(str(out), str(out) + ".tbi", "9", 0, 3)
+    assert len(got) == 1 and got[0].split(b"\t")[1] == b"0"
+    assert len(fetch_region(str(out), str(out) + ".tbi", "9", 0, 100)) == 3
+
+    # scalar add() path must accept beg=-1 and agree with the bulk writer
+    for cls in (TbiWriter, CsiWriter):
+        scalar = cls()
+        scalar.add("9", -1, 0, 100, 200)
+        bulk = cls()
+        bulk.add_many("9", [-1], [0], [100], [200])
+        assert scalar.serialize() == bulk.serialize(), cls.__name__
