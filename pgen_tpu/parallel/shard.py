@@ -28,8 +28,6 @@ import os
 
 import numpy as np
 
-from pgen_tpu.formats.header import read_pgen_header
-from pgen_tpu.formats.metadata import read_metadata
 from pgen_tpu.pipeline.filter import (
     BGZF_EOF,
     FilterResult,
@@ -39,7 +37,7 @@ from pgen_tpu.pipeline.filter import (
     _resolve_provider,
     _write_all,
 )
-from pgen_tpu.pipeline.vcf import DEFAULT_SOURCE_TAG, vcf_header_bytes
+from pgen_tpu.pipeline.vcf import DEFAULT_SOURCE_TAG
 from pgen_tpu.query.compile import compile_predicate
 from pgen_tpu.utils.log import get_logger
 from pgen_tpu.utils.timer import StageTimer
@@ -255,9 +253,26 @@ def filter_to_vcf_parallel(
             if not procs[i].is_alive():
                 procs[i].join()
                 alive.discard(i)
-    while True:  # results can trail the process exit
+    # Results can trail the process exit: a clean worker flushes its queue
+    # payload before exiting, but the parent may see the pipe readable only
+    # after is_alive() already went false — one Empty window would then
+    # mis-mark a finished shard as failed. Keep draining until every
+    # zero-exit worker has reported (bounded, in case one exited 0 without
+    # ever reporting).
+    import time as time_mod
+
+    deadline = time_mod.monotonic() + 10.0
+    while (
+        any(p.exitcode == 0 and i not in results for i, p in procs.items())
+        and time_mod.monotonic() < deadline
+    ):
         try:
-            _record(result_q.get(timeout=0.1))
+            _record(result_q.get(timeout=0.2))
+        except queue_mod.Empty:
+            pass
+    while True:  # final sweep of anything else buffered
+        try:
+            _record(result_q.get_nowait())
         except queue_mod.Empty:
             break
 
@@ -325,38 +340,16 @@ def _index_merged_gz(
 ) -> str:
     """Index a merged sharded .vcf.gz: re-derive the deterministic row
     layout (the same arithmetic every worker used) and emit .tbi/.csi."""
-    from pgen_tpu.pipeline.filter import compute_masks, emit_tabix_index
+    from pgen_tpu.pipeline.filter import derive_row_layout, emit_tabix_index
 
-    header = read_pgen_header(f"{pfile_prefix}.pgen")
-    pvar = read_metadata(f"{pfile_prefix}.pvar")
-    psam = read_metadata(f"{pfile_prefix}.psam")
-    rec = header.record_size
-    pgen_mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
-    records = pgen_mm[12 : 12 + header.num_variants * rec].reshape(
-        header.num_variants, rec
-    )
-    var_mask, sam_mask = compute_masks(
-        var_query, sam_query, pvar, psam, header, records, provider
-    )
-    var_idx = np.flatnonzero(var_mask)
-    sam_idx = np.flatnonzero(sam_mask)
-    all_iids = psam.get_column_strs("IID")
-    header_bytes = vcf_header_bytes(
-        pvar, [all_iids[i] for i in sam_idx], DEFAULT_SOURCE_TAG
-    )
-    line_starts_all, line_ends_all = pvar.row_line_spans()
-    v_starts = line_starts_all[var_idx]
-    v_ends = line_ends_all[var_idx]
-    prefix_sizes = np.zeros(len(var_idx) + 1, dtype=np.int64)
-    np.cumsum(v_ends - v_starts + 3, out=prefix_sizes[1:])
-    row_fixed = 4 * len(sam_idx) + 1
+    lay = derive_row_layout(pfile_prefix, var_query, sam_query, provider)
     return emit_tabix_index(
         gz_path,
-        pvar,
-        var_idx,
-        prefix_sizes,
-        row_fixed,
-        len(header_bytes),
+        lay.pvar,
+        lay.var_idx,
+        lay.prefix_sizes,
+        lay.row_fixed,
+        len(lay.header_bytes),
         fmt=index_format,
     )
 
@@ -420,40 +413,17 @@ def filter_to_vcf_sharded(
             "(run all shards in one process, or use --workers)"
         )
 
-    with timer.stage("metadata_load"):
-        header = read_pgen_header(f"{pfile_prefix}.pgen")
-        pvar = read_metadata(f"{pfile_prefix}.pvar")
-        psam = read_metadata(f"{pfile_prefix}.psam")
-    psam.column_index("IID")
+    from pgen_tpu.pipeline.filter import derive_row_layout
 
-    rec = header.record_size
-    pgen_mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
-    records = pgen_mm[12 : 12 + header.num_variants * rec].reshape(
-        header.num_variants, rec
+    lay = derive_row_layout(
+        pfile_prefix, var_query, sam_query, provider, source_tag, timer
     )
-
-    from pgen_tpu.pipeline.filter import compute_masks
-
-    with timer.stage("predicates"):
-        var_mask, sam_mask = compute_masks(
-            var_query, sam_query, pvar, psam, header, records, provider
-        )
-    var_idx = np.flatnonzero(var_mask)
-    sam_idx = np.flatnonzero(sam_mask)
-    all_iids = psam.get_column_strs("IID")
-    sample_ids = [all_iids[i] for i in sam_idx]
-    n_kept = len(sam_idx)
-    keep_all_fast = n_kept == psam.num_rows == header.num_samples
-    sample_idx_arg = None if keep_all_fast else sam_idx.astype(np.int32)
-
-    header_bytes = vcf_header_bytes(pvar, sample_ids, source_tag)
-    line_starts_all, line_ends_all = pvar.row_line_spans()
-    v_starts = line_starts_all[var_idx]
-    v_ends = line_ends_all[var_idx]
-    prefix_sizes = np.zeros(len(var_idx) + 1, dtype=np.int64)
-    np.cumsum(v_ends - v_starts + 3, out=prefix_sizes[1:])
-    row_fixed = 4 * n_kept + 1
-    total = len(header_bytes) + int(prefix_sizes[-1]) + len(var_idx) * row_fixed
+    pvar, records = lay.pvar, lay.records
+    rec = lay.header.record_size
+    var_idx, sample_idx_arg = lay.var_idx, lay.sample_idx_arg
+    n_kept = len(lay.sam_idx)
+    header_bytes, v_starts, v_ends = lay.header_bytes, lay.v_starts, lay.v_ends
+    prefix_sizes, row_fixed, total = lay.prefix_sizes, lay.row_fixed, lay.total
 
     # Every worker derives the same shard plan and byte offsets — the
     # order-preserving merge is pure arithmetic.

@@ -253,6 +253,120 @@ def _emit_block(
     raise ValueError(f"unknown provider {provider!r}")
 
 
+@dataclass
+class RowLayout:
+    """Everything derivable from (fileset, queries): masks, kept indices,
+    header bytes, and the deterministic byte layout of every output row.
+
+    Row i's body bytes span
+    ``[header_len + prefix_sizes[i] + i*row_fixed, ... i+1 ...)`` — the
+    arithmetic every writer (single, sharded, worker-merged) and the index
+    emitter must agree on, so it is derived in exactly one place.
+    """
+
+    header: object
+    pvar: object
+    psam: object
+    records: np.ndarray
+    var_idx: np.ndarray
+    sam_idx: np.ndarray
+    sample_ids: list
+    sample_idx_arg: np.ndarray | None  # None == keep-all fast path
+    header_bytes: bytes
+    v_starts: np.ndarray
+    v_ends: np.ndarray
+    prefix_sizes: np.ndarray
+    row_fixed: int
+    total: int
+
+
+def derive_row_layout(
+    pfile_prefix: str,
+    var_query,
+    sam_query,
+    provider: str,
+    source_tag: str = DEFAULT_SOURCE_TAG,
+    timer: StageTimer | None = None,
+) -> RowLayout:
+    """Load the fileset, evaluate both predicates, and pin the output row
+    layout (shared by filter_to_vcf, the sharded writers, and the
+    merged-.gz indexer)."""
+    timer = timer or StageTimer()
+    provider = _resolve_provider(provider)
+    with timer.stage("metadata_load"):
+        header = read_pgen_header(f"{pfile_prefix}.pgen")
+        pvar = read_metadata(f"{pfile_prefix}.pvar")
+        psam = read_metadata(f"{pfile_prefix}.psam")
+    # IID lookup precedes filtering, so a missing IID column errors even
+    # when queries would keep nothing (pfile.rs:111-126 order).
+    psam.column_index("IID")
+
+    rec = header.record_size
+    pgen_mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    expected = 12 + header.num_variants * rec
+    if pgen_mm.shape[0] < expected:
+        raise ValueError(
+            f"{pfile_prefix}.pgen is {pgen_mm.shape[0]} bytes; header implies {expected}"
+        )
+    records = pgen_mm[12:expected].reshape(header.num_variants, rec)
+
+    with timer.stage("predicates"):
+        var_mask, sam_mask = compute_masks(
+            var_query, sam_query, pvar, psam, header, records, provider
+        )
+    var_idx = np.flatnonzero(var_mask)
+    sam_idx = np.flatnonzero(sam_mask)
+    all_iids = psam.get_column_strs("IID")
+    sample_ids = [all_iids[i] for i in sam_idx]
+    n_kept_samples = len(sam_idx)
+    # Fast sequential-LUT emission only when the kept set is exactly the
+    # pgen's full sample range; otherwise index per sample. (A psam with
+    # fewer rows than the pgen is fine — the reference only indexes bytes
+    # for rows that exist; more rows than fit a record is an error there
+    # too, via the record_buf index panic at pfile.rs:173.)
+    keep_all_fast = n_kept_samples == psam.num_rows == header.num_samples
+    sample_idx_arg = None if keep_all_fast else sam_idx.astype(np.int32)
+
+    header_bytes = vcf_header_bytes(pvar, sample_ids, source_tag)
+
+    # Row prefixes are raw pvar line bytes + "\tGT"; only their spans are
+    # materialized here (emitters read straight from the metadata buffer).
+    line_starts_all, line_ends_all = pvar.row_line_spans()
+    v_starts = line_starts_all[var_idx]
+    v_ends = line_ends_all[var_idx]
+    prefix_sizes = np.zeros(len(var_idx) + 1, dtype=np.int64)
+    np.cumsum(v_ends - v_starts + 3, out=prefix_sizes[1:])
+    row_fixed = 4 * n_kept_samples + 1
+    total = len(header_bytes) + int(prefix_sizes[-1]) + len(var_idx) * row_fixed
+
+    if len(var_idx) and var_idx[-1] >= header.num_variants:
+        raise ValueError(
+            f"{pfile_prefix}.pvar row {int(var_idx[-1])} is beyond the pgen's "
+            f"{header.num_variants} variant records"
+        )
+    if len(sam_idx) and int(sam_idx[-1]) // 4 >= rec:
+        raise ValueError(
+            f"{pfile_prefix}.psam row {int(sam_idx[-1])} is beyond the pgen's "
+            f"{header.num_samples}-sample records"
+        )
+    return RowLayout(
+        header=header,
+        pvar=pvar,
+        psam=psam,
+        records=records,
+        var_idx=var_idx,
+        sam_idx=sam_idx,
+        sample_ids=sample_ids,
+        sample_idx_arg=sample_idx_arg,
+        header_bytes=header_bytes,
+        v_starts=v_starts,
+        v_ends=v_ends,
+        prefix_sizes=prefix_sizes,
+        row_fixed=row_fixed,
+        total=total,
+    )
+
+
 def _assemble_rows_numpy(text, prefix_buf, prefix_off, out):
     n_var, gt_len = text.shape
     plens = np.diff(prefix_off)
@@ -304,63 +418,14 @@ def filter_to_vcf(
         out_file = f"{pfile_prefix}.pgen-rs.vcf"
     out_file = str(out_file)
 
-    with timer.stage("metadata_load"):
-        header = read_pgen_header(f"{pfile_prefix}.pgen")
-        pvar = read_metadata(f"{pfile_prefix}.pvar")
-        psam = read_metadata(f"{pfile_prefix}.psam")
-    # IID lookup precedes filtering, so a missing IID column errors even when
-    # queries would keep nothing (pfile.rs:111-126 order).
-    psam.column_index("IID")
-
-    rec = header.record_size
-    pgen_mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
-    expected = 12 + header.num_variants * rec
-    if pgen_mm.shape[0] < expected:
-        raise ValueError(
-            f"{pfile_prefix}.pgen is {pgen_mm.shape[0]} bytes; header implies {expected}"
-        )
-    records = pgen_mm[12:expected].reshape(header.num_variants, rec)
-
-    with timer.stage("predicates"):
-        var_mask, sam_mask = compute_masks(
-            var_query, sam_query, pvar, psam, header, records, provider
-        )
-    var_idx = np.flatnonzero(var_mask)
-    sam_idx = np.flatnonzero(sam_mask)
-    all_iids = psam.get_column_strs("IID")
-    sample_ids = [all_iids[i] for i in sam_idx]
-    n_kept_samples = len(sam_idx)
-    # Fast sequential-LUT emission only when the kept set is exactly the
-    # pgen's full sample range; otherwise index per sample. (A psam with
-    # fewer rows than the pgen is fine — the reference only indexes bytes
-    # for rows that exist; more rows than fit a record is an error there
-    # too, via the record_buf index panic at pfile.rs:173.)
-    keep_all_fast = n_kept_samples == psam.num_rows == header.num_samples
-    sample_idx_arg = None if keep_all_fast else sam_idx.astype(np.int32)
-
-    header_bytes = vcf_header_bytes(pvar, sample_ids, source_tag)
-
-    # Row prefixes are raw pvar line bytes + "\tGT"; only their spans are
-    # materialized here (the emitter reads straight from the metadata
-    # buffer — large temporary buffers pay this VM's page-zeroing tax).
-    line_starts_all, line_ends_all = pvar.row_line_spans()
-    v_starts = line_starts_all[var_idx]
-    v_ends = line_ends_all[var_idx]
-    prefix_sizes = np.zeros(len(var_idx) + 1, dtype=np.int64)
-    np.cumsum(v_ends - v_starts + 3, out=prefix_sizes[1:])
-    row_fixed = 4 * n_kept_samples + 1
-    total = len(header_bytes) + int(prefix_sizes[-1]) + len(var_idx) * row_fixed
-
-    if len(var_idx) and var_idx[-1] >= header.num_variants:
-        raise ValueError(
-            f"{pfile_prefix}.pvar row {int(var_idx[-1])} is beyond the pgen's "
-            f"{header.num_variants} variant records"
-        )
-    if len(sam_idx) and int(sam_idx[-1]) // 4 >= rec:
-        raise ValueError(
-            f"{pfile_prefix}.psam row {int(sam_idx[-1])} is beyond the pgen's "
-            f"{header.num_samples}-sample records"
-        )
+    lay = derive_row_layout(
+        pfile_prefix, var_query, sam_query, provider, source_tag, timer
+    )
+    pvar, records = lay.pvar, lay.records
+    var_idx, sample_idx_arg = lay.var_idx, lay.sample_idx_arg
+    n_kept_samples = len(lay.sam_idx)
+    header_bytes, v_starts, v_ends = lay.header_bytes, lay.v_starts, lay.v_ends
+    prefix_sizes, row_fixed, total = lay.prefix_sizes, lay.row_fixed, lay.total
 
     bytes_written = 0
     # .gz output: BGZF-blocked gzip (bcftools/tabix compatible), streamed
