@@ -209,6 +209,37 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--provider", choices=["auto", "native", "device", "numpy"], default="auto"
     )
 
+    im = sub.add_parser(
+        "import",
+        help="Import a GT-bearing VCF (.vcf/.vcf.gz) into a .pgen fileset.",
+        description=(
+            "The reverse of `filter`: parses a VCF's GT hard calls into a "
+            "mode-0x02 OUT_PREFIX.pgen/.pvar/.psam fileset (biallelic "
+            "0/0,0/1,1/1,./. — phased '|' accepted, FORMAT subfields "
+            "ignored). ## header lines pass through as .pvar comments; "
+            "the first 8 columns round-trip byte-exactly."
+        ),
+    )
+    im.add_argument("vcf_file", help="Input .vcf or .vcf.gz path.")
+    im.add_argument(
+        "-o",
+        "--out",
+        dest="out_prefix",
+        default=None,
+        help="Output fileset prefix (default: input path minus .vcf[.gz]).",
+    )
+    im.add_argument(
+        "--provider",
+        choices=["auto", "native", "device", "numpy"],
+        default="auto",
+        help="Execution provider for GT parse + 2-bit pack.",
+    )
+    im.add_argument(
+        "--stats",
+        action="store_true",
+        help="Print per-stage timing/bandwidth to stderr.",
+    )
+
     d = sub.add_parser(
         "describe",
         help="Introspect a .pgen header (any storage mode).",
@@ -347,6 +378,20 @@ def main(argv=None) -> int:
                 var_query=args.var_query,
                 sam_query=args.sam_query,
                 provider=args.provider,
+            )
+            return 0
+        if args.command == "import":
+            from pgen_tpu.pipeline.vcf_import import import_vcf
+
+            result = import_vcf(
+                args.vcf_file, out_prefix=args.out_prefix, provider=args.provider
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            print(
+                f"imported {result.num_variants} variants x "
+                f"{result.num_samples} samples -> {result.out_prefix}.pgen",
+                file=sys.stderr,
             )
             return 0
         if args.command == "describe":
