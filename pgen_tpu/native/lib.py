@@ -153,6 +153,13 @@ class _Native:
         lib.pgen_pack_codes.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p,
         ]
+        self.has_vcf_import = hasattr(lib, "pgen_vcf_import_rows")
+        if self.has_vcf_import:
+            lib.pgen_vcf_import_rows.restype = ctypes.c_int64
+            lib.pgen_vcf_import_rows.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                u8p, u8p, i64p, i64p,
+            ]
 
     @staticmethod
     def _u8(a: np.ndarray):
@@ -522,6 +529,51 @@ class _Native:
         out = np.empty((n_var, rec), dtype=np.uint8)
         self._lib.pgen_pack_codes(self._u8(codes), n_var, n_samples, self._u8(out))
         return out
+
+    _IMPORT_REASONS = {
+        1: "expected 9 tab-separated fixed fields + one field per sample",
+        2: "FORMAT does not begin with GT",
+        3: "unsupported GT (biallelic hard calls 0/0,0/1,1/1,./. only)",
+    }
+
+    def vcf_import_rows(self, chunk: np.ndarray, n_samples: int, rec_size: int):
+        """Single-pass parse of a newline-terminated VCF data-row chunk.
+
+        Returns (packed_records (rows, rec_size) u8, pvar_bytes, rows) or
+        (None, None, (row, sample, message)) on a parse error so the caller
+        can raise with its own row numbering/exception type."""
+        chunk = np.ascontiguousarray(chunk, dtype=np.uint8)
+        nt = ctypes.c_int64()
+        nn = ctypes.c_int64()
+        ncr = ctypes.c_int64()
+        self._lib.pgen_count_seps(
+            self._u8(chunk), chunk.nbytes, ctypes.byref(nt), ctypes.byref(nn),
+            ctypes.byref(ncr),
+        )
+        rows_cap = nn.value
+        packed = np.empty((rows_cap, rec_size), dtype=np.uint8)
+        pvar_out = np.empty(max(chunk.nbytes, 1), dtype=np.uint8)
+        pvar_len = ctypes.c_int64()
+        err = np.zeros(3, dtype=np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        rows = self._lib.pgen_vcf_import_rows(
+            self._u8(chunk),
+            chunk.nbytes,
+            n_samples,
+            rec_size,
+            self._u8(packed),
+            self._u8(pvar_out),
+            ctypes.byref(pvar_len),
+            err.ctypes.data_as(i64p),
+        )
+        if rows < 0:
+            msg = self._IMPORT_REASONS.get(int(err[2]), "parse error")
+            return None, None, (int(err[0]), int(err[1]), msg)
+        return (
+            packed[:rows],
+            pvar_out[: pvar_len.value].tobytes(),
+            int(rows),
+        )
 
 
 def _load():

@@ -1006,3 +1006,177 @@ int64_t pgen_bgzf_bound(int64_t n) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// VCF -> PGEN import parse: the reverse of the emission path. One pass over
+// a newline-terminated span of VCF data rows produces (a) the packed 2-bit
+// records (4 hard calls/byte, LSB-first — the C10 geometry, pfile.rs:171-183)
+// and (b) the .pvar row bytes (each row's first 8 fields, span-copied so the
+// text round-trips exactly). The reference has no VCF input at all.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Parse the leading GT token of a sample field at p (avail bytes before the
+// row's '\n'). Returns code 0..3 and sets *adv to the token length (1 or 3),
+// or returns 255 for unsupported/malformed tokens. Grammar (kept in exact
+// agreement with the vectorized numpy parser in pipeline/vcf_import.py):
+// a lone '.', or a{/|}b with a,b in {0,1,.}; any '.' allele -> missing
+// (plink2 hard-call semantics). Phased '|' imports as the unphased code.
+inline unsigned parse_gt(const unsigned char* p, int64_t avail, int* adv) {
+  const unsigned char b0 = p[0];
+  const bool pairable =
+      avail >= 3 && (p[1] == '/' || p[1] == '|') &&
+      (p[2] == '0' || p[2] == '1' || p[2] == '.');
+  if (b0 == '.') {
+    if (pairable) {
+      *adv = 3;
+      return 3;
+    }
+    *adv = 1;
+    return 3;  // lone '.'; the caller validates the terminator
+  }
+  if ((b0 == '0' || b0 == '1') && pairable) {
+    *adv = 3;
+    if (p[2] == '.') return 3;
+    return (unsigned)(b0 - '0') + (unsigned)(p[2] - '0');
+  }
+  return 255;
+}
+
+// Parse rows in buf[0, n) (each '\n'-terminated). Writes packed records and
+// pvar bytes; on error fills err[3] = {0-based row, 1-based sample or 0,
+// reason: 1 ragged, 2 FORMAT, 3 GT} and returns -1, else returns row count.
+int64_t import_span(const unsigned char* buf, int64_t n, int64_t n_samples,
+                    int64_t rec_size, unsigned char* packed,
+                    unsigned char* pvar_out, int64_t* pvar_len,
+                    int64_t* err) {
+  const unsigned char* p = buf;
+  const unsigned char* const bend = buf + n;
+  unsigned char* pv = pvar_out;
+  int64_t row = 0;
+  auto fail = [&](int64_t sample, int64_t reason) {
+    err[0] = row;
+    err[1] = sample;
+    err[2] = reason;
+    return (int64_t)-1;
+  };
+  while (p < bend) {
+    const unsigned char* const line_start = p;
+    const unsigned char* const line_end =
+        (const unsigned char*)std::memchr(p, '\n', bend - p);
+    if (!line_end) return fail(0, 1);  // caller guarantees termination
+    // fields 1..8 (CHROM..INFO): find the 8th tab
+    const unsigned char* q = p;
+    for (int f = 0; f < 8; ++f) {
+      q = (const unsigned char*)std::memchr(q, '\t', line_end - q);
+      if (!q) return fail(0, 1);
+      ++q;
+    }
+    const unsigned char* const info_end = q - 1;  // tab after INFO
+    // FORMAT must lead with GT (VCF spec: GT first when present)
+    if (line_end - q < 2 || q[0] != 'G' || q[1] != 'T' ||
+        (line_end - q > 2 && q[2] != '\t' && q[2] != ':'))
+      return fail(0, 2);
+    q += 2;
+    if (q < line_end && *q == ':') {  // FORMAT subfields: skip to its tab
+      q = (const unsigned char*)std::memchr(q, '\t', line_end - q);
+      if (!q) return fail(0, 1);
+    }
+    if (q >= line_end || *q != '\t') return fail(0, 1);
+    ++q;
+    // pvar row: first 8 fields verbatim + '\n'
+    std::memcpy(pv, line_start, (size_t)(info_end - line_start));
+    pv += info_end - line_start;
+    *pv++ = '\n';
+    // N sample fields
+    unsigned char* rec = packed + row * rec_size;
+    std::memset(rec, 0, (size_t)rec_size);
+    for (int64_t s = 0; s < n_samples; ++s) {
+      int adv;
+      const unsigned code = parse_gt(q, line_end - q, &adv);
+      if (code == 255) return fail(s + 1, 3);
+      rec[s >> 2] |= (unsigned char)(code << ((s & 3) * 2));
+      q += adv;
+      const unsigned char c = q < line_end ? *q : '\n';
+      if (c == '\t') {
+        if (s == n_samples - 1) return fail(0, 1);  // extra fields
+        ++q;
+      } else if (c == ':') {  // subfields: skip to the field's end
+        const unsigned char* t =
+            (const unsigned char*)std::memchr(q, '\t', line_end - q);
+        if (t) {
+          if (s == n_samples - 1) return fail(0, 1);
+          q = t + 1;
+        } else {
+          if (s != n_samples - 1) return fail(0, 1);  // short row
+          q = line_end;
+        }
+      } else if (c == '\n') {
+        if (s != n_samples - 1) return fail(0, 1);  // short row
+        q = line_end;
+      } else {
+        return fail(s + 1, 3);  // junk directly after the GT token
+      }
+    }
+    p = line_end + 1;
+    ++row;
+  }
+  *pvar_len = pv - pvar_out;
+  return row;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Two-thread wrapper: splits at a newline near the midpoint (the first
+// half's row count — for the second thread's packed offset — comes from a
+// SIMD newline count). pvar_out needs capacity n; packed needs
+// (newline count) * rec_size. Returns total rows, or -1 with err filled
+// (err[0] is the 0-based row index across the whole span).
+int64_t pgen_vcf_import_rows(const unsigned char* buf, int64_t n,
+                             int64_t n_samples, int64_t rec_size,
+                             unsigned char* packed, unsigned char* pvar_out,
+                             int64_t* pvar_len, int64_t* err) {
+  if (n < (4 << 20)) {
+    return import_span(buf, n, n_samples, rec_size, packed, pvar_out,
+                       pvar_len, err);
+  }
+  const unsigned char* midp =
+      (const unsigned char*)std::memchr(buf + n / 2, '\n', n - n / 2);
+  if (!midp) {
+    return import_span(buf, n, n_samples, rec_size, packed, pvar_out,
+                       pvar_len, err);
+  }
+  const int64_t mid = (midp - buf) + 1;
+  int64_t tabs0 = 0, rows0 = 0, crs0 = 0;
+  pgen_count_seps(buf, mid, &tabs0, &rows0, &crs0);
+  int64_t len0 = 0, len1 = 0, r0 = 0, r1 = 0;
+  int64_t err0[3] = {0, 0, 0}, err1[3] = {0, 0, 0};
+  std::thread th([&] {
+    r0 = import_span(buf, mid, n_samples, rec_size, packed, pvar_out, &len0,
+                     err0);
+  });
+  r1 = import_span(buf + mid, n - mid, n_samples, rec_size,
+                   packed + rows0 * rec_size, pvar_out + mid, &len1, err1);
+  th.join();
+  if (r0 < 0 || r1 < 0) {
+    if (r0 < 0) {
+      err[0] = err0[0];
+      err[1] = err0[1];
+      err[2] = err0[2];
+    } else {
+      err[0] = rows0 + err1[0];
+      err[1] = err1[1];
+      err[2] = err1[2];
+    }
+    return -1;
+  }
+  // compact the second thread's pvar region against the first's
+  std::memmove(pvar_out + len0, pvar_out + mid, (size_t)len1);
+  *pvar_len = len0 + len1;
+  return r0 + r1;
+}
+
+}  // extern "C"

@@ -189,18 +189,23 @@ def _parse_chunk_numpy(chunk: np.ndarray, n_samples: int, path: str, row_base: i
 
     s = t[:, 8:] + 1  # (rows, N) sample-field starts
     b0 = buf[s]
-    miss = b0 == _DOT
-    a = b0 - 48
     b1 = buf[s + 1]
     b2 = buf[s + 2]
-    b = b2 - 48
     after = buf[s + 3]
-    ok = miss | (
-        (a <= 1)
-        & ((b1 == _SLASH) | (b1 == _PIPE))
-        & (b <= 1)
-        & ((after == _TAB) | (after == _COLON) | (after == _NL))
-    )
+    # GT grammar (matches the native parser exactly): a lone '.'; or a
+    # pair a{/|}b with a,b in {0,1,.}. Any '.' allele imports as missing
+    # (plink2 hard-call semantics for partially-missing genotypes). The
+    # byte after the token must terminate it (tab / ':' subfields / eol).
+    d0 = (b0 == 48) | (b0 == 49)
+    m0 = b0 == _DOT
+    d2 = (b2 == 48) | (b2 == 49)
+    m2 = b2 == _DOT
+    sep = (b1 == _SLASH) | (b1 == _PIPE)
+    term1 = (b1 == _TAB) | (b1 == _COLON) | (b1 == _NL)
+    term3 = (after == _TAB) | (after == _COLON) | (after == _NL)
+    pair = (d0 | m0) & sep & (d2 | m2) & term3
+    lone = m0 & term1
+    ok = pair | lone
     if not ok.all():
         flat = int(np.argmax(~ok))
         r, c = divmod(flat, n_samples)
@@ -211,7 +216,8 @@ def _parse_chunk_numpy(chunk: np.ndarray, n_samples: int, path: str, row_base: i
             f"sample {c + 1}: unsupported GT {gt!r} (biallelic hard calls "
             f"0/0,0/1,1/1,./. only — mode-0x02 stores 2-bit codes)",
         )
-    codes = np.where(miss, np.uint8(3), (a + b).astype(np.uint8))
+    miss = lone | (m0 | m2)
+    codes = np.where(miss, np.uint8(3), ((b0 - 48) + (b2 - 48)).astype(np.uint8))
 
     # pvar rows: span-gather [line_start, tab_after_INFO) + '\n'
     p_end = t[:, 7]
@@ -314,8 +320,17 @@ def import_vcf(
             if native_mod is not None and getattr(native_mod, "has_vcf_import", False):
                 with timer.stage("parse+pack", nbytes):
                     packed, pvar_bytes, rows = native_mod.vcf_import_rows(
-                        chunk, n_samples, rec_size, vcf_path, num_variants
+                        chunk, n_samples, rec_size
                     )
+                    if packed is None:
+                        # re-parse with the vectorized path for the richer
+                        # message (it quotes the offending token); the two
+                        # parsers implement the same grammar, so it raises
+                        # at the same row
+                        _parse_chunk_numpy(chunk, n_samples, vcf_path, num_variants)
+                        row, sample, msg = rows
+                        where = f"sample {sample}: " if sample else ""
+                        _raise_bad_row(vcf_path, num_variants + row, where + msg)
             else:
                 with timer.stage("parse", nbytes):
                     codes, pvar_bytes, rows = _parse_chunk_numpy(
