@@ -1023,6 +1023,20 @@ namespace {
 // agreement with the vectorized numpy parser in pipeline/vcf_import.py):
 // a lone '.', or a{/|}b with a,b in {0,1,.}; any '.' allele -> missing
 // (plink2 hard-call semantics). Phased '|' imports as the unphased code.
+// Per-byte GT-allele classifier: '0'->0, '1'->1, '.'->0x10 (missing flag),
+// anything else 0xFF. Lets the hot loop resolve a plain 3-byte token plus
+// its terminator with one predictable branch (see import_span).
+struct GtByte {
+  unsigned char t[256];
+  GtByte() {
+    std::memset(t, 0xFF, sizeof(t));
+    t[(unsigned char)'0'] = 0;
+    t[(unsigned char)'1'] = 1;
+    t[(unsigned char)'.'] = 0x10;
+  }
+};
+const GtByte kGtByte;
+
 inline unsigned parse_gt(const unsigned char* p, int64_t avail, int* adv) {
   const unsigned char b0 = p[0];
   const bool pairable =
@@ -1093,6 +1107,25 @@ int64_t import_span(const unsigned char* buf, int64_t n, int64_t n_samples,
     unsigned char* rec = packed + row * rec_size;
     std::memset(rec, 0, (size_t)rec_size);
     for (int64_t s = 0; s < n_samples; ++s) {
+      // fast path: a plain 3-byte token followed by its terminator, all
+      // resolved branchlessly from 4 loaded bytes + the classifier table;
+      // one always-predicted branch guards it (taken for every field of a
+      // plain GT VCF — the emitter's own output shape)
+      if (q + 4 <= line_end + 1) {  // q[3] may be the '\n' itself
+        const unsigned v0 = kGtByte.t[q[0]];
+        const unsigned v2 = kGtByte.t[q[2]];
+        const unsigned char b1 = q[1];
+        const unsigned char b3 = q[3];
+        const unsigned char want = s == n_samples - 1 ? '\n' : '\t';
+        if (((b1 == '/') | (b1 == '|')) & (b3 == want) &
+            (((v0 | v2) & 0xE0) == 0)) {
+          const unsigned sum = v0 + v2;
+          const unsigned code = sum >= 0x10 ? 3u : sum;
+          rec[s >> 2] |= (unsigned char)(code << ((s & 3) * 2));
+          q += 4;
+          continue;
+        }
+      }
       int adv;
       const unsigned code = parse_gt(q, line_end - q, &adv);
       if (code == 255) return fail(s + 1, 3);
