@@ -139,6 +139,27 @@ def main():
     keep_two_times = _timed_runs(run_keep_two, runs, warmups=3)
     keep_two = statistics.median(keep_two_times)
 
+    # import (VCF -> pgen, the reverse direction; no reference counterpart —
+    # plink2 is the comparable tool). Times the cold keep-all output left on
+    # disk by the run above.
+    import_row = {}
+    if os.environ.get("PGEN_BENCH_IMPORT", "1") == "1":
+        from pgen_tpu.pipeline.vcf_import import import_vcf
+
+        imp_prefix = str(Path(prefix).parent / "imported")
+        import_vcf(out, out_prefix=imp_prefix, provider=provider)  # warm
+        t0 = time.perf_counter()
+        import_vcf(out, out_prefix=imp_prefix, provider=provider)
+        import_s = time.perf_counter() - t0
+        vcf_gb = os.path.getsize(out) / 1e9
+        import_row = {
+            "import_wall_s": round(import_s, 3),
+            "import_gbps": round(vcf_gb / import_s, 2),
+        }
+        for suf in (".pgen", ".pvar", ".psam"):
+            os.unlink(imp_prefix + suf)
+        os.sync()
+
     # realistic-frequency fixture (mostly hom-ref): warm timed runs. Drop
     # the uniform fixture's 11 GB output first — two multi-GB outputs
     # fighting for page cache contaminate each other's timings.
@@ -187,6 +208,7 @@ def main():
         "keep_two_wall_s": round(keep_two, 3),
         "keep_two_vs_baseline": round(BASELINE_KEEP_TWO_S / keep_two, 2),
         "keep_two_runs_s": [round(t, 3) for t in keep_two_times],
+        **import_row,
         **(
             {"keep_all_realistic_s": round(realistic, 3)}
             if realistic is not None

@@ -153,6 +153,14 @@ class _Native:
         lib.pgen_pack_codes.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p,
         ]
+        self.has_bgzf_decompress = hasattr(lib, "pgen_bgzf_decompress")
+        if self.has_bgzf_decompress:
+            lib.pgen_bgzf_decompressed_size.restype = ctypes.c_int64
+            lib.pgen_bgzf_decompressed_size.argtypes = [u8p, ctypes.c_int64]
+            lib.pgen_bgzf_decompress.restype = ctypes.c_int64
+            lib.pgen_bgzf_decompress.argtypes = [
+                u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+            ]
         self.has_vcf_import = hasattr(lib, "pgen_vcf_import_rows")
         if self.has_vcf_import:
             lib.pgen_vcf_import_rows.restype = ctypes.c_int64
@@ -529,6 +537,21 @@ class _Native:
         out = np.empty((n_var, rec), dtype=np.uint8)
         self._lib.pgen_pack_codes(self._u8(codes), n_var, n_samples, self._u8(out))
         return out
+
+    def bgzf_decompress(self, data: np.ndarray) -> np.ndarray | None:
+        """Parallel BGZF decode; None when `data` is not well-formed BGZF
+        (caller falls back to the generic gzip module)."""
+        data = np.ascontiguousarray(data, dtype=np.uint8)
+        total = self._lib.pgen_bgzf_decompressed_size(self._u8(data), data.nbytes)
+        if total < 0:
+            return None
+        out = np.empty(max(int(total), 1), dtype=np.uint8)
+        got = self._lib.pgen_bgzf_decompress(
+            self._u8(data), data.nbytes, self._u8(out), out.nbytes
+        )
+        if got != total:
+            return None
+        return out[:total]
 
     _IMPORT_REASONS = {
         1: "expected 9 tab-separated fixed fields + one field per sample",

@@ -22,6 +22,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <thread>
+#include <vector>
 #include <unistd.h>
 #include <errno.h>
 
@@ -1210,6 +1211,143 @@ int64_t pgen_vcf_import_rows(const unsigned char* buf, int64_t n,
   std::memmove(pvar_out + len0, pvar_out + mid, (size_t)len1);
   *pvar_len = len0 + len1;
   return r0 + r1;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BGZF input: blocked-gzip decompression for `pgen-tpu import x.vcf.gz`.
+// Each BGZF member is independent (BC extra subfield carries its compressed
+// size, ISIZE its output size), so the member walk yields an exact output
+// layout and members decompress in parallel.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BgzfBlock {
+  int64_t in_off;    // member start
+  int64_t data_off;  // deflate payload start
+  int64_t data_len;  // deflate payload length
+  int64_t out_off;
+  int64_t out_len;
+};
+
+// Walk the member chain; returns false if `in` is not well-formed BGZF.
+bool bgzf_walk(const unsigned char* in, int64_t n,
+               std::vector<BgzfBlock>* blocks, int64_t* total_out) {
+  int64_t off = 0, out = 0;
+  while (off < n) {
+    if (n - off < 28) return false;
+    const unsigned char* h = in + off;
+    if (h[0] != 0x1f || h[1] != 0x8b || h[2] != 8 || (h[3] & 4) == 0)
+      return false;
+    const int64_t xlen = h[10] | (h[11] << 8);
+    if (n - off < 12 + xlen + 8) return false;
+    // find the BC subfield inside the extra area
+    int64_t bsize = -1;
+    for (int64_t x = 0; x + 4 <= xlen;) {
+      const unsigned char* sf = h + 12 + x;
+      const int64_t slen = sf[2] | (sf[3] << 8);
+      if (sf[0] == 'B' && sf[1] == 'C' && slen == 2 && x + 6 <= xlen) {
+        bsize = (sf[4] | (sf[5] << 8)) + 1;
+        break;
+      }
+      x += 4 + slen;
+    }
+    if (bsize < 12 + xlen + 8 || off + bsize > n) return false;
+    const unsigned char* tail = in + off + bsize - 8;
+    const int64_t isize = (int64_t)tail[4] | ((int64_t)tail[5] << 8) |
+                          ((int64_t)tail[6] << 16) | ((int64_t)tail[7] << 24);
+    if (blocks) {
+      blocks->push_back({off, off + 12 + xlen, bsize - 12 - xlen - 8, out,
+                         isize});
+    }
+    out += isize;
+    off += bsize;
+  }
+  *total_out = out;
+  return true;
+}
+
+bool inflate_block(const BgzfBlock& b, const unsigned char* in,
+                   unsigned char* out) {
+  if (b.out_len == 0) return true;  // EOF marker / empty block
+  // the member tail's CRC32 guards against payload corruption that still
+  // inflates to the right length
+  const unsigned char* tail = in + b.data_off + b.data_len;
+  const uint32_t want_crc = (uint32_t)tail[0] | ((uint32_t)tail[1] << 8) |
+                            ((uint32_t)tail[2] << 16) |
+                            ((uint32_t)tail[3] << 24);
+#ifdef PGEN_HAVE_LIBDEFLATE
+  struct DecTls {
+    libdeflate_decompressor* d = nullptr;
+    ~DecTls() {
+      if (d) libdeflate_free_decompressor(d);
+    }
+  };
+  static thread_local DecTls tls;
+  if (!tls.d) tls.d = libdeflate_alloc_decompressor();
+  if (!tls.d) return false;
+  size_t got = 0;
+  if (libdeflate_deflate_decompress(tls.d, in + b.data_off,
+                                    (size_t)b.data_len, out + b.out_off,
+                                    (size_t)b.out_len,
+                                    &got) != LIBDEFLATE_SUCCESS ||
+      (int64_t)got != b.out_len)
+    return false;
+  return (uint32_t)libdeflate_crc32(0, out + b.out_off, (size_t)b.out_len) ==
+         want_crc;
+#else
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = const_cast<unsigned char*>(in + b.data_off);
+  zs.avail_in = (uInt)b.data_len;
+  zs.next_out = out + b.out_off;
+  zs.avail_out = (uInt)b.out_len;
+  const int rc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  if (rc != Z_STREAM_END || (int64_t)zs.total_out != b.out_len) return false;
+  return (uint32_t)crc32(crc32(0L, Z_NULL, 0), out + b.out_off,
+                         (uInt)b.out_len) == want_crc;
+#endif
+}
+
+}  // namespace
+
+extern "C" {
+
+// Total decompressed size of a BGZF stream, or -1 if not well-formed BGZF
+// (caller falls back to generic gzip).
+int64_t pgen_bgzf_decompressed_size(const unsigned char* in, int64_t n) {
+  int64_t total = 0;
+  if (!bgzf_walk(in, n, nullptr, &total)) return -1;
+  return total;
+}
+
+// Decompress a BGZF stream (members in parallel). Returns bytes written or
+// -1 on corruption / cap mismatch.
+int64_t pgen_bgzf_decompress(const unsigned char* in, int64_t n,
+                             unsigned char* out, int64_t cap) {
+  std::vector<BgzfBlock> blocks;
+  int64_t total = 0;
+  if (!bgzf_walk(in, n, &blocks, &total) || total > cap) return -1;
+  const size_t nb = blocks.size();
+  bool ok0 = true, ok1 = true;
+  const size_t mid = nb / 2;
+  if (nb >= 8) {
+    std::thread th([&] {
+      for (size_t i = 0; i < mid && ok0; ++i)
+        ok0 = inflate_block(blocks[i], in, out);
+    });
+    for (size_t i = mid; i < nb && ok1; ++i)
+      ok1 = inflate_block(blocks[i], in, out);
+    th.join();
+  } else {
+    for (size_t i = 0; i < nb && ok0; ++i)
+      ok0 = inflate_block(blocks[i], in, out);
+  }
+  return (ok0 && ok1) ? total : -1;
 }
 
 }  // extern "C"

@@ -95,12 +95,20 @@ def _resolve_provider(provider: str) -> str:
 
 
 def _open_input(path: str):
-    """(buffer-yielding reader, total_size_hint). `.gz` inputs are
-    decompressed up front (BGZF members are plain concatenated gzip
-    members, which the gzip module handles)."""
+    """(u8 buffer, total_size). `.gz` inputs are decompressed up front —
+    the native parallel BGZF decoder when the stream is well-formed BGZF
+    (our own .vcf.gz outputs and anything bcftools/tabix produce), else the
+    generic gzip module (BGZF members are plain concatenated gzip members,
+    so it also handles them, just serially)."""
     if path.endswith(".gz"):
-        with open(path, "rb") as fh:
-            raw = gzip.decompress(fh.read())
+        comp = np.fromfile(path, dtype=np.uint8)
+        from pgen_tpu.native import HAVE_NATIVE, native
+
+        if HAVE_NATIVE and getattr(native, "has_bgzf_decompress", False):
+            out = native.bgzf_decompress(comp)
+            if out is not None:
+                return out, out.nbytes
+        raw = gzip.decompress(comp.tobytes())
         return np.frombuffer(raw, dtype=np.uint8), len(raw)
     mm = np.memmap(path, dtype=np.uint8, mode="r")
     return mm, mm.nbytes

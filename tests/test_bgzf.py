@@ -111,3 +111,32 @@ def test_gz_parallel_workers_match_unsharded(tmp_path):
     # no leftover shard parts or manifest
     assert not list(tmp_path.glob("*.part"))
     assert not list(tmp_path.glob("*.manifest.json"))
+
+
+def test_native_bgzf_decompress_matches_gzip(tmp_path, tiny_fileset):
+    """The parallel BGZF decoder (import input path) inverts our writer and
+    agrees with the gzip module; non-BGZF streams return None (fallback)."""
+    from pgen_tpu.native import HAVE_NATIVE, native
+
+    if not HAVE_NATIVE or not getattr(native, "has_bgzf_decompress", False):
+        pytest.skip("native bgzf decoder unavailable")
+    prefix, _ = tiny_fileset
+    gz = tmp_path / "d.vcf.gz"
+    filter_to_vcf(prefix, out_file=str(gz))
+    comp = np.fromfile(gz, dtype=np.uint8)
+    out = native.bgzf_decompress(comp)
+    assert out is not None
+    assert out.tobytes() == gzip.decompress(comp.tobytes())
+    # multi-member: concatenated BGZF streams decode as one
+    comp2 = np.concatenate([comp, comp])
+    out2 = native.bgzf_decompress(comp2)
+    assert out2.tobytes() == out.tobytes() * 2
+    # generic (non-BGZF) gzip lacks the BC extra field -> None
+    plain_gz = np.frombuffer(gzip.compress(b"hello world"), dtype=np.uint8)
+    assert native.bgzf_decompress(plain_gz) is None
+    # corruption inside a member payload -> None (per-member CRC32 check),
+    # never silently-wrong bytes. Flip a byte inside the first member's
+    # deflate payload (past the 18-byte header, before its 8-byte tail).
+    bad = comp.copy()
+    bad[24] ^= 0xFF
+    assert native.bgzf_decompress(bad) is None
