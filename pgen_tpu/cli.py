@@ -66,6 +66,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
         ),
     )
     q.add_argument(
+        "-r",
+        "--regions",
+        dest="regions",
+        default=None,
+        help=(
+            "Restrict to bcftools-style regions, e.g. '19:200000-300000,20' "
+            "(AND-ed with -i; variants queries only)."
+        ),
+    )
+    q.add_argument(
         "-s",
         "--samples",
         dest="query_samples",
@@ -96,6 +106,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
         dest="sam_query",
         default=None,
         help="An expression specifying which samples to keep. If not passed, keeps all samples.",
+    )
+    f.add_argument(
+        "-r",
+        "--regions",
+        dest="regions",
+        default=None,
+        help=(
+            "Restrict to bcftools-style regions: CHROM, CHROM:POS, "
+            "CHROM:BEG-END, or CHROM:BEG- (comma-separated; AND-ed with "
+            "--include-var)."
+        ),
     )
     f.add_argument(
         "-o",
@@ -205,6 +226,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     st.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
     st.add_argument("--include-var", dest="var_query", default=None)
     st.add_argument("--include-sam", dest="sam_query", default=None)
+    st.add_argument("-r", "--regions", dest="regions", default=None)
     st.add_argument(
         "--provider", choices=["auto", "native", "device", "numpy"], default="auto"
     )
@@ -264,17 +286,23 @@ def main(argv=None) -> int:
     try:
         if args.command == "query":
             from pgen_tpu.pipeline.query import query_metadata
+            from pgen_tpu.query.regions import apply_regions
 
+            if args.regions and args.query_samples:
+                raise ValueError("--regions applies to variant queries, not -s")
             query_metadata(
                 args.pfile_prefix,
                 query_fstring=args.query_fstring,
-                query=args.query,
+                query=apply_regions(args.query, args.regions),
                 query_samples=args.query_samples,
             )
             return 0
         if args.command == "filter":
             import contextlib
 
+            from pgen_tpu.query.regions import apply_regions
+
+            args.var_query = apply_regions(args.var_query, args.regions)
             profile_ctx = contextlib.nullcontext()
             if args.profile:
                 import jax
@@ -372,10 +400,11 @@ def main(argv=None) -> int:
                 return 0
         if args.command == "stats":
             from pgen_tpu.pipeline.stats import genotype_stats
+            from pgen_tpu.query.regions import apply_regions
 
             genotype_stats(
                 args.pfile_prefix,
-                var_query=args.var_query,
+                var_query=apply_regions(args.var_query, args.regions),
                 sam_query=args.sam_query,
                 provider=args.provider,
             )
