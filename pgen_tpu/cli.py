@@ -233,16 +233,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
     im = sub.add_parser(
         "import",
-        help="Import a GT-bearing VCF (.vcf/.vcf.gz) into a .pgen fileset.",
+        help="Import a VCF (.vcf/.vcf.gz) or PLINK1 .bed fileset into .pgen.",
         description=(
             "The reverse of `filter`: parses a VCF's GT hard calls into a "
             "mode-0x02 OUT_PREFIX.pgen/.pvar/.psam fileset (biallelic "
             "0/0,0/1,1/1,./. — phased '|' accepted, FORMAT subfields "
             "ignored). ## header lines pass through as .pvar comments; "
-            "the first 8 columns round-trip byte-exactly."
+            "the first 8 columns round-trip byte-exactly. A .bed input "
+            "converts the PLINK1 .bed/.bim/.fam triple instead (A1->ALT, "
+            "A2->REF, byte-LUT genotype remap)."
         ),
     )
-    im.add_argument("vcf_file", help="Input .vcf or .vcf.gz path.")
+    im.add_argument("vcf_file", help="Input .vcf, .vcf.gz, or PLINK1 .bed path.")
     im.add_argument(
         "-o",
         "--out",
@@ -410,11 +412,16 @@ def main(argv=None) -> int:
             )
             return 0
         if args.command == "import":
-            from pgen_tpu.pipeline.vcf_import import import_vcf
+            if args.vcf_file.endswith(".bed"):
+                from pgen_tpu.pipeline.bed_import import import_bed
 
-            result = import_vcf(
-                args.vcf_file, out_prefix=args.out_prefix, provider=args.provider
-            )
+                result = import_bed(args.vcf_file, out_prefix=args.out_prefix)
+            else:
+                from pgen_tpu.pipeline.vcf_import import import_vcf
+
+                result = import_vcf(
+                    args.vcf_file, out_prefix=args.out_prefix, provider=args.provider
+                )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)
             print(
