@@ -228,6 +228,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     st.add_argument("--include-sam", dest="sam_query", default=None)
     st.add_argument("-r", "--regions", dest="regions", default=None)
     st.add_argument(
+        "--per-sample",
+        action="store_true",
+        help=(
+            "Also print one TSV row per kept sample: IID, per-code counts, "
+            "NOBS, missing rate (over the kept variants)."
+        ),
+    )
+    st.add_argument(
         "--provider", choices=["auto", "native", "device", "numpy"], default="auto"
     )
 
@@ -409,6 +417,7 @@ def main(argv=None) -> int:
                 var_query=apply_regions(args.var_query, args.regions),
                 sam_query=args.sam_query,
                 provider=args.provider,
+                per_sample=args.per_sample,
             )
             return 0
         if args.command == "import":

@@ -161,6 +161,12 @@ class _Native:
             lib.pgen_bgzf_decompress.argtypes = [
                 u8p, ctypes.c_int64, u8p, ctypes.c_int64,
             ]
+        self.has_sample_counts = hasattr(lib, "pgen_sample_counts")
+        if self.has_sample_counts:
+            lib.pgen_sample_counts.restype = None
+            lib.pgen_sample_counts.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p,
+            ]
         self.has_vcf_import = hasattr(lib, "pgen_vcf_import_rows")
         if self.has_vcf_import:
             lib.pgen_vcf_import_rows.restype = ctypes.c_int64
@@ -536,6 +542,16 @@ class _Native:
         rec = (2 * n_samples + 7) // 8
         out = np.empty((n_var, rec), dtype=np.uint8)
         self._lib.pgen_pack_codes(self._u8(codes), n_var, n_samples, self._u8(out))
+        return out
+
+    def sample_counts(self, packed: np.ndarray, n_samples: int) -> np.ndarray:
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        n_var, rec = packed.shape
+        out = np.zeros((n_samples, 4), dtype=np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        self._lib.pgen_sample_counts(
+            self._u8(packed), n_var, rec, n_samples, out.ctypes.data_as(i64p)
+        )
         return out
 
     def bgzf_decompress(self, data: np.ndarray) -> np.ndarray | None:

@@ -1351,3 +1351,57 @@ int64_t pgen_bgzf_decompress(const unsigned char* in, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Per-sample genotype histogram: the column-axis reduction twin of
+// pgen_gt_counts (per-variant). counts is (n_samples, 4) int64; the working
+// set (4 counters per sample) stays cache-resident, so the pass is bound by
+// reading the packed bytes.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+void sample_counts_span(const unsigned char* packed, int64_t n_var,
+                        int64_t rec_size, int64_t n_samples, int64_t* counts) {
+  const int64_t full = n_samples / 4;
+  const int tail = (int)(n_samples % 4);
+  for (int64_t v = 0; v < n_var; ++v) {
+    const unsigned char* rec = packed + v * rec_size;
+    for (int64_t j = 0; j < full; ++j) {
+      const unsigned char* cs = kCodes.t[rec[j]];
+      ++counts[(4 * j + 0) * 4 + cs[0]];
+      ++counts[(4 * j + 1) * 4 + cs[1]];
+      ++counts[(4 * j + 2) * 4 + cs[2]];
+      ++counts[(4 * j + 3) * 4 + cs[3]];
+    }
+    if (tail) {
+      const unsigned char* cs = kCodes.t[rec[full]];
+      for (int p = 0; p < tail; ++p) ++counts[(4 * full + p) * 4 + cs[p]];
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void pgen_sample_counts(const unsigned char* packed, int64_t n_var,
+                        int64_t rec_size, int64_t n_samples,
+                        int64_t* counts) {
+  std::memset(counts, 0, (size_t)(n_samples * 4) * sizeof(int64_t));
+  if (n_var * rec_size < (8 << 20)) {
+    sample_counts_span(packed, n_var, rec_size, n_samples, counts);
+    return;
+  }
+  const int64_t mid = n_var / 2;
+  std::vector<int64_t> c1((size_t)(n_samples * 4), 0);
+  std::thread th([&] {
+    sample_counts_span(packed, mid, rec_size, n_samples, counts);
+  });
+  sample_counts_span(packed + mid * rec_size, n_var - mid, rec_size,
+                     n_samples, c1.data());
+  th.join();
+  for (int64_t i = 0; i < n_samples * 4; ++i) counts[i] += c1[i];
+}
+
+}  // extern "C"

@@ -186,6 +186,69 @@ def _byte_count_lut() -> np.ndarray:
     return _LUT
 
 
+def sample_counts_reference(packed: np.ndarray, num_samples: int) -> np.ndarray:
+    """Numpy oracle: (V, rec) u8 -> (S, 4) int64 per-sample code histogram."""
+    from pgen_tpu.ops.unpack import unpack_codes_reference
+
+    codes = unpack_codes_reference(packed, num_samples)
+    out = np.zeros((num_samples, 4), dtype=np.int64)
+    for k in range(4):
+        out[:, k] = (codes == k).sum(axis=0)
+    return out
+
+
+def sample_counts_numpy(packed: np.ndarray, num_samples: int) -> np.ndarray:
+    """Vectorized: per bit-position p, shift/mask once and reduce over the
+    variant axis for each code — no full code-matrix materialization."""
+    packed = np.asarray(packed, dtype=np.uint8)
+    nvar, rec = packed.shape
+    out = np.zeros((4 * rec, 4), dtype=np.int64)
+    chunk = max(1, (1 << 25) // max(rec, 1))
+    for lo in range(0, nvar, chunk):
+        blk = packed[lo : lo + chunk]
+        for p in range(4):
+            sub = (blk >> (2 * p)) & 3  # (vb, rec)
+            for k in range(4):
+                out[p::4, k] += (sub == k).sum(axis=0, dtype=np.int64)
+    return out[:num_samples]
+
+
+def sample_counts_device(packed, num_samples: int, interpret: bool = False):
+    """jnp: reduce the unpacked code matrix over the variant axis — a
+    column reduction XLA fuses with the 2-bit unpack (the packed bytes are
+    the only HBM read)."""
+    import jax.numpy as jnp
+
+    from pgen_tpu.ops.unpack import unpack_codes
+
+    codes = unpack_codes(packed, num_samples, interpret=interpret)
+    ks = jnp.arange(4, dtype=jnp.uint8)
+    return jnp.sum(codes[:, :, None] == ks[None, None, :], axis=0, dtype=jnp.int32)
+
+
+def sample_counts(
+    packed: np.ndarray, num_samples: int, provider: str = "native"
+) -> np.ndarray:
+    """(V, rec) packed records -> (S, 4) per-sample code histogram."""
+    if provider == "native":
+        try:
+            from pgen_tpu.native import HAVE_NATIVE, native
+        except ImportError:
+            HAVE_NATIVE = False
+        if HAVE_NATIVE and getattr(native, "has_sample_counts", False):
+            return native.sample_counts(packed, num_samples)
+        provider = "numpy"
+    if provider == "device":
+        from pgen_tpu.pipeline.device import is_interpret_backend
+
+        return np.asarray(
+            sample_counts_device(
+                np.asarray(packed), num_samples, interpret=is_interpret_backend()
+            )
+        ).astype(np.int64)
+    return sample_counts_numpy(packed, num_samples)
+
+
 GT_VARIABLE_NAMES = (
     "GT_HOMREF",
     "GT_HET",

@@ -23,6 +23,7 @@ def genotype_stats(
     var_query: str | None = None,
     sam_query: str | None = None,
     provider: str = "auto",
+    per_sample: bool = False,
     out=None,
 ) -> dict:
     provider = _resolve_provider(provider)
@@ -83,4 +84,21 @@ def genotype_stats(
             out.write(f"{k}\t{v:.6g}\n")
         else:
             out.write(f"{k}\t{v}\n")
+
+    if per_sample:
+        # column-axis reduction over the kept variants' records; computed
+        # for all samples (one pass), reported for the kept cohort
+        from pgen_tpu.ops.gt_stats import sample_counts
+
+        sc = sample_counts(kept, header.num_samples, provider)[sam_idx]
+        iids = psam.get_column_strs("IID")
+        out.write("#IID\tHOM_REF\tHET\tHOM_ALT\tMISSING\tNOBS\tMISSING_RATE\n")
+        for row, s in enumerate(sam_idx):
+            hr, het_n, ha, mi = (int(x) for x in sc[row])
+            nobs = hr + het_n + ha
+            rate = mi / n_var if n_var else 0.0
+            out.write(
+                f"{iids[int(s)]}\t{hr}\t{het_n}\t{ha}\t{mi}\t{nobs}\t{rate:.6g}\n"
+            )
+        stats["per_sample"] = sc
     return stats

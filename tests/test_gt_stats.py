@@ -182,3 +182,86 @@ def test_gt_query_with_parallel_workers(gt_fileset, tmp_path):
     assert a.read_bytes() == b.read_bytes()
     ac = (codes == 1).sum(axis=1) + 2 * (codes == 2).sum(axis=1)
     assert res.num_variants_kept == int((ac >= 8).sum())
+
+
+class TestSampleCounts:
+    """Per-sample histogram (the column-axis reduction)."""
+
+    def _codes(self, nv=9, ns=13, seed=3):
+        rng = np.random.default_rng(seed)
+        codes = rng.integers(0, 4, size=(nv, ns), dtype=np.uint8)
+        from pgen_tpu.formats.writer import pack_codes
+
+        return codes, pack_codes(codes)
+
+    def test_reference_oracle(self):
+        from pgen_tpu.ops.gt_stats import sample_counts_reference
+
+        codes, packed = self._codes()
+        sc = sample_counts_reference(packed, codes.shape[1])
+        for s in range(codes.shape[1]):
+            for k in range(4):
+                assert sc[s, k] == int((codes[:, s] == k).sum())
+
+    @pytest.mark.parametrize("ns", [1, 4, 5, 8, 13])
+    def test_providers_match_oracle(self, ns):
+        from pgen_tpu.ops.gt_stats import (
+            sample_counts,
+            sample_counts_device,
+            sample_counts_numpy,
+            sample_counts_reference,
+        )
+
+        codes, packed = self._codes(ns=ns)
+        ref = sample_counts_reference(packed, ns)
+        assert np.array_equal(sample_counts_numpy(packed, ns), ref)
+        assert np.array_equal(sample_counts(packed, ns, "native"), ref)
+        assert np.array_equal(
+            np.asarray(sample_counts_device(packed, ns, interpret=True)), ref
+        )
+
+    def test_pad_bits_excluded(self):
+        # poisoned pad bits must not leak into any sample's counts
+        from pgen_tpu.formats.writer import pack_codes
+        from pgen_tpu.ops.gt_stats import sample_counts, sample_counts_numpy
+
+        codes = np.zeros((3, 5), dtype=np.uint8)
+        packed = pack_codes(codes)
+        packed[:, -1] |= 0b11111100 & ~0b11  # junk in the 3 pad slots
+        for impl in (sample_counts_numpy, lambda p, n: sample_counts(p, n, "native")):
+            sc = impl(packed, 5)
+            assert sc[:, 0].sum() == 15  # all-zero codes, 5 samples x 3 vars
+            assert sc.sum() == 15
+
+    def test_cli_per_sample(self, tiny_fileset, capsys):
+        from tests.cli_helpers import run_cli
+
+        prefix, codes = tiny_fileset
+        rc = run_cli(["stats", prefix, "--per-sample"])
+        assert rc == 0
+        lines = capsys.readouterr().out.splitlines()
+        hdr = [i for i, l in enumerate(lines) if l.startswith("#IID")]
+        assert len(hdr) == 1
+        rows = lines[hdr[0] + 1 :]
+        assert len(rows) == codes.shape[1]
+        first = rows[0].split("\t")
+        assert first[0] == "s0"
+        assert int(first[1]) == int((codes[:, 0] == 0).sum())
+        assert int(first[4]) == int((codes[:, 0] == 3).sum())
+
+    def test_cli_per_sample_cohort_and_regions(self, tiny_fileset, capsys):
+        from tests.cli_helpers import run_cli
+
+        prefix, codes = tiny_fileset
+        rc = run_cli(
+            ["stats", prefix, "--per-sample", "-r", "1:101-103", "--include-sam", 'IID=="s2"']
+        )
+        assert rc == 0
+        lines = capsys.readouterr().out.splitlines()
+        rows = lines[lines.index(next(l for l in lines if l.startswith("#IID"))) + 1 :]
+        assert len(rows) == 1
+        f = rows[0].split("\t")
+        sub = codes[1:4, 2]  # variants at POS 101..103, sample s2
+        assert f[0] == "s2"
+        assert int(f[1]) == int((sub == 0).sum())
+        assert int(f[4]) == int((sub == 3).sum())
