@@ -119,6 +119,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
         ),
     )
     f.add_argument(
+        "--samples",
+        dest="samples",
+        default=None,
+        help=(
+            "Keep only these samples (comma-separated IIDs; leading ^ "
+            "excludes). AND-ed with --include-sam; output keeps .psam order."
+        ),
+    )
+    f.add_argument(
+        "--samples-file",
+        dest="samples_file",
+        default=None,
+        help="Like --samples, one IID per line (blank/# lines skipped).",
+    )
+    f.add_argument(
         "-o",
         "--out",
         dest="out_file",
@@ -227,6 +242,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     st.add_argument("--include-var", dest="var_query", default=None)
     st.add_argument("--include-sam", dest="sam_query", default=None)
     st.add_argument("-r", "--regions", dest="regions", default=None)
+    st.add_argument("--samples", dest="samples", default=None)
+    st.add_argument("--samples-file", dest="samples_file", default=None)
     st.add_argument(
         "--per-sample",
         action="store_true",
@@ -311,8 +328,12 @@ def main(argv=None) -> int:
             import contextlib
 
             from pgen_tpu.query.regions import apply_regions
+            from pgen_tpu.query.samples import apply_samples
 
             args.var_query = apply_regions(args.var_query, args.regions)
+            args.sam_query = apply_samples(
+                args.sam_query, args.samples, args.samples_file
+            )
             profile_ctx = contextlib.nullcontext()
             if args.profile:
                 import jax
@@ -411,11 +432,14 @@ def main(argv=None) -> int:
         if args.command == "stats":
             from pgen_tpu.pipeline.stats import genotype_stats
             from pgen_tpu.query.regions import apply_regions
+            from pgen_tpu.query.samples import apply_samples
 
             genotype_stats(
                 args.pfile_prefix,
                 var_query=apply_regions(args.var_query, args.regions),
-                sam_query=args.sam_query,
+                sam_query=apply_samples(
+                    args.sam_query, args.samples, args.samples_file
+                ),
                 provider=args.provider,
                 per_sample=args.per_sample,
             )

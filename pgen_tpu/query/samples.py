@@ -1,0 +1,80 @@
+"""bcftools-style sample lists desugared into include-sam expressions.
+
+`--samples NA1,NA2` / `--samples-file FILE` restrict the sample axis the
+same way `--regions` restricts the variant axis (query/regions.py): the
+list compiles to ONE expression node —
+
+    str::regex_matches(IID, "^(?:NA1|NA2)$")
+
+— so a thousand-sample list stays a single vectorized pass over the
+(small) psam instead of a thousand-deep `||` chain, and every pipeline
+inherits it by AND-ing with any `--include-sam`. A leading `^` excludes
+the listed samples (bcftools semantics). Output sample order remains the
+fileset's .psam order (the engine's filtering is order-stable); bcftools
+reorders to list order — documented difference.
+
+The reference has no sample-list support (its sample axis is
+include-expressions only, /root/reference/src/cli.rs:43-61).
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class SampleListError(ValueError):
+    """A --samples spec or file could not be parsed."""
+
+
+def _to_expr(names: list, negate: bool) -> str:
+    if not names:
+        raise SampleListError("empty sample list")
+    for n in names:
+        if '"' in n or "\\" in n:
+            raise SampleListError(f"unsupported character in sample name {n!r}")
+    alts = "|".join(re.escape(n) for n in names)
+    # the expression parser unescapes string literals, so regex backslashes
+    # must be doubled to survive into the pattern
+    alts = alts.replace("\\", "\\\\")
+    expr = f'str::regex_matches(IID, "^(?:{alts})$")'
+    return f"!({expr})" if negate else expr
+
+
+def samples_to_expr(spec: str) -> str:
+    """Comma-separated sample IDs (leading ^ excludes) -> include-sam expr."""
+    negate = spec.startswith("^")
+    if negate:
+        spec = spec[1:]
+    names = [t.strip() for t in spec.split(",") if t.strip()]
+    return _to_expr(names, negate)
+
+
+def samples_file_to_expr(path: str) -> str:
+    """One sample ID per line (blank/# lines skipped; leading ^ on the
+    first line excludes the whole list)."""
+    with open(path) as fh:
+        lines = [line.strip() for line in fh]
+    negate = bool(lines) and lines[0].startswith("^")
+    if negate:
+        lines[0] = lines[0][1:]
+    names = [line for line in lines if line and not line.startswith("#")]
+    if not names:
+        raise SampleListError(f"{path}: no sample names found")
+    return _to_expr(names, negate)
+
+
+def apply_samples(
+    sam_query: str | None, samples: str | None, samples_file: str | None
+) -> str | None:
+    """Fold --samples/--samples-file into an (optional) --include-sam."""
+    if samples and samples_file:
+        raise SampleListError("pass --samples or --samples-file, not both")
+    if samples:
+        expr = samples_to_expr(samples)
+    elif samples_file:
+        expr = samples_file_to_expr(samples_file)
+    else:
+        return sam_query
+    if sam_query is None:
+        return expr
+    return f"({expr}) && ({sam_query})"
