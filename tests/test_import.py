@@ -22,6 +22,11 @@ PROVIDERS = ["numpy", "native", "device"]
 
 
 def _roundtrip(prefix, tmp_path, provider, **imp_kwargs):
+    if provider == "native":
+        from pgen_tpu.native import HAVE_NATIVE
+
+        if not HAVE_NATIVE:
+            pytest.skip("native helper unavailable (PGEN_TPU_NO_NATIVE)")
     tmp_path.mkdir(parents=True, exist_ok=True)
     vcf = tmp_path / "rt.vcf"
     filter_to_vcf(prefix, out_file=str(vcf))
