@@ -413,6 +413,8 @@ def filter_to_vcf(
     """
     provider = _resolve_provider(provider)
     timer = StageTimer()
+    if out_file == "-":  # bcftools-style stdout streaming (pipe sink path)
+        out_file = "/dev/stdout"
     if out_file is None:
         # default output name parity: main.rs:121-122
         out_file = f"{pfile_prefix}.pgen-rs.vcf"

@@ -198,3 +198,19 @@ def test_basic1_providers_agree(basic1_prefix, tmp_path, provider):
         provider=provider,
     )
     assert _read(a) == _read(b)
+
+
+def test_stdout_output_alias(tiny_fileset, tmp_path):
+    """-o '-' streams the byte-exact VCF to stdout (pipe sink path)."""
+    import subprocess
+    import sys
+
+    prefix, _ = tiny_fileset
+    ref = tmp_path / "ref.vcf"
+    filter_to_vcf(prefix, out_file=str(ref))
+    r = subprocess.run(
+        [sys.executable, "-m", "pgen_tpu.cli", "filter", prefix, "-o", "-"],
+        capture_output=True,
+    )
+    assert r.returncode == 0
+    assert r.stdout == ref.read_bytes()
