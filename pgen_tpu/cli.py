@@ -289,6 +289,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Print per-stage timing/bandwidth to stderr.",
     )
 
+    cc = sub.add_parser(
+        "concat",
+        help="Concatenate pgen filesets along the variant axis.",
+        description=(
+            "bcftools-concat analog: join filesets sharing one sample set "
+            "(same psam IID sequence) into OUT_PREFIX.pgen/.pvar/.psam. "
+            "Pure byte streaming — records are fixed-width, so no "
+            "re-coding happens. Inverse of per-region/shard splitting."
+        ),
+    )
+    cc.add_argument("prefixes", nargs="+", help="Input fileset prefixes, in order.")
+    cc.add_argument("-o", "--out", dest="out_prefix", required=True,
+                    help="Output fileset prefix.")
+    cc.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing to stderr.")
+
     d = sub.add_parser(
         "describe",
         help="Introspect a .pgen header (any storage mode).",
@@ -460,6 +476,19 @@ def main(argv=None) -> int:
             print(
                 f"imported {result.num_variants} variants x "
                 f"{result.num_samples} samples -> {result.out_prefix}.pgen",
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "concat":
+            from pgen_tpu.pipeline.concat import concat_pgen
+
+            result = concat_pgen(args.prefixes, args.out_prefix)
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            print(
+                f"concatenated {result.num_inputs} filesets: "
+                f"{result.num_variants} variants x {result.num_samples} "
+                f"samples -> {result.out_prefix}.pgen",
                 file=sys.stderr,
             )
             return 0
