@@ -305,6 +305,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
     cc.add_argument("--stats", action="store_true",
                     help="Print per-stage timing to stderr.")
 
+    mg = sub.add_parser(
+        "merge",
+        help="Merge pgen filesets along the sample axis (same variants).",
+        description=(
+            "Cohort join: inputs hold different samples over identical "
+            "variants (same .pvar rows, same order); output carries every "
+            "input's samples in argument order. Blocks stream through the "
+            "2-bit codecs (unpack -> hstack -> pack)."
+        ),
+    )
+    mg.add_argument("prefixes", nargs="+", help="Input fileset prefixes, in order.")
+    mg.add_argument("-o", "--out", dest="out_prefix", required=True,
+                    help="Output fileset prefix.")
+    mg.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing to stderr.")
+
     d = sub.add_parser(
         "describe",
         help="Introspect a .pgen header (any storage mode).",
@@ -487,6 +503,19 @@ def main(argv=None) -> int:
                 print(result.timer.report(), file=sys.stderr)
             print(
                 f"concatenated {result.num_inputs} filesets: "
+                f"{result.num_variants} variants x {result.num_samples} "
+                f"samples -> {result.out_prefix}.pgen",
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "merge":
+            from pgen_tpu.pipeline.merge import merge_pgen
+
+            result = merge_pgen(args.prefixes, args.out_prefix)
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            print(
+                f"merged {result.num_inputs} filesets: "
                 f"{result.num_variants} variants x {result.num_samples} "
                 f"samples -> {result.out_prefix}.pgen",
                 file=sys.stderr,
