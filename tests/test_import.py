@@ -251,3 +251,43 @@ def test_fuzz_roundtrip_random_matrices(tmp_path):
         prefix = build_fileset(d, "f", codes, pvar_rows, psam_rows)
         _, out = _roundtrip(prefix, tmp_path / f"o{trial}", "numpy")
         assert open(f"{out}.pgen", "rb").read() == open(f"{prefix}.pgen", "rb").read()
+
+
+def test_fuzz_parser_agreement_on_malformed_gt(tmp_path):
+    """Differential fuzz: the native single-pass parser and the vectorized
+    numpy parser must agree on accept/reject AND on the imported bytes for
+    every row, across adversarial GT-ish tokens."""
+    from pgen_tpu.native import HAVE_NATIVE
+
+    if not HAVE_NATIVE:
+        pytest.skip("needs both parsers")
+    import random
+
+    rng = random.Random(77)
+    tokens = [
+        "0/0", "0/1", "1/0", "1/1", "./.", ".", "0|1", "1|.", "./0",
+        "0/2", "2/0", "00/1", "0/", "/1", "0:1", "0/1x", "", "0/1:9,2",
+        ".:Z", "1|1:.:.", "0\\0", "|", "0//1",
+    ]
+    for trial in range(60):
+        n_sam = rng.randint(1, 4)
+        rows = []
+        for r in range(rng.randint(1, 5)):
+            fmt = rng.choice(["GT", "GT:DP"])
+            fields = [rng.choice(tokens) for _ in range(n_sam)]
+            rows.append(
+                f"1\t{100+r}\trs{r}\tA\tG\t.\t.\t.\t{fmt}\t" + "\t".join(fields)
+            )
+        vcf = _write_vcf(tmp_path / f"f{trial}.vcf", rows, samples=[f"s{i}" for i in range(n_sam)])
+        outcomes = {}
+        for prov in ("native", "numpy"):
+            out = tmp_path / f"o{trial}_{prov}"
+            try:
+                import_vcf(vcf, out_prefix=str(out), provider=prov)
+                outcomes[prov] = ("ok", (tmp_path / f"o{trial}_{prov}.pgen").read_bytes()[12:])
+            except VcfImportError as e:
+                # row number must agree; message text may differ
+                row = str(e).split("data row ")[1].split(":")[0]
+                outcomes[prov] = ("err", row)
+        assert outcomes["native"][0] == outcomes["numpy"][0], (trial, rows, outcomes)
+        assert outcomes["native"][1] == outcomes["numpy"][1], (trial, rows, outcomes)
