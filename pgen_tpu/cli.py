@@ -142,12 +142,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     f.add_argument(
         "--out-format",
-        choices=["vcf", "pgen"],
+        choices=["vcf", "pgen", "bed"],
         default="vcf",
         help=(
-            "Output format: vcf (default, reference-compatible) or pgen "
-            "(write a filtered OUT.pgen/.pvar/.psam fileset; -o is the "
-            "output prefix)."
+            "Output format: vcf (default, reference-compatible), pgen "
+            "(write a filtered OUT.pgen/.pvar/.psam fileset), or bed "
+            "(PLINK1 OUT.bed/.bim/.fam); -o is the output prefix for "
+            "fileset formats."
         ),
     )
     f.add_argument(
@@ -382,9 +383,22 @@ def main(argv=None) -> int:
                         "--index needs the complete file: drop --shard-index "
                         "(the merged run can index) or index afterwards"
                     )
-                if args.out_format == "pgen":
+                if args.out_format != "vcf":
                     raise ValueError("--index applies to VCF output only")
             with profile_ctx:
+                if args.out_format == "bed":
+                    from pgen_tpu.pipeline.bed_import import filter_to_bed
+
+                    result = filter_to_bed(
+                        args.pfile_prefix,
+                        var_query=args.var_query,
+                        sam_query=args.sam_query,
+                        out_prefix=args.out_file,
+                        provider=args.provider,
+                    )
+                    if args.stats:
+                        print(result.timer.report(), file=sys.stderr)
+                    return 0
                 if args.out_format == "pgen":
                     from pgen_tpu.pipeline.pgen_out import filter_to_pgen
 

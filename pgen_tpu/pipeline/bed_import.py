@@ -1,7 +1,7 @@
-"""PLINK1 .bed/.bim/.fam -> mode-0x02 .pgen/.pvar/.psam conversion.
+"""PLINK1 .bed/.bim/.fam <-> mode-0x02 .pgen/.pvar/.psam conversion.
 
-The other legacy on-ramp (besides VCF, pipeline/vcf_import.py) a pgen
-user needs; the reference supports neither input direction. PLINK1's
+The legacy on-ramp and off-ramp (besides VCF, pipeline/vcf_import.py) a
+pgen user needs; the reference supports neither direction. PLINK1's
 variant-major .bed shares the mode-0x02 record geometry exactly —
 ceil(S/4) bytes per variant, 2 bits per sample, LSB-first — so genotype
 conversion is a single 256-entry byte LUT over the record stream:
@@ -40,14 +40,24 @@ from pgen_tpu.utils.timer import StageTimer
 BED_MAGIC = b"\x6c\x1b\x01"
 DEFAULT_CHUNK_ROWS = 1 << 16
 
-# plink1 2-bit code -> pgen 2-bit code, expanded to whole bytes
+# plink1 2-bit code -> pgen 2-bit code (and its inverse for export),
+# expanded to whole bytes
 _CODE_MAP = np.array([2, 3, 1, 0], dtype=np.uint8)
-_BYTE_LUT = np.zeros(256, dtype=np.uint8)
-for _b in range(256):
-    _v = 0
-    for _k in range(4):
-        _v |= int(_CODE_MAP[(_b >> (2 * _k)) & 3]) << (2 * _k)
-    _BYTE_LUT[_b] = _v
+_CODE_MAP_INV = np.array([3, 2, 0, 1], dtype=np.uint8)
+
+
+def _byte_lut(code_map: np.ndarray) -> np.ndarray:
+    lut = np.zeros(256, dtype=np.uint8)
+    for b in range(256):
+        v = 0
+        for k in range(4):
+            v |= int(code_map[(b >> (2 * k)) & 3]) << (2 * k)
+        lut[b] = v
+    return lut
+
+
+_BYTE_LUT = _byte_lut(_CODE_MAP)
+_BYTE_LUT_INV = _byte_lut(_CODE_MAP_INV)
 
 
 class BedImportError(ValueError):
@@ -151,5 +161,115 @@ def import_bed(
         out_prefix=out_prefix,
         num_variants=num_variants,
         num_samples=num_samples,
+        timer=timer,
+    )
+
+
+def _sex_code(v: str) -> str:
+    u = v.strip().upper()
+    if u in ("1", "M", "MALE"):
+        return "1"
+    if u in ("2", "F", "FEMALE"):
+        return "2"
+    return "0"
+
+
+def filter_to_bed(
+    pfile_prefix: str,
+    var_query: str | None = None,
+    sam_query: str | None = None,
+    out_prefix: str | None = None,
+    provider: str = "auto",
+    block_variants: int = DEFAULT_CHUNK_ROWS,
+):
+    """Filter a pgen fileset into PLINK1 OUT_PREFIX.bed/.bim/.fam.
+
+    The export twin of import_bed (pgen code -> plink1 code is the inverse
+    byte LUT; .bed pad bits are written as the canonical zeros plink
+    emits). .bim: CHROM ID CM=0 POS A1=ALT A2=REF; .fam: FID=0 IID PAT=0
+    MAT=0 SEX (mapped from the psam SEX column when present) PHENO1 (or
+    -9). Same predicate surface as the other filter outputs."""
+    from pgen_tpu.formats.header import read_pgen_header
+    from pgen_tpu.formats.metadata import read_metadata
+    from pgen_tpu.pipeline.filter import _gather_rows, _resolve_provider, compute_masks
+    from pgen_tpu.pipeline.pgen_out import _subset_block
+
+    provider = _resolve_provider(provider)
+    timer = StageTimer()
+    if out_prefix is None:
+        out_prefix = f"{pfile_prefix}.pgen-rs"
+    out_prefix = str(out_prefix)
+
+    header = read_pgen_header(f"{pfile_prefix}.pgen")
+    pvar = read_metadata(f"{pfile_prefix}.pvar")
+    psam = read_metadata(f"{pfile_prefix}.psam")
+    psam.column_index("IID")
+    rec = header.record_size
+    mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    records = mm[12 : 12 + header.num_variants * rec].reshape(
+        header.num_variants, rec
+    )
+
+    with timer.stage("predicates"):
+        var_mask, sam_mask = compute_masks(
+            var_query, sam_query, pvar, psam, header, records, provider
+        )
+    var_idx = np.flatnonzero(var_mask)
+    sam_idx = np.flatnonzero(sam_mask)
+    n_kept = len(sam_idx)
+    keep_all = n_kept == psam.num_rows == header.num_samples
+
+    tail_used = n_kept % 4
+    tail_mask = np.uint8((1 << (2 * tail_used)) - 1) if tail_used else np.uint8(0xFF)
+
+    with timer.stage("bed"):
+        with open(f"{out_prefix}.bed", "wb") as f:
+            f.write(BED_MAGIC)
+            for lo in range(0, len(var_idx), block_variants):
+                hi = min(lo + block_variants, len(var_idx))
+                blk = _gather_rows(records, var_idx[lo:hi])
+                if not keep_all:
+                    blk = _subset_block(
+                        blk, sam_idx.astype(np.int32), header.num_samples, provider
+                    )
+                out = _BYTE_LUT_INV[np.asarray(blk)]
+                if out.shape[1]:
+                    out[:, -1] &= tail_mask
+                f.write(out.tobytes())
+
+    with timer.stage("bim"):
+        chrom = pvar.get_column_strs("CHROM")
+        pos = pvar.get_column_strs("POS")
+        vid = pvar.get_column_strs("ID")
+        ref = pvar.get_column_strs("REF")
+        alt = pvar.get_column_strs("ALT")
+        with open(f"{out_prefix}.bim", "w") as f:
+            for i in var_idx:
+                i = int(i)
+                f.write(
+                    f"{chrom[i]}\t{vid[i]}\t0\t{pos[i]}\t{alt[i]}\t{ref[i]}\n"
+                )
+
+    with timer.stage("fam"):
+        iids = psam.get_column_strs("IID")
+        sex = (
+            psam.get_column_strs("SEX")
+            if "SEX" in psam.columns
+            else ["0"] * len(iids)
+        )
+        pheno = (
+            psam.get_column_strs("PHENO1")
+            if "PHENO1" in psam.columns
+            else ["-9"] * len(iids)
+        )
+        with open(f"{out_prefix}.fam", "w") as f:
+            for s in sam_idx:
+                s = int(s)
+                f.write(f"0\t{iids[s]}\t0\t0\t{_sex_code(sex[s])}\t{pheno[s]}\n")
+
+    return BedImportResult(
+        out_prefix=out_prefix,
+        num_variants=len(var_idx),
+        num_samples=n_kept,
         timer=timer,
     )

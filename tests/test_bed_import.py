@@ -135,3 +135,64 @@ def test_cli_bed_import_roundtrip_with_vcf(tmp_path, capsys):
     assert run_cli(["filter", str(tmp_path / "p1"), "-o", str(tmp_path / "v.vcf")]) == 0
     assert run_cli(["import", str(tmp_path / "v.vcf"), "-o", str(tmp_path / "p2")]) == 0
     assert (tmp_path / "p1.pgen").read_bytes() == (tmp_path / "p2.pgen").read_bytes()
+
+
+class TestBedExport:
+    """filter --out-format bed (filter_to_bed): the export twin."""
+
+    def test_roundtrip_pgen_to_bed_to_pgen(self, tiny_fileset, tmp_path):
+        from pgen_tpu.pipeline.bed_import import filter_to_bed
+
+        prefix, codes = tiny_fileset
+        filter_to_bed(prefix, out_prefix=str(tmp_path / "e"))
+        import_bed(f"{tmp_path}/e.bed", out_prefix=str(tmp_path / "back"))
+        assert (tmp_path / "back.pgen").read_bytes() == open(
+            f"{prefix}.pgen", "rb"
+        ).read()
+        # bim carries ALT as A1, REF as A2; fam maps M/F -> 1/2
+        bim = (tmp_path / "e.bim").read_text().splitlines()
+        assert bim[0].split("\t") == ["1", "rs0", "0", "100", "G", "A"]
+        fam = (tmp_path / "e.fam").read_text().splitlines()
+        assert fam[0].split("\t") == ["0", "s0", "0", "0", "1", "-9"]
+        assert fam[1].split("\t")[4] == "2"  # s1 is F
+
+    def test_export_pad_bits_zero(self, tiny_fileset, tmp_path):
+        from pgen_tpu.pipeline.bed_import import filter_to_bed
+
+        prefix, codes = tiny_fileset  # 6 samples -> 4 pad bits
+        filter_to_bed(prefix, out_prefix=str(tmp_path / "e"))
+        body = np.frombuffer((tmp_path / "e.bed").read_bytes()[3:], dtype=np.uint8)
+        rec = (6 + 3) // 4
+        tail = body.reshape(-1, rec)[:, -1]
+        assert not np.any(tail & 0b11110000)  # plink zero padding
+
+    def test_export_with_predicates(self, tiny_fileset, tmp_path):
+        from pgen_tpu.pipeline.bed_import import filter_to_bed
+
+        prefix, codes = tiny_fileset
+        filter_to_bed(
+            prefix,
+            var_query='num(POS) >= 102',
+            sam_query='SEX=="M"',
+            out_prefix=str(tmp_path / "e"),
+        )
+        import_bed(f"{tmp_path}/e.bed", out_prefix=str(tmp_path / "back"))
+        from pgen_tpu.ops.unpack import unpack_codes_reference
+
+        raw = (tmp_path / "back.pgen").read_bytes()
+        got = unpack_codes_reference(
+            np.frombuffer(raw[12:], dtype=np.uint8).reshape(3, -1), 3
+        )
+        assert np.array_equal(got, codes[2:, 0::2])  # POS>=102, M = s0,s2,s4
+
+    def test_cli_bed_export(self, tiny_fileset, tmp_path):
+        from tests.cli_helpers import run_cli
+
+        prefix, _ = tiny_fileset
+        rc = run_cli(
+            ["filter", prefix, "--out-format", "bed", "-o", str(tmp_path / "x"), "--stats"]
+        )
+        assert rc == 0
+        assert (tmp_path / "x.bed").read_bytes()[:3] == BED_MAGIC
+        rc = run_cli(["filter", prefix, "--out-format", "bed", "-o", str(tmp_path / "y"), "--index"])
+        assert rc == 1  # --index is VCF-only
