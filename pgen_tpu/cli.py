@@ -367,6 +367,22 @@ def main(argv=None) -> int:
             args.sam_query = apply_samples(
                 args.sam_query, args.samples, args.samples_file
             )
+            if args.out_file == "-":
+                # stdout streaming rides the pipe sink of the single-process
+                # VCF writer; every other path pwrites at computed offsets
+                # (workers/shards/mesh) or writes filesets (pgen/bed)
+                if args.out_format != "vcf":
+                    raise ValueError("-o - (stdout) supports VCF output only")
+                if (
+                    args.workers is not None
+                    or args.shards is not None
+                    or args.provider == "device"
+                ):
+                    raise ValueError(
+                        "-o - (stdout) requires the single-process filter "
+                        "(drop --workers/--shards/--provider device)"
+                    )
+                args.out_file = "/dev/stdout"
             profile_ctx = contextlib.nullcontext()
             if args.profile:
                 import jax

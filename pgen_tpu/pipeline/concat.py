@@ -92,6 +92,13 @@ def concat_pgen(prefixes: list, out_prefix: str) -> ConcatResult:
                 raise ConcatError(
                     f"{p}.pvar: column line differs from {prefixes[0]}.pvar"
                 )
+        for p, h in zip(prefixes, headers):
+            n_rows = len(read_metadata(f"{p}.pvar").row_line_spans()[0])
+            if n_rows != h.num_variants:
+                raise ConcatError(
+                    f"{p}.pvar: {n_rows} data rows != {h.num_variants} "
+                    f"variants in the .pgen header"
+                )
 
     total_variants = sum(h.num_variants for h in headers)
     rec = headers[0].record_size

@@ -82,10 +82,15 @@ def _psam_lines(path: str) -> tuple:
 
 
 def merge_pgen(
-    prefixes: list, out_prefix: str, block_variants: int = DEFAULT_BLOCK
+    prefixes: list, out_prefix: str, block_variants: int | None = None
 ) -> MergeResult:
     """Merge the filesets at `prefixes` (same variants, disjoint samples)
-    into OUT_PREFIX.{pgen,pvar,psam}."""
+    into OUT_PREFIX.{pgen,pvar,psam}.
+
+    block_variants defaults to a ~256 MB code-matrix budget: the splice
+    holds one unpacked byte per (variant, sample) for the inputs plus the
+    hstacked copy, so a fixed 64Ki block would need tens of GB at biobank
+    sample counts."""
     if len(prefixes) < 1:
         raise MergeError("need at least one input prefix")
     timer = StageTimer()
@@ -99,11 +104,25 @@ def merge_pgen(
                     f"{h.path}: {h.num_variants} variants != {n_var} "
                     f"({headers[0].path}); merge needs one variant set"
                 )
-        pvar0 = read_metadata(f"{prefixes[0]}.pvar")
-        rows0 = [pvar0.row_bytes(i) for i in range(n_var)]
+        def _rows_span(prefix):
+            """(row_count, joined row bytes) in O(1) allocations: the span
+            from the first row's start to the last row's end covers every
+            row including interior newlines."""
+            t = read_metadata(f"{prefix}.pvar")
+            lo, hi = t.row_line_spans()
+            if len(lo) == 0:
+                return 0, b""
+            return len(lo), t.data_buffer[int(lo[0]) : int(hi[-1])].tobytes()
+
+        rows0_n, rows0 = _rows_span(prefixes[0])
+        if rows0_n != n_var:
+            raise MergeError(
+                f"{prefixes[0]}.pvar: {rows0_n} data rows != {n_var} "
+                f"variants in the .pgen header"
+            )
         for p in prefixes[1:]:
-            t = read_metadata(f"{p}.pvar")
-            if [t.row_bytes(i) for i in range(n_var)] != rows0:
+            n, span = _rows_span(p)
+            if n != n_var or span != rows0:
                 raise MergeError(
                     f"{p}.pvar: variant rows differ from {prefixes[0]}.pvar "
                     f"(merge is keyed on identical variants in identical order)"
@@ -120,6 +139,8 @@ def merge_pgen(
 
     n_out = sum(h.num_samples for h in headers)
     rec_out = variant_record_size(n_out)
+    if block_variants is None:
+        block_variants = int(min(DEFAULT_BLOCK, max(1024, (128 << 20) // max(n_out, 1))))
     unpack, pack = _codecs()
 
     mms = [np.memmap(f"{p}.pgen", dtype=np.uint8, mode="r") for p in prefixes]

@@ -94,24 +94,85 @@ def _resolve_provider(provider: str) -> str:
     return provider
 
 
-def _open_input(path: str):
-    """(u8 buffer, total_size). `.gz` inputs are decompressed up front —
-    the native parallel BGZF decoder when the stream is well-formed BGZF
-    (our own .vcf.gz outputs and anything bcftools/tabix produce), else the
-    generic gzip module (BGZF members are plain concatenated gzip members,
-    so it also handles them, just serially)."""
-    if path.endswith(".gz"):
-        comp = np.fromfile(path, dtype=np.uint8)
-        from pgen_tpu.native import HAVE_NATIVE, native
+def _bgzf_member_spans(comp: np.ndarray):
+    """Walk a BGZF member chain: [(offset, member_len, decoded_len)], or
+    None when `comp` is not well-formed BGZF (generic gzip fallback)."""
+    n = comp.nbytes
+    off = 0
+    spans = []
+    while off < n:
+        if n - off < 28:
+            return None
+        hdr = bytes(np.asarray(comp[off : off + 12]))
+        if hdr[0] != 0x1F or hdr[1] != 0x8B or hdr[2] != 8 or not (hdr[3] & 4):
+            return None
+        xlen = hdr[10] | (hdr[11] << 8)
+        if n - off < 12 + xlen + 8:
+            return None
+        extra = bytes(np.asarray(comp[off + 12 : off + 12 + xlen]))
+        bsize = -1
+        x = 0
+        while x + 4 <= xlen:
+            slen = extra[x + 2] | (extra[x + 3] << 8)
+            if extra[x] == 0x42 and extra[x + 1] == 0x43 and slen == 2 and x + 6 <= xlen:
+                bsize = (extra[x + 4] | (extra[x + 5] << 8)) + 1
+                break
+            x += 4 + slen
+        if bsize < 12 + xlen + 8 or off + bsize > n:
+            return None
+        tail = bytes(np.asarray(comp[off + bsize - 4 : off + bsize]))
+        spans.append((off, bsize, int.from_bytes(tail, "little")))
+        off += bsize
+    return spans
 
-        if HAVE_NATIVE and getattr(native, "has_bgzf_decompress", False):
-            out = native.bgzf_decompress(comp)
-            if out is not None:
-                return out, out.nbytes
-        raw = gzip.decompress(comp.tobytes())
-        return np.frombuffer(raw, dtype=np.uint8), len(raw)
-    mm = np.memmap(path, dtype=np.uint8, mode="r")
-    return mm, mm.nbytes
+
+def _gz_windows(path: str, target: int):
+    """(windows generator, total decoded size or None) for a .gz input.
+
+    BGZF members are independent, so decode happens in ~target-byte
+    member GROUPS — bounded memory, never the whole file at once (the
+    native parallel CRC-checked decoder when available; the gzip module
+    handles each group too, since members are plain concatenated gzip
+    streams). Non-BGZF gzip has no random access: whole-file fallback."""
+    comp = np.memmap(path, dtype=np.uint8, mode="r")
+    spans = _bgzf_member_spans(comp)
+    if spans is None:
+        raw = gzip.decompress(bytes(comp))
+
+        def whole():
+            yield np.frombuffer(raw, dtype=np.uint8)
+
+        return whole(), len(raw)
+    try:
+        from pgen_tpu.native import HAVE_NATIVE, native
+    except ImportError:
+        HAVE_NATIVE = False
+    use_native = HAVE_NATIVE and getattr(native, "has_bgzf_decompress", False)
+
+    def gen():
+        i = 0
+        while i < len(spans):
+            j, out_sz = i, 0
+            while j < len(spans) and out_sz < target:
+                out_sz += spans[j][2]
+                j += 1
+            a = spans[i][0]
+            b = spans[j - 1][0] + spans[j - 1][1]
+            grp = np.ascontiguousarray(comp[a:b])
+            if use_native:
+                out = native.bgzf_decompress(grp)
+                if out is None:
+                    raise VcfImportError(
+                        f"{path}: corrupt BGZF member near byte {a} "
+                        f"(CRC/size mismatch)"
+                    )
+            else:
+                out = np.frombuffer(gzip.decompress(grp.tobytes()), dtype=np.uint8)
+            if len(out):
+                yield out
+            i = j
+
+    return gen(), sum(s[2] for s in spans)
 
 
 def _find_nl(buf: np.ndarray, pos: int) -> int:
@@ -275,6 +336,44 @@ def _chunk_spans(buf: np.ndarray, body_start: int, chunk_bytes: int):
         start = end
 
 
+def _header_complete(buf: np.ndarray) -> bool:
+    """True once `buf` contains the start of a non-'#' line (the header
+    region is fully present)."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if buf[pos] != ord("#"):
+            return True
+        nl = _find_nl(buf, pos)
+        if nl < 0:
+            return False
+        pos = nl + 1
+    return False
+
+
+def _stream_chunks(lead: np.ndarray, win_iter, chunk_bytes: int):
+    """Newline-terminated chunks from a window stream, bounded memory.
+
+    Carries the trailing partial line of each window into the next; a
+    missing final newline is repaired by appending one."""
+    pending = np.ascontiguousarray(lead)
+    for w in win_iter:
+        buf = w if not len(pending) else np.concatenate([pending, w])
+        nls = np.flatnonzero(buf == _NL)
+        if len(nls) == 0:
+            pending = np.ascontiguousarray(buf)
+            continue
+        cut = int(nls[-1]) + 1
+        pending = np.ascontiguousarray(buf[cut:])
+        for s, e in _chunk_spans(buf[:cut], 0, chunk_bytes):
+            yield np.ascontiguousarray(buf[s:e])
+    if len(pending):
+        if pending[-1] != _NL:  # repair a missing final newline only
+            pending = np.concatenate([pending, np.array([_NL], dtype=np.uint8)])
+        for s, e in _chunk_spans(pending, 0, chunk_bytes):
+            yield np.ascontiguousarray(pending[s:e])
+
+
 def import_vcf(
     vcf_path: str | Path,
     out_prefix: str | Path | None = None,
@@ -294,16 +393,34 @@ def import_vcf(
                 break
     out_prefix = str(out_prefix)
 
-    with timer.stage("read"):
-        buf, total = _open_input(vcf_path)
-    with timer.stage("header"):
-        comments, samples, body_start = _parse_header(buf, vcf_path)
+    gz = vcf_path.endswith(".gz")
+    if gz:
+        with timer.stage("read"):
+            win_iter, total = _gz_windows(vcf_path, max(chunk_bytes, 8 << 20))
+        with timer.stage("header"):
+            # accumulate decoded windows until the header region is whole
+            head = np.zeros(0, dtype=np.uint8)
+            for w in win_iter:
+                head = w if not len(head) else np.concatenate([head, w])
+                if _header_complete(head):
+                    break
+            comments, samples, body_start = _parse_header(head, vcf_path)
+        chunks = _stream_chunks(head[body_start:], win_iter, chunk_bytes)
+    else:
+        with timer.stage("read"):
+            buf = np.memmap(vcf_path, dtype=np.uint8, mode="r")
+            total = buf.nbytes
+        with timer.stage("header"):
+            comments, samples, body_start = _parse_header(buf, vcf_path)
+        # trailing newline required for uniform chunking (our writer always
+        # emits one; tolerate its absence by copying the tail chunk)
+        if len(buf) > body_start and buf[-1] != _NL:
+            buf = np.concatenate([buf, np.array([_NL], dtype=np.uint8)])
+        chunks = (
+            np.ascontiguousarray(buf[s:e])
+            for s, e in _chunk_spans(buf, body_start, chunk_bytes)
+        )
     n_samples = len(samples)
-
-    # trailing newline required for uniform chunking (our writer always
-    # emits one; tolerate its absence by copying the tail chunk)
-    if len(buf) > body_start and buf[-1] != _NL:
-        buf = np.concatenate([buf, np.array([_NL], dtype=np.uint8)])
 
     with timer.stage("psam"):
         with open(f"{out_prefix}.psam", "wb") as fh:
@@ -322,9 +439,8 @@ def import_vcf(
         pgen.write(PGEN_MAGIC + bytes([FIXED_WIDTH_STORAGE_MODE]))
         pgen.write(struct.pack("<II", 0, n_samples))  # variant count patched at end
         pgen.write(bytes([MODE2_FORMAT_BYTE]))
-        for start, end in _chunk_spans(buf, body_start, chunk_bytes):
-            chunk = np.ascontiguousarray(buf[start:end])
-            nbytes = end - start
+        for chunk in chunks:
+            nbytes = chunk.nbytes
             if native_mod is not None and getattr(native_mod, "has_vcf_import", False):
                 with timer.stage("parse+pack", nbytes):
                     packed, pvar_bytes, rows = native_mod.vcf_import_rows(

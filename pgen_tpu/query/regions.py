@@ -33,10 +33,12 @@ def _chrom_literal(chrom: str, spec: str) -> str:
 
 
 def _pos_int(tok: str, spec: str) -> int:
-    t = tok.replace(",", "").replace("_", "")
-    if not t.isdigit():
+    # NB: no thousands-separator support — a comma inside a position can
+    # never reach here (the spec splits on ',' first), so accepting one
+    # would only mask misparsed specs
+    if not tok.isdigit():
         raise RegionSpecError(f"bad region {spec!r}: position {tok!r} is not a number")
-    return int(t)
+    return int(tok)
 
 
 def regions_to_expr(spec: str) -> str:
@@ -51,6 +53,12 @@ def regions_to_expr(spec: str) -> str:
             continue
         chrom, _, span = tok.rpartition(":")
         c = _chrom_literal(chrom, tok)
+        # contig names may themselves contain ':' (GRCh38 HLA alts like
+        # "HLA-DRB1*15:01:01"); bcftools resolves the ambiguity against the
+        # header's contig list, which a context-free desugar cannot see —
+        # so ALSO match the whole token as an exact contig name (one extra
+        # vectorized equality; never matches unless such a contig exists)
+        whole = _chrom_literal(tok, tok)
         if "-" in span:
             beg_s, _, end_s = span.partition("-")
             beg = _pos_int(beg_s, tok)
@@ -58,12 +66,14 @@ def regions_to_expr(spec: str) -> str:
                 end = _pos_int(end_s, tok)
                 if end < beg:
                     raise RegionSpecError(f"bad region {tok!r}: end < start")
-                terms.append(f"({c} && num(POS) >= {beg} && num(POS) <= {end})")
+                terms.append(
+                    f"({whole} || ({c} && num(POS) >= {beg} && num(POS) <= {end}))"
+                )
             else:
-                terms.append(f"({c} && num(POS) >= {beg})")
+                terms.append(f"({whole} || ({c} && num(POS) >= {beg}))")
         else:
             pos = _pos_int(span, tok)
-            terms.append(f"({c} && num(POS) == {pos})")
+            terms.append(f"({whole} || ({c} && num(POS) == {pos}))")
     if not terms:
         raise RegionSpecError(f"empty region spec {spec!r}")
     return " || ".join(terms)

@@ -50,14 +50,18 @@ def samples_to_expr(spec: str) -> str:
 
 
 def samples_file_to_expr(path: str) -> str:
-    """One sample ID per line (blank/# lines skipped; leading ^ on the
-    first line excludes the whole list)."""
+    """One sample ID per line (blank/# lines skipped; a leading ^ on the
+    first NAME — comments and blanks don't count — excludes the list)."""
     with open(path) as fh:
-        lines = [line.strip() for line in fh]
-    negate = bool(lines) and lines[0].startswith("^")
+        names = [
+            line.strip()
+            for line in fh
+            if line.strip() and not line.strip().startswith("#")
+        ]
+    negate = bool(names) and names[0].startswith("^")
     if negate:
-        lines[0] = lines[0][1:]
-    names = [line for line in lines if line and not line.startswith("#")]
+        names[0] = names[0][1:]
+        names = [n for n in names if n]
     if not names:
         raise SampleListError(f"{path}: no sample names found")
     return _to_expr(names, negate)

@@ -214,3 +214,23 @@ def test_stdout_output_alias(tiny_fileset, tmp_path):
     )
     assert r.returncode == 0
     assert r.stdout == ref.read_bytes()
+
+
+def test_stdout_alias_rejected_outside_single_process_vcf(tiny_fileset, capsys):
+    """-o '-' only makes sense on the single-process pipe sink; every other
+    path pwrites at offsets or writes filesets and must refuse loudly."""
+    from tests.cli_helpers import run_cli
+
+    prefix, _ = tiny_fileset
+    for argv in (
+        ["filter", prefix, "-o", "-", "--workers", "2"],
+        ["filter", prefix, "-o", "-", "--shards", "2"],
+        ["filter", prefix, "-o", "-", "--out-format", "pgen"],
+        ["filter", prefix, "-o", "-", "--out-format", "bed"],
+        ["filter", prefix, "-o", "-", "--provider", "device"],
+    ):
+        assert run_cli(argv) == 1
+        assert "stdout" in capsys.readouterr().err
+    import os
+
+    assert not os.path.exists("-") and not os.path.exists("-.pgen")

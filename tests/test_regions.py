@@ -15,20 +15,23 @@ from pgen_tpu.query.regions import RegionSpecError, apply_regions, regions_to_ex
 
 
 def test_desugar_forms():
+    # ':'-bearing tokens also match the whole token as an exact contig
+    # name (GRCh38 alt contigs contain ':'; a context-free desugar cannot
+    # consult the header's contig list the way bcftools does)
     assert regions_to_expr("19") == 'CHROM == "19"'
     assert (
         regions_to_expr("19:500")
-        == '(CHROM == "19" && num(POS) == 500)'
+        == '(CHROM == "19:500" || (CHROM == "19" && num(POS) == 500))'
     )
     assert (
         regions_to_expr("19:100-200")
-        == '(CHROM == "19" && num(POS) >= 100 && num(POS) <= 200)'
+        == '(CHROM == "19:100-200" || (CHROM == "19" && num(POS) >= 100 && num(POS) <= 200))'
     )
-    assert regions_to_expr("19:100-") == '(CHROM == "19" && num(POS) >= 100)'
     assert (
-        regions_to_expr("19:100-200,X")
-        == '(CHROM == "19" && num(POS) >= 100 && num(POS) <= 200) || CHROM == "X"'
+        regions_to_expr("19:100-")
+        == '(CHROM == "19:100-" || (CHROM == "19" && num(POS) >= 100))'
     )
+    assert regions_to_expr("19:100-200,X").endswith(' || CHROM == "X"')
 
 
 def test_apply_regions_combines_with_include():
@@ -114,3 +117,23 @@ def test_cli_filter_regions_whole_contig_keeps_all(tiny_fileset, tmp_path):
     assert run_cli(["filter", prefix, "-r", "1", "-o", str(a)]) == 0
     assert run_cli(["filter", prefix, "-o", str(b)]) == 0
     assert a.read_bytes() == b.read_bytes()
+
+
+def test_colon_bearing_contig_whole_match(tmp_path):
+    """A contig whose NAME contains ':' is reachable as a whole-token
+    region (the exact-contig alternative in the desugar)."""
+    from tests.cli_helpers import run_cli
+    from tests.conftest import build_fileset
+    import numpy as np
+
+    prefix = build_fileset(
+        tmp_path,
+        "alt",
+        np.zeros((2, 2), dtype=np.uint8),
+        ["HLA-DRB1*15:01:01\t100\ta\tA\tG\t.\t.\t.", "19\t200\tb\tA\tG\t.\t.\t."],
+        ["s0\tM", "s1\tF"],
+    )
+    out = tmp_path / "r.vcf"
+    assert run_cli(["filter", prefix, "-r", "HLA-DRB1*15:01:01", "-o", str(out)]) == 0
+    body = [r for r in out.read_text().splitlines() if not r.startswith("#")]
+    assert len(body) == 1 and body[0].startswith("HLA-DRB1*15:01:01\t")

@@ -118,3 +118,12 @@ def test_cli_stats_samples(tiny_fileset, capsys):
     assert "samples\t2" in out
     rows = out[out.index(next(l for l in out if l.startswith("#IID"))) + 1 :]
     assert [r.split("\t")[0] for r in rows] == ["s0", "s2"]
+
+
+def test_samples_file_exclusion_after_comment(tmp_path):
+    """A leading comment/blank must not disarm the ^ exclusion marker."""
+    f = tmp_path / "s.txt"
+    f.write_text("# cohort to drop\n\n^s1\ns2\n")
+    expr = samples_file_to_expr(str(f))
+    assert expr.startswith("!(")
+    assert "s1|s2" in expr
