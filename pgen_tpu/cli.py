@@ -66,6 +66,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
         ),
     )
     q.add_argument(
+        "-e",
+        "--exclude",
+        dest="query_exclude",
+        default=None,
+        help=(
+            "An expression specifying which rows to drop (the complement "
+            "of -i; AND-ed with it when both are passed)."
+        ),
+    )
+    q.add_argument(
         "-r",
         "--regions",
         dest="regions",
@@ -106,6 +116,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
         dest="sam_query",
         default=None,
         help="An expression specifying which samples to keep. If not passed, keeps all samples.",
+    )
+    f.add_argument(
+        "--exclude-var",
+        dest="var_exclude",
+        default=None,
+        help=(
+            "Drop the variants matching this expression (complement of "
+            "--include-var; AND-ed when both are passed; GT_* allowed)."
+        ),
+    )
+    f.add_argument(
+        "--exclude-sam",
+        dest="sam_exclude",
+        default=None,
+        help="Drop the samples matching this expression.",
     )
     f.add_argument(
         "-r",
@@ -242,6 +267,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     st.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
     st.add_argument("--include-var", dest="var_query", default=None)
     st.add_argument("--include-sam", dest="sam_query", default=None)
+    st.add_argument("--exclude-var", dest="var_exclude", default=None)
+    st.add_argument("--exclude-sam", dest="sam_exclude", default=None)
     st.add_argument("-r", "--regions", dest="regions", default=None)
     st.add_argument("--samples", dest="samples", default=None)
     st.add_argument("--samples-file", dest="samples_file", default=None)
@@ -346,6 +373,7 @@ def main(argv=None) -> int:
     try:
         if args.command == "query":
             from pgen_tpu.pipeline.query import query_metadata
+            from pgen_tpu.query.exclude import apply_exclude
             from pgen_tpu.query.regions import apply_regions
 
             if args.regions and args.query_samples:
@@ -353,19 +381,25 @@ def main(argv=None) -> int:
             query_metadata(
                 args.pfile_prefix,
                 query_fstring=args.query_fstring,
-                query=apply_regions(args.query, args.regions),
+                query=apply_exclude(
+                    apply_regions(args.query, args.regions), args.query_exclude
+                ),
                 query_samples=args.query_samples,
             )
             return 0
         if args.command == "filter":
             import contextlib
 
+            from pgen_tpu.query.exclude import apply_exclude
             from pgen_tpu.query.regions import apply_regions
             from pgen_tpu.query.samples import apply_samples
 
-            args.var_query = apply_regions(args.var_query, args.regions)
-            args.sam_query = apply_samples(
-                args.sam_query, args.samples, args.samples_file
+            args.var_query = apply_exclude(
+                apply_regions(args.var_query, args.regions), args.var_exclude
+            )
+            args.sam_query = apply_exclude(
+                apply_samples(args.sam_query, args.samples, args.samples_file),
+                args.sam_exclude,
             )
             if args.out_file == "-":
                 # stdout streaming rides the pipe sink of the single-process
@@ -493,14 +527,18 @@ def main(argv=None) -> int:
                 return 0
         if args.command == "stats":
             from pgen_tpu.pipeline.stats import genotype_stats
+            from pgen_tpu.query.exclude import apply_exclude
             from pgen_tpu.query.regions import apply_regions
             from pgen_tpu.query.samples import apply_samples
 
             genotype_stats(
                 args.pfile_prefix,
-                var_query=apply_regions(args.var_query, args.regions),
-                sam_query=apply_samples(
-                    args.sam_query, args.samples, args.samples_file
+                var_query=apply_exclude(
+                    apply_regions(args.var_query, args.regions), args.var_exclude
+                ),
+                sam_query=apply_exclude(
+                    apply_samples(args.sam_query, args.samples, args.samples_file),
+                    args.sam_exclude,
                 ),
                 provider=args.provider,
                 per_sample=args.per_sample,
