@@ -86,6 +86,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
         ),
     )
     q.add_argument(
+        "-R",
+        "--regions-file",
+        dest="regions_file",
+        default=None,
+        help=(
+            "Restrict to the regions listed in FILE: BED (.bed[.gz]), or "
+            "tab-delimited CHROM POS / CHROM BEG END (1-based inclusive)."
+        ),
+    )
+    q.add_argument(
         "-s",
         "--samples",
         dest="query_samples",
@@ -141,6 +151,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
             "Restrict to bcftools-style regions: CHROM, CHROM:POS, "
             "CHROM:BEG-END, or CHROM:BEG- (comma-separated; AND-ed with "
             "--include-var)."
+        ),
+    )
+    f.add_argument(
+        "-R",
+        "--regions-file",
+        dest="regions_file",
+        default=None,
+        help=(
+            "Restrict to the regions listed in FILE: BED (.bed[.gz]), or "
+            "tab-delimited CHROM POS / CHROM BEG END (1-based inclusive); "
+            "position lists compile to one vectorized membership sweep."
         ),
     )
     f.add_argument(
@@ -270,6 +291,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     st.add_argument("--exclude-var", dest="var_exclude", default=None)
     st.add_argument("--exclude-sam", dest="sam_exclude", default=None)
     st.add_argument("-r", "--regions", dest="regions", default=None)
+    st.add_argument("-R", "--regions-file", dest="regions_file", default=None)
     st.add_argument("--samples", dest="samples", default=None)
     st.add_argument("--samples-file", dest="samples_file", default=None)
     st.add_argument(
@@ -376,13 +398,14 @@ def main(argv=None) -> int:
             from pgen_tpu.query.exclude import apply_exclude
             from pgen_tpu.query.regions import apply_regions
 
-            if args.regions and args.query_samples:
+            if (args.regions or args.regions_file) and args.query_samples:
                 raise ValueError("--regions applies to variant queries, not -s")
             query_metadata(
                 args.pfile_prefix,
                 query_fstring=args.query_fstring,
                 query=apply_exclude(
-                    apply_regions(args.query, args.regions), args.query_exclude
+                    apply_regions(args.query, args.regions, args.regions_file),
+                    args.query_exclude,
                 ),
                 query_samples=args.query_samples,
             )
@@ -395,7 +418,8 @@ def main(argv=None) -> int:
             from pgen_tpu.query.samples import apply_samples
 
             args.var_query = apply_exclude(
-                apply_regions(args.var_query, args.regions), args.var_exclude
+                apply_regions(args.var_query, args.regions, args.regions_file),
+                args.var_exclude,
             )
             args.sam_query = apply_exclude(
                 apply_samples(args.sam_query, args.samples, args.samples_file),
@@ -534,7 +558,8 @@ def main(argv=None) -> int:
             genotype_stats(
                 args.pfile_prefix,
                 var_query=apply_exclude(
-                    apply_regions(args.var_query, args.regions), args.var_exclude
+                    apply_regions(args.var_query, args.regions, args.regions_file),
+                    args.var_exclude,
                 ),
                 sam_query=apply_exclude(
                     apply_samples(args.sam_query, args.samples, args.samples_file),

@@ -112,8 +112,55 @@ def _lower(node, table, extra=None):
                     raise _Fallback  # mixed Int/Float tags: row-exact path
                 return (_NUMCOL, parsed)
             raise ExprError("num: expected String or number, got Boolean")
+        if node.name == "in_list" and len(node.args) == 2:
+            return _lower_in_list(node, table, extra)
         raise _Fallback
     raise _Fallback
+
+
+def _lower_in_list(node, table, extra):
+    """in_list(x, "a,b,c") -> one np.isin sweep over the column.
+
+    Matches the interpreter's semantics exactly: a String needle compares
+    items verbatim; a numeric needle (num(POS), GT_*) matches items that
+    parse to the same variant tag (Int vs Float) and value.
+    """
+    from pgen_tpu.query.interp import _call_builtin
+
+    lk, lv = _lower(node.args[0], table, extra)
+    rk, rv = _lower(node.args[1], table, extra)
+    if rk != _SCALAR or not isinstance(rv, str):
+        if rk in (_STRCOL, _COLREF):
+            raise _Fallback  # per-row list strings: row-exact path
+        if rk == _NUMCOL:
+            tag = "Int" if np.issubdtype(rv.dtype, np.integer) else "Float"
+            raise ExprError(f"in_list: expected a String list, got {tag}")
+        raise ExprError(
+            "in_list: expected a String list, got "
+            + ("Boolean" if rk == _MASK else _type_name(rv))
+        )
+    items = rv.split(",")
+    if lk == _SCALAR:
+        return (_SCALAR, _call_builtin("in_list", [lv, rv]))
+    if lk == _COLREF:
+        lk, lv = _STRCOL, lv.materialize()
+    if lk == _STRCOL:
+        values = np.array(items, dtype=np.bytes_)
+        return (_MASK, np.isin(lv, values))
+    if lk == _NUMCOL:
+        is_int = np.issubdtype(lv.dtype, np.integer)
+        keep = []
+        for item in items:
+            try:
+                parsed = _call_builtin("num", [item])
+            except ExprError:
+                continue
+            if isinstance(parsed, int) == is_int:
+                keep.append(parsed)
+        if not keep:
+            return (_MASK, np.zeros(len(lv), dtype=bool))
+        return (_MASK, np.isin(lv, np.array(keep, dtype=lv.dtype)))
+    raise ExprError("in_list: expected String or number, got Boolean")
 
 
 def _parse_numeric_column(arr):

@@ -266,6 +266,29 @@ def _call_builtin(name, args):
         if not isinstance(c, bool):
             raise ExprError("if: expected Boolean condition")
         return t if c else f
+    if name == "in_list":
+        # extension: set membership against a comma-separated list literal,
+        # vectorized to one np.isin pass by the compiler (query/compile.py)
+        # — the backbone of --regions-file over large position lists. A
+        # String needle matches list items verbatim; a numeric needle
+        # parses each item with num() rules and equality stays
+        # variant-tagged like == (Int never equals Float).
+        v, lst = _arity(name, args, 2)
+        if not isinstance(lst, str):
+            raise ExprError(f"in_list: expected a String list, got {_type_name(lst)}")
+        items = lst.split(",")
+        if isinstance(v, str):
+            return v in items
+        if _is_num(v) and not isinstance(v, bool):
+            for item in items:
+                try:
+                    parsed = _call_builtin("num", [item])
+                except ExprError:
+                    continue
+                if isinstance(parsed, type(v)) and parsed == v:
+                    return True
+            return False
+        raise ExprError(f"in_list: expected String or number, got {_type_name(v)}")
     raise ExprError(f"function identifier is not bound: {name}")
 
 

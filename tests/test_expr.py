@@ -139,6 +139,13 @@ EXPRS = [
     'false && ALT == "G"',
     'ALT > "C"',
     '(ALT + ID) == ("G" + "rs3")',
+    'in_list(ALT, "G,T")',
+    '!in_list(ID, "rs3,rs4")',
+    'in_list(num(POS), "7,50,119")',
+    'in_list(num(POS), "7.0,50")',  # float items never equal an Int column
+    'in_list(ALT, "")',  # list of one empty string
+    'in_list("G", "G,T") && ALT == "G"',
+    'in_list(POS, "7,50")',  # string membership on a string column
 ]
 
 
