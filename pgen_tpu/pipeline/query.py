@@ -7,6 +7,11 @@ over bcftools (README.md:158-160). The pgen header is still opened first
 (Pfile::from_prefix runs before the reader is chosen, main.rs:101), so a
 missing/invalid .pgen errors here too.
 
+Extension: referencing a GT_* genotype-stat variable in -i or -f opts
+into exactly one pass over the packed records (the reference cannot
+query genotypes at all, README.md:259-264). Per-variant histograms by
+default; per-sample ones under -s.
+
 Instead of the reference's per-row context rebuild + evalexpr walk, the
 include predicate and fstring compile once to whole-column vector ops; rows
 stream to the writer in one pass.
@@ -27,22 +32,50 @@ from pgen_tpu.query.compile import (
 )
 
 
-def _reject_gt_variables(expr) -> None:
-    """query never opens genotype records (its core scaling property), so
-    GT_* statistics are filter-only; say so instead of 'not bound'."""
-    if expr is None:
-        return
-    from pgen_tpu.ops.gt_stats import GT_VARIABLE_NAMES
-    from pgen_tpu.query.ast import ExprError, variables
-    from pgen_tpu.query.parser import parse
+def _maybe_gt_extra(
+    pfile_prefix: str, header, table, query_samples: bool, nodes
+) -> dict | None:
+    """Bind GT_* genotype-stat variables when a query references them.
 
-    node = parse(expr) if isinstance(expr, str) else expr
-    used = variables(node) & set(GT_VARIABLE_NAMES)
-    if used:
-        raise ExprError(
-            f"{sorted(used)[0]}: GT_* genotype statistics are available in "
-            f"`filter` expressions only — `query` reads only metadata"
+    The metadata-only scaling property (README.md:158-160) holds for every
+    query that does NOT use GT_*; referencing one opts into a single pass
+    over the packed records. Axis follows the query axis: per-variant
+    code histograms (like filter's --include-var), or per-sample ones
+    under -s (GT_NOBS = called variants for that sample, GT_AC = alt
+    alleles the sample carries).
+    """
+    from pgen_tpu.ops.gt_stats import (
+        GT_VARIABLE_NAMES,
+        gt_counts,
+        gt_variables,
+        sample_counts,
+    )
+    from pgen_tpu.query.ast import variables
+
+    used = set()
+    for node in nodes:
+        if node is not None:
+            used |= variables(node) & set(GT_VARIABLE_NAMES)
+    if not used:
+        return None
+    axis_rows = header.num_samples if query_samples else header.num_variants
+    if table.num_rows > axis_rows:
+        raise ValueError(
+            f"{table.path} has {table.num_rows} rows but the pgen holds "
+            f"{axis_rows} (GT_* stats require matching counts)"
         )
+    rec = header.record_size
+    mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    records = mm[12 : 12 + header.num_variants * rec].reshape(
+        header.num_variants, rec
+    )
+    if query_samples:
+        counts = sample_counts(records, header.num_samples)
+        extra = gt_variables(counts, header.num_variants)
+    else:
+        counts = gt_counts(records, header.num_samples)
+        extra = gt_variables(counts, header.num_samples)
+    return {k: v[: table.num_rows] for k, v in extra.items()}
 
 
 def query_metadata(
@@ -56,17 +89,24 @@ def query_metadata(
 
     Returns the number of rows printed.
     """
-    read_pgen_header(f"{pfile_prefix}.pgen")  # from_prefix validation parity
+    from pgen_tpu.query.parser import parse
+
+    header = read_pgen_header(f"{pfile_prefix}.pgen")  # from_prefix parity
     meta_path = f"{pfile_prefix}.psam" if query_samples else f"{pfile_prefix}.pvar"
     table = read_metadata(meta_path)
-    _reject_gt_variables(query)
-    _reject_gt_variables(query_fstring)
-    mask = compile_predicate(query, table)
+    query = parse(query) if isinstance(query, str) else query
+    query_fstring = (
+        parse(query_fstring) if isinstance(query_fstring, str) else query_fstring
+    )
+    extra = _maybe_gt_extra(
+        pfile_prefix, header, table, query_samples, (query, query_fstring)
+    )
+    mask = compile_predicate(query, table, extra)
     rows = np.flatnonzero(mask)
     out = sys.stdout if out is None else out
     # fast path: vectorized straight-to-bytes assembly, one write call
     # (the reference println!s per row; output bytes are identical)
-    data = compile_fstring_bytes(query_fstring, table, rows)
+    data = compile_fstring_bytes(query_fstring, table, rows, extra)
     if data is not None:
         payload = data.tobytes()
         sink = getattr(out, "buffer", None)
@@ -75,7 +115,7 @@ def query_metadata(
         else:
             out.write(payload.decode("utf-8"))
         return len(rows)
-    results = compile_fstring(query_fstring, table, rows)
+    results = compile_fstring(query_fstring, table, rows, extra)
     if results:
         out.write("\n".join(results))
         out.write("\n")

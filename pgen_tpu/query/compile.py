@@ -114,6 +114,23 @@ def _lower(node, table, extra=None):
             raise ExprError("num: expected String or number, got Boolean")
         if node.name == "in_list" and len(node.args) == 2:
             return _lower_in_list(node, table, extra)
+        if node.name == "str::from" and len(node.args) == 1:
+            kind, v = _lower(node.args[0], table, extra)
+            if kind == _SCALAR:
+                from pgen_tpu.query.interp import _call_builtin
+
+                return (_SCALAR, _call_builtin("str::from", [v]))
+            if kind in (_COLREF, _STRCOL):
+                return (kind, v)  # str::from(String) is the identity
+            if kind == _NUMCOL and np.issubdtype(v.dtype, np.integer):
+                return (_STRCOL, np.char.mod(b"%d", v))
+            if kind == _MASK and np.ndim(v) == 1:
+                return (
+                    _STRCOL,
+                    np.where(v, np.bytes_(b"true"), np.bytes_(b"false")),
+                )
+            # float columns: Python repr() formatting is row-exact territory
+            raise _Fallback
         raise _Fallback
     raise _Fallback
 
