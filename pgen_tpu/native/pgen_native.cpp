@@ -1068,6 +1068,21 @@ int64_t import_span(const unsigned char* buf, int64_t n, int64_t n_samples,
                     int64_t* err) {
   const unsigned char* p = buf;
   const unsigned char* const bend = buf + n;
+#if defined(__AVX512BW__)
+  // Stride-4 lane-split constants: a plain "a/b<sep>" GT field is exactly
+  // 4 bytes, so 64 loaded bytes are 16 fields, one per u32 lane
+  // (byte 0 = allele a, 1 = separator, 2 = allele b, 3 = terminator).
+  const __m512i k_lo8 = _mm512_set1_epi32(0xFF);
+  const __m512i k_slash = _mm512_set1_epi32('/');
+  const __m512i k_pipe = _mm512_set1_epi32('|');
+  const __m512i k_tab32 = _mm512_set1_epi32('\t');
+  const __m512i k_ch0 = _mm512_set1_epi32('0');
+  const __m512i k_ch1 = _mm512_set1_epi32('1');
+  const __m512i k_dot = _mm512_set1_epi32('.');
+  const __m512i k_three = _mm512_set1_epi32(3);
+  const __m512i k_shifts = _mm512_setr_epi32(0, 2, 4, 6, 8, 10, 12, 14, 16,
+                                             18, 20, 22, 24, 26, 28, 30);
+#endif
   unsigned char* pv = pvar_out;
   int64_t row = 0;
   auto fail = [&](int64_t sample, int64_t reason) {
@@ -1107,7 +1122,44 @@ int64_t import_span(const unsigned char* buf, int64_t n, int64_t n_samples,
     // N sample fields
     unsigned char* rec = packed + row * rec_size;
     std::memset(rec, 0, (size_t)rec_size);
-    for (int64_t s = 0; s < n_samples; ++s) {
+    int64_t s = 0;
+#if defined(__AVX512BW__)
+    // 16 fields (64 B) per iteration while every field is the plain
+    // 4-byte "a/b\t" shape. Any deviation — subfields, multi-digit
+    // alleles, the row's own '\n' (never one of the accepted byte
+    // values, so a short row cannot validate), or the last field
+    // (terminated by '\n', kept out by the s bound) — fails the
+    // combined mask and drops to the scalar loop below, which re-parses
+    // from the same position with full validation. s stays ≡ 0 (mod 4),
+    // so the 16 packed 2-bit codes land as 4 whole record bytes.
+    while (s + 16 <= n_samples - 1 && q + 64 <= bend) {
+      const __m512i x = _mm512_loadu_si512((const void*)q);
+      const __m512i a = _mm512_and_si512(x, k_lo8);
+      const __m512i sep = _mm512_and_si512(_mm512_srli_epi32(x, 8), k_lo8);
+      const __m512i b = _mm512_and_si512(_mm512_srli_epi32(x, 16), k_lo8);
+      const __m512i t = _mm512_srli_epi32(x, 24);
+      const __mmask16 am = _mm512_cmpeq_epi32_mask(a, k_dot);
+      const __mmask16 bm = _mm512_cmpeq_epi32_mask(b, k_dot);
+      const __mmask16 ok =
+          (_mm512_cmpeq_epi32_mask(sep, k_slash) |
+           _mm512_cmpeq_epi32_mask(sep, k_pipe)) &
+          _mm512_cmpeq_epi32_mask(t, k_tab32) &
+          (_mm512_cmpeq_epi32_mask(a, k_ch0) |
+           _mm512_cmpeq_epi32_mask(a, k_ch1) | am) &
+          (_mm512_cmpeq_epi32_mask(b, k_ch0) |
+           _mm512_cmpeq_epi32_mask(b, k_ch1) | bm);
+      if (ok != (__mmask16)0xFFFF) break;
+      __m512i code = _mm512_add_epi32(_mm512_sub_epi32(a, k_ch0),
+                                      _mm512_sub_epi32(b, k_ch0));
+      code = _mm512_mask_mov_epi32(code, (__mmask16)(am | bm), k_three);
+      const uint32_t word = (uint32_t)_mm512_reduce_or_epi32(
+          _mm512_sllv_epi32(code, k_shifts));
+      std::memcpy(rec + (s >> 2), &word, 4);
+      q += 64;
+      s += 16;
+    }
+#endif
+    for (; s < n_samples; ++s) {
       // fast path: a plain 3-byte token followed by its terminator, all
       // resolved branchlessly from 4 loaded bytes + the classifier table;
       // one always-predicted branch guards it (taken for every field of a
