@@ -355,6 +355,28 @@ def build_arg_parser() -> argparse.ArgumentParser:
     cc.add_argument("--stats", action="store_true",
                     help="Print per-stage timing to stderr.")
 
+    sp = sub.add_parser(
+        "split",
+        help="Split a pgen fileset into many (inverse of concat).",
+        description=(
+            "bcftools-+split analog: write one fileset per contig "
+            "(--by-chrom, first-appearance order) or N contiguous "
+            "variant-range filesets (--parts N; `concat` of the parts "
+            "reproduces the input byte-exactly). Samples pass through "
+            "verbatim."
+        ),
+    )
+    sp.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    spm = sp.add_mutually_exclusive_group(required=True)
+    spm.add_argument("--by-chrom", action="store_true",
+                     help="One output fileset per distinct CHROM value.")
+    spm.add_argument("--parts", type=int, default=None,
+                     help="Split into N contiguous variant-range filesets.")
+    sp.add_argument("-o", "--out", dest="out_prefix", required=True,
+                    help="Output prefix ({out}.{chrom} / {out}.partNN).")
+    sp.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing to stderr.")
+
     mg = sub.add_parser(
         "merge",
         help="Merge pgen filesets along the sample axis (same variants).",
@@ -611,6 +633,24 @@ def main(argv=None) -> int:
                 f"merged {result.num_inputs} filesets: "
                 f"{result.num_variants} variants x {result.num_samples} "
                 f"samples -> {result.out_prefix}.pgen",
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "split":
+            from pgen_tpu.pipeline.split import split_pgen
+
+            result = split_pgen(
+                args.pfile_prefix,
+                args.out_prefix,
+                by_chrom=args.by_chrom,
+                parts=args.parts,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            print(
+                f"split {result.num_variants} variants x "
+                f"{result.num_samples} samples -> "
+                f"{len(result.out_prefixes)} filesets",
                 file=sys.stderr,
             )
             return 0
