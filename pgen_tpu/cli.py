@@ -393,6 +393,27 @@ def build_arg_parser() -> argparse.ArgumentParser:
     mg.add_argument("--stats", action="store_true",
                     help="Print per-stage timing to stderr.")
 
+    ix = sub.add_parser(
+        "index",
+        help="Tabix-index an existing .vcf.gz (BGZF) file.",
+        description=(
+            "bcftools-index/tabix analog: scans the BGZF members of an "
+            "already-written .vcf.gz and emits FILE.vcf.gz.tbi (or .csi). "
+            "filter --index is cheaper for files this tool writes (row "
+            "offsets are known at emission time); this serves everything "
+            "else."
+        ),
+    )
+    ix.add_argument("vcf_gz", help="Path to a BGZF-compressed .vcf.gz.")
+    ix.add_argument(
+        "--index-format",
+        choices=("auto", "tbi", "csi"),
+        default="auto",
+        help="Index flavor (auto: .csi only when a position needs it).",
+    )
+    ix.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing to stderr.")
+
     d = sub.add_parser(
         "describe",
         help="Introspect a .pgen header (any storage mode).",
@@ -653,6 +674,16 @@ def main(argv=None) -> int:
                 f"{len(result.out_prefixes)} filesets",
                 file=sys.stderr,
             )
+            return 0
+        if args.command == "index":
+            from pgen_tpu.pipeline.index_vcf import index_vcf_gz
+            from pgen_tpu.utils.timer import StageTimer
+
+            timer = StageTimer()
+            out_path = index_vcf_gz(args.vcf_gz, fmt=args.index_format, timer=timer)
+            if args.stats:
+                print(timer.report(), file=sys.stderr)
+            print(f"wrote {out_path}", file=sys.stderr)
             return 0
         if args.command == "describe":
             from pgen_tpu.formats.describe import describe_pgen
