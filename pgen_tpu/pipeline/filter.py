@@ -507,21 +507,24 @@ def filter_to_vcf(
                         if not isinstance(view, np.ndarray)
                         else view
                     )
-                    # BGZF members are independent: compress two halves
-                    # (split on a 65280 input-block boundary) concurrently —
-                    # the C call releases the GIL.
+                    # BGZF members are independent: compress N slices
+                    # (each split on a 65280 input-block boundary)
+                    # concurrently — the C call releases the GIL, so this
+                    # scales to the host's cores on real machines.
                     ncpu = os.cpu_count() or 1
-                    if ncpu > 1 and data.nbytes > (4 << 20):
-                        half = (data.nbytes // 2 // 65280) * 65280
+                    nparts = min(ncpu, max(1, data.nbytes // (4 << 20)))
+                    if nparts > 1:
+                        step = (
+                            (data.nbytes + nparts - 1) // nparts + 65279
+                        ) // 65280 * 65280
+                        slices = [
+                            data[o : o + step]
+                            for o in range(0, data.nbytes, step)
+                        ]
                         from concurrent.futures import ThreadPoolExecutor
 
-                        with ThreadPoolExecutor(2) as ex:
-                            parts = list(
-                                ex.map(
-                                    native.bgzf_compress,
-                                    (data[:half], data[half:]),
-                                )
-                            )
+                        with ThreadPoolExecutor(len(slices)) as ex:
+                            parts = list(ex.map(native.bgzf_compress, slices))
                     else:
                         parts = [native.bgzf_compress(data)]
                     total = 0
@@ -533,27 +536,54 @@ def filter_to_vcf(
                 return len(view)
 
             bytes_written = sink(memoryview(header_bytes))
-            scratch = None
-            for lo in range(0, len(var_idx), block_variants):
-                hi = min(lo + block_variants, len(var_idx))
-                idx_blk = var_idx[lo:hi]
-                packed_blk = _gather_rows(records, idx_blk)
-                cap = int(prefix_sizes[hi] - prefix_sizes[lo]) + (hi - lo) * row_fixed
-                if scratch is None or scratch.nbytes < cap:
-                    scratch = np.empty(cap, dtype=np.uint8)
-                with timer.stage("emit") as st:
-                    n = _emit_block_meta(
-                        provider,
-                        packed_blk,
-                        pvar.data_buffer,
-                        v_starts[lo:hi],
-                        v_ends[lo:hi],
-                        sample_idx_arg,
-                        n_kept_samples,
-                        scratch,
+            # 1-deep pipeline: block i sinks (compress + write) on a
+            # single ordered worker while block i+1 emits; two scratch
+            # buffers alternate so emission never overwrites bytes a
+            # pending sink still reads. Only pays off when emit and sink
+            # get their own cores — on <=2-core hosts the overlap
+            # oversubscribes and measures ~1.5x SLOWER (A/B on the dev
+            # VM), so it is gated on core count (env override for tests).
+            from concurrent.futures import ThreadPoolExecutor
+
+            overlap = (os.cpu_count() or 1) >= 4 or os.environ.get(
+                "PGEN_TPU_SINK_PIPELINE"
+            ) == "1"
+            scratches = [None, None]
+            pending = None
+            with ThreadPoolExecutor(1) as sink_worker:
+                for bi, lo in enumerate(range(0, len(var_idx), block_variants)):
+                    hi = min(lo + block_variants, len(var_idx))
+                    idx_blk = var_idx[lo:hi]
+                    packed_blk = _gather_rows(records, idx_blk)
+                    cap = (
+                        int(prefix_sizes[hi] - prefix_sizes[lo])
+                        + (hi - lo) * row_fixed
                     )
-                    st.bytes_moved += n
-                bytes_written += sink(scratch[:n])
+                    which = (bi & 1) if overlap else 0
+                    if scratches[which] is None or scratches[which].nbytes < cap:
+                        scratches[which] = np.empty(cap, dtype=np.uint8)
+                    scratch = scratches[which]
+                    with timer.stage("emit") as st:
+                        n = _emit_block_meta(
+                            provider,
+                            packed_blk,
+                            pvar.data_buffer,
+                            v_starts[lo:hi],
+                            v_ends[lo:hi],
+                            sample_idx_arg,
+                            n_kept_samples,
+                            scratch,
+                        )
+                        st.bytes_moved += n
+                    if pending is not None:
+                        bytes_written += pending.result()
+                        pending = None
+                    if overlap:
+                        pending = sink_worker.submit(sink, scratch[:n])
+                    else:
+                        bytes_written += sink(scratch[:n])
+                if pending is not None:
+                    bytes_written += pending.result()
             if gz:
                 _write_all(fd, memoryview(BGZF_EOF))
                 bytes_written += len(BGZF_EOF)

@@ -140,3 +140,25 @@ def test_native_bgzf_decompress_matches_gzip(tmp_path, tiny_fileset):
     bad = comp.copy()
     bad[24] ^= 0xFF
     assert native.bgzf_decompress(bad) is None
+
+
+def test_sink_pipeline_overlap_byte_identical(tmp_path, monkeypatch):
+    """The gated 1-deep emit/sink overlap (multi-core hosts) must produce
+    byte-identical .vcf.gz output to the inline sink path."""
+    import numpy as np
+
+    from conftest import build_fileset
+    from pgen_tpu.pipeline.filter import filter_to_vcf
+
+    rng = np.random.default_rng(31)
+    codes = rng.integers(0, 4, size=(300, 11), dtype=np.uint8)
+    pvar_rows = [f"1\t{100 + i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(300)]
+    prefix = build_fileset(
+        tmp_path, "ov", codes, pvar_rows, [f"s{i}\tM" for i in range(11)]
+    )
+    a, b = tmp_path / "a.vcf.gz", tmp_path / "b.vcf.gz"
+    monkeypatch.delenv("PGEN_TPU_SINK_PIPELINE", raising=False)
+    filter_to_vcf(prefix, out_file=a, block_variants=64)
+    monkeypatch.setenv("PGEN_TPU_SINK_PIPELINE", "1")
+    filter_to_vcf(prefix, out_file=b, block_variants=64)
+    assert a.read_bytes() == b.read_bytes()
