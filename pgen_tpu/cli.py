@@ -414,6 +414,36 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ix.add_argument("--stats", action="store_true",
                     help="Print per-stage timing to stderr.")
 
+    vw = sub.add_parser(
+        "view",
+        help="Print (regions of) an existing .vcf.gz via its index.",
+        description=(
+            "tabix/bcftools-view read side: without -r the whole file "
+            "streams to stdout; with -r only the indexed blocks "
+            "overlapping the regions are decompressed ({file}.tbi/.csi, "
+            "see `pgen-tpu index`)."
+        ),
+    )
+    vw.add_argument("vcf_gz", help="Path to a BGZF-compressed .vcf.gz.")
+    vw.add_argument(
+        "-r",
+        "--regions",
+        dest="regions",
+        default=None,
+        help=(
+            "bcftools-style regions: CHROM, CHROM:POS, CHROM:BEG-END, "
+            "CHROM:BEG- (comma-separated); ':'-bearing contig names "
+            "resolve against the index's contig list."
+        ),
+    )
+    vw.add_argument(
+        "-H",
+        "--no-header",
+        dest="no_header",
+        action="store_true",
+        help="Suppress the '#' header lines (tabix default).",
+    )
+
     d = sub.add_parser(
         "describe",
         help="Introspect a .pgen header (any storage mode).",
@@ -684,6 +714,15 @@ def main(argv=None) -> int:
             if args.stats:
                 print(timer.report(), file=sys.stderr)
             print(f"wrote {out_path}", file=sys.stderr)
+            return 0
+        if args.command == "view":
+            from pgen_tpu.pipeline.view import view_vcf_gz
+
+            view_vcf_gz(
+                args.vcf_gz,
+                regions=args.regions,
+                header=not args.no_header,
+            )
             return 0
         if args.command == "describe":
             from pgen_tpu.formats.describe import describe_pgen

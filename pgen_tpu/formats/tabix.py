@@ -556,6 +556,9 @@ def fetch_region(gz_path: str, tbi_path: str, ref: str, beg: int, end: int):
         names, refs, min_shift, depth = read_csi(tbi_path)
         if ref not in refs:
             return []
+        # clamp open-ended spans to the binning capacity so reg2bins stays
+        # bounded (a whole-contig query passes a huge end)
+        end = min(end, 1 << (min_shift + 3 * depth))
         bins = refs[ref]
         # min_off: loffset of the smallest bin containing beg
         min_off = 0
@@ -573,6 +576,7 @@ def fetch_region(gz_path: str, tbi_path: str, ref: str, beg: int, end: int):
         names, refs = read_tbi(tbi_path)
         if ref not in refs:
             return []
+        end = min(end, TBI_MAX_POS)
         bins, lidx = refs[ref]
         min_off = 0
         w = beg >> _WINDOW_SHIFT
