@@ -161,3 +161,48 @@ def test_random_gz_index_roundtrip(tmp_path, trial):
             and beg < int(ln.split(b"\t", 2)[1]) <= end  # REF len 1: p0 in [beg,end)
         ]
         assert got == want, (trial, fmt, beg, end)
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_random_exclude_and_regions_file_match_oracle(tmp_path, trial):
+    """The round-2 sugar surface (-R regions files, --exclude-var) against
+    the oracle: desugared expressions must keep exactly the rows a direct
+    Python predicate keeps, byte-for-byte through the whole pipeline."""
+    from cli_helpers import run_cli
+
+    rng = np.random.default_rng(8300 + trial)
+    prefix, meta = _random_fileset(tmp_path, rng, 100 + trial)
+    k = int(rng.integers(1, 8))
+    picks = rng.integers(0, meta["nvar"], k)
+    lines, site_set, spans = [], set(), []
+    for i in picks:
+        c = str(meta["chroms"][i])
+        p = int(meta["pos"][i])
+        if rng.integers(0, 2):
+            lines.append(f"{c}\t{p}")
+            site_set.add((c, p))
+        else:
+            b = max(1, p - int(rng.integers(0, 5)))
+            e = p + int(rng.integers(0, 60))
+            lines.append(f"{c}\t{b}\t{e}")
+            spans.append((c, b, e))
+    rfile = tmp_path / "sites.txt"
+    rfile.write_text("".join(ln + "\n" for ln in lines))
+    ex_q, ex_pred = _random_var_query(rng, meta)
+    out = tmp_path / "sug.vcf"
+    argv = ["filter", str(prefix), "-R", str(rfile), "-o", str(out)]
+    if ex_q is not None:
+        argv += ["--exclude-var", ex_q]
+    assert run_cli(argv) == 0
+
+    def var_pred(v):
+        c, p = v["CHROM"], int(v["POS"])
+        in_region = (c, p) in site_set or any(
+            c == sc and b <= p <= e for sc, b, e in spans
+        )
+        if not in_region:
+            return False
+        return ex_pred is None or not ex_pred(v)
+
+    expected = scalar_filter_vcf(prefix, var_pred, None)
+    assert out.read_bytes() == expected, (trial, lines, ex_q)
