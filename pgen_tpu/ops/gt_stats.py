@@ -148,7 +148,7 @@ def maybe_gt_extra(node, records, num_samples, sample_idx, provider="native"):
     else:
         counts = gt_counts(records, num_samples, provider)
         n_counted = num_samples
-    return gt_variables(counts, n_counted)
+    return gt_variables(counts, n_counted, used)
 
 
 def gt_counts(packed: np.ndarray, num_samples: int, provider: str = "native") -> np.ndarray:
@@ -256,17 +256,59 @@ GT_VARIABLE_NAMES = (
     "GT_MISSING",
     "GT_AC",
     "GT_NOBS",
+    # derived float variables (bcftools'-tags flavor: AF/MAF/F_MISSING/HWE)
+    "GT_AF",
+    "GT_MAF",
+    "GT_MISSING_RATE",
+    "GT_HET_RATE",
+    "GT_HWE_P",
 )
 
 
-def gt_variables(counts: np.ndarray, num_samples: int) -> dict:
-    """Derive the expression variables from a (V, 4) count matrix."""
+def gt_variables(counts: np.ndarray, num_samples: int, used=None) -> dict:
+    """Derive the expression variables from a (V, 4) count matrix.
+
+    Integer counts plus derived float64 rates:
+      GT_AF           alt-allele frequency  AC / (2*NOBS)   (0.0 if no calls)
+      GT_MAF          min(AF, 1-AF)
+      GT_MISSING_RATE MISSING / row total
+      GT_HET_RATE     HET / NOBS                            (0.0 if no calls)
+      GT_HWE_P        exact Hardy-Weinberg p (ops/hwe.py); meaningful on
+                      the variant axis (per-sample it is a mechanical
+                      function of that sample's code histogram)
+
+    ``used`` (a set of names or None=all) gates which derived variables
+    are materialized — GT_HWE_P is the only one with nontrivial cost.
+    """
     homref, het, homalt, missing = (counts[:, k].astype(np.int64) for k in range(4))
-    return {
+    ac = het + 2 * homalt
+    nobs = num_samples - missing
+    out = {
         "GT_HOMREF": homref,
         "GT_HET": het,
         "GT_HOMALT": homalt,
         "GT_MISSING": missing,
-        "GT_AC": het + 2 * homalt,
-        "GT_NOBS": num_samples - missing,
+        "GT_AC": ac,
+        "GT_NOBS": nobs,
     }
+
+    def want(name):
+        return used is None or name in used
+
+    if want("GT_AF") or want("GT_MAF"):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            af = np.where(nobs > 0, ac / np.maximum(2 * nobs, 1), 0.0)
+        if want("GT_AF"):
+            out["GT_AF"] = af
+        if want("GT_MAF"):
+            out["GT_MAF"] = np.minimum(af, 1.0 - af)
+    if want("GT_MISSING_RATE"):
+        total = num_samples if num_samples else 1
+        out["GT_MISSING_RATE"] = missing / total
+    if want("GT_HET_RATE"):
+        out["GT_HET_RATE"] = np.where(nobs > 0, het / np.maximum(nobs, 1), 0.0)
+    if want("GT_HWE_P"):
+        from pgen_tpu.ops.hwe import hwe_exact_p
+
+        out["GT_HWE_P"] = hwe_exact_p(counts)
+    return out

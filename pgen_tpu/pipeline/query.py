@@ -71,10 +71,10 @@ def _maybe_gt_extra(
     )
     if query_samples:
         counts = sample_counts(records, header.num_samples)
-        extra = gt_variables(counts, header.num_variants)
+        extra = gt_variables(counts, header.num_variants, used)
     else:
         counts = gt_counts(records, header.num_samples)
-        extra = gt_variables(counts, header.num_samples)
+        extra = gt_variables(counts, header.num_samples, used)
     return {k: v[: table.num_rows] for k, v in extra.items()}
 
 

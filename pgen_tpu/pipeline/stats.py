@@ -18,6 +18,75 @@ from pgen_tpu.formats.metadata import read_metadata
 from pgen_tpu.pipeline.filter import _gather_rows, _resolve_provider, compute_masks
 
 
+def _variant_class_stats(pvar, var_idx: np.ndarray) -> dict:
+    """Classify kept variants from the REF/ALT columns (vectorized over
+    the padded byte matrices — no per-row string work).
+
+    Classes (bcftools-stats flavor): SNP (1bp A/C/G/T on both sides,
+    case-folded), indel (single ALT allele, length change), MNP (equal
+    multi-bp lengths), multiallelic (ALT contains ','), other (symbolic
+    alleles etc.). SNPs split into transitions (A<->G, C<->T) and
+    transversions; ts/tv is their ratio.
+    """
+    ref_mat, ref_len = pvar.get_column_padded("REF")
+    alt_mat, alt_len = pvar.get_column_padded("ALT")
+    ref_mat, ref_len = ref_mat[var_idx], ref_len[var_idx]
+    alt_mat, alt_len = alt_mat[var_idx], alt_len[var_idx]
+
+    multi = (alt_mat == ord(",")).any(axis=1)
+    r0 = ref_mat[:, 0] & 0xDF  # ASCII upper fold
+    a0 = alt_mat[:, 0] & 0xDF
+
+    def is_base(b):
+        return (b == ord("A")) | (b == ord("C")) | (b == ord("G")) | (b == ord("T"))
+
+    snp = (ref_len == 1) & (alt_len == 1) & is_base(r0) & is_base(a0) & ~multi
+    # purines A/G fold to the same bit pattern trick: transition iff both
+    # purine or both pyrimidine and bases differ
+    purine = lambda b: (b == ord("A")) | (b == ord("G"))  # noqa: E731
+    ts = snp & (r0 != a0) & (purine(r0) == purine(a0))
+    tv = snp & (r0 != a0) & (purine(r0) != purine(a0))
+    # symbolic/breakend alleles are not sequence variants
+    symbolic = (
+        (alt_mat[:, 0] == ord("<"))
+        | (alt_mat == ord("[")).any(axis=1)
+        | (alt_mat == ord("]")).any(axis=1)
+        | (alt_mat[:, 0] == ord("*"))
+    )
+    indel = ~snp & ~multi & ~symbolic & (ref_len != alt_len)
+    mnp = ~snp & ~multi & ~symbolic & (ref_len == alt_len) & (ref_len > 1)
+    n = len(var_idx)
+    n_ts, n_tv = int(ts.sum()), int(tv.sum())
+    counted = int(snp.sum() + indel.sum() + mnp.sum() + multi.sum())
+    return {
+        "snps": int(snp.sum()),
+        "indels": int(indel.sum()),
+        "mnps": int(mnp.sum()),
+        "multiallelic": int(multi.sum()),
+        "other": n - counted,
+        "transitions": n_ts,
+        "transversions": n_tv,
+        "ts_tv": (n_ts / n_tv) if n_tv else float("inf") if n_ts else 0.0,
+    }
+
+
+def _per_chrom_counts(pvar, var_idx: np.ndarray) -> list:
+    """Kept-variant count per contig, in first-appearance order."""
+    chrom_mat, chrom_len = pvar.get_column_padded("CHROM")
+    sub = chrom_mat[var_idx]
+    # unique over fixed-width rows: view as void for one-shot grouping
+    v = np.ascontiguousarray(sub).view(
+        np.dtype((np.void, sub.shape[1] if sub.shape[1] else 1))
+    )[:, 0]
+    uniq, first, cnts = np.unique(v, return_index=True, return_counts=True)
+    order = np.argsort(first, kind="stable")
+    out = []
+    for k in order:
+        name = bytes(uniq[k].tobytes()).rstrip(b"\x00").decode()
+        out.append((name, int(cnts[k])))
+    return out
+
+
 def genotype_stats(
     pfile_prefix: str,
     var_query: str | None = None,
@@ -79,11 +148,15 @@ def genotype_stats(
         "mean_af": float(af.mean()) if n_var else 0.0,
         "het_hom_ratio": (int(tot[1]) / int(tot[2])) if tot[2] else float("inf"),
     }
+    stats.update(_variant_class_stats(pvar, var_idx))
     for k, v in stats.items():
         if isinstance(v, float):
             out.write(f"{k}\t{v:.6g}\n")
         else:
             out.write(f"{k}\t{v}\n")
+
+    for name, cnt in _per_chrom_counts(pvar, var_idx):
+        out.write(f"chrom\t{name}\t{cnt}\n")
 
     if per_sample:
         # column-axis reduction over the kept variants' records; computed
