@@ -393,6 +393,50 @@ def build_arg_parser() -> argparse.ArgumentParser:
     mg.add_argument("--stats", action="store_true",
                     help="Print per-stage timing to stderr.")
 
+    so = sub.add_parser(
+        "sort",
+        help="Sort a fileset's variants chromosomally (CHROM, POS).",
+        description=(
+            "bcftools-sort analog: contig rank follows ##contig header "
+            "lines when present, then natural genome order (1..22, X, Y, "
+            "XY, MT; 'chr' prefix ignored); POS ascends numerically; ties "
+            "keep input order. Records are gathered, never re-coded."
+        ),
+    )
+    so.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    so.add_argument("-o", "--out", dest="out_prefix", default=None,
+                    help="Output fileset prefix (default {prefix}.sorted).")
+    so.add_argument("--check", action="store_true",
+                    help="Write nothing; exit 0 if already sorted, 1 if not.")
+    so.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing to stderr.")
+
+    an = sub.add_parser(
+        "annotate",
+        help="Rewrite fileset metadata (IDs, contig names, sample names).",
+        description=(
+            "bcftools annotate/reheader analogs over a fileset: --set-id "
+            "recomputes the ID column from an fstring expression "
+            "(e.g. 'CHROM+\":\"+POS+\":\"+REF+\":\"+ALT'); --rename-chrs "
+            "remaps contig names ('old new' lines, ##contig comments "
+            "follow); --rename-samples remaps psam IIDs ('old new' lines, "
+            "or one new name per line for all samples). Genotypes are "
+            "copied verbatim."
+        ),
+    )
+    an.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    an.add_argument("-o", "--out", dest="out_prefix", default=None,
+                    help="Output fileset prefix (default {prefix}.annotated).")
+    an.add_argument("--set-id", dest="set_id", default=None, metavar="EXPR",
+                    help="fstring expression for the new ID column.")
+    an.add_argument("--rename-chrs", dest="rename_chrs", default=None,
+                    metavar="FILE", help="Contig mapping file ('old new' lines).")
+    an.add_argument("--rename-samples", dest="rename_samples", default=None,
+                    metavar="FILE",
+                    help="IID mapping file ('old new' lines or one per line).")
+    an.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing to stderr.")
+
     ix = sub.add_parser(
         "index",
         help="Tabix-index an existing .vcf.gz (BGZF) file.",
@@ -702,6 +746,45 @@ def main(argv=None) -> int:
                 f"split {result.num_variants} variants x "
                 f"{result.num_samples} samples -> "
                 f"{len(result.out_prefixes)} filesets",
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "sort":
+            from pgen_tpu.pipeline.sort import sort_pgen
+
+            result = sort_pgen(
+                args.pfile_prefix,
+                args.out_prefix,
+                check_only=args.check,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            if args.check:
+                state = "sorted" if result.already_sorted else "NOT sorted"
+                print(f"{args.pfile_prefix}: {state}", file=sys.stderr)
+                return 0 if result.already_sorted else 1
+            print(
+                f"sorted {result.num_variants} variants x "
+                f"{result.num_samples} samples -> {result.out_prefix}"
+                + (" (already sorted)" if result.already_sorted else ""),
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "annotate":
+            from pgen_tpu.pipeline.annotate import annotate_pgen
+
+            result = annotate_pgen(
+                args.pfile_prefix,
+                args.out_prefix,
+                set_id=args.set_id,
+                rename_chrs=args.rename_chrs,
+                rename_samples=args.rename_samples,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            print(
+                f"annotated {result.num_variants} variants x "
+                f"{result.num_samples} samples -> {result.out_prefix}",
                 file=sys.stderr,
             )
             return 0

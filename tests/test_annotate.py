@@ -1,0 +1,174 @@
+"""`annotate` subcommand: metadata rewrites (pipeline/annotate.py)."""
+
+import numpy as np
+import pytest
+
+from cli_helpers import run_cli
+from conftest import build_fileset
+from pgen_tpu.formats.metadata import read_metadata
+from pgen_tpu.pipeline.annotate import annotate_pgen, gather_spans
+
+
+def _fileset(tmp_path, comments="##fileformat=VCFv4.2\n"):
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=(6, 5), dtype=np.uint8)
+    rows = [
+        f"{c}\t{100 + i}\trs{i}\t{r}\t{a}\t.\t.\tAF=0.{i}"
+        for i, (c, r, a) in enumerate(
+            [
+                ("1", "A", "G"),
+                ("1", "C", "T"),
+                ("2", "AT", "A"),
+                ("2", "G", "C"),
+                ("X", "T", "A"),
+                ("X", "A", "AC"),
+            ]
+        )
+    ]
+    prefix = build_fileset(
+        tmp_path,
+        "an",
+        codes,
+        rows,
+        [f"s{i}\t{'MF'[i % 2]}" for i in range(5)],
+        pvar_comments=comments,
+    )
+    return prefix, codes
+
+
+def test_gather_spans_basic():
+    buf = np.frombuffer(b"abcdefgh", dtype=np.uint8)
+    got = gather_spans(
+        buf, np.array([0, 4, 2]), np.array([2, 3, 0])
+    )
+    assert bytes(got) == b"abefg"
+
+
+def test_set_id_expression(tmp_path):
+    prefix, _ = _fileset(tmp_path)
+    res = annotate_pgen(
+        prefix,
+        str(tmp_path / "out"),
+        set_id='CHROM + ":" + POS + ":" + REF + ":" + ALT',
+    )
+    t = read_metadata(f"{res.out_prefix}.pvar")
+    assert t.get_column_strs("ID") == [
+        "1:100:A:G",
+        "1:101:C:T",
+        "2:102:AT:A",
+        "2:103:G:C",
+        "X:104:T:A",
+        "X:105:A:AC",
+    ]
+    # every other column byte-identical; genotypes copied verbatim
+    src = read_metadata(f"{prefix}.pvar")
+    for col in ("CHROM", "POS", "REF", "ALT", "QUAL", "FILTER", "INFO"):
+        assert t.get_column_strs(col) == src.get_column_strs(col)
+    assert (
+        open(f"{res.out_prefix}.pgen", "rb").read()
+        == open(f"{prefix}.pgen", "rb").read()
+    )
+    assert (
+        open(f"{res.out_prefix}.psam", "rb").read()
+        == open(f"{prefix}.psam", "rb").read()
+    )
+
+
+def test_set_id_info_subfield(tmp_path):
+    prefix, _ = _fileset(tmp_path)
+    res = annotate_pgen(prefix, str(tmp_path / "o2"), set_id='"af" + INFO_AF')
+    t = read_metadata(f"{res.out_prefix}.pvar")
+    assert t.get_column_strs("ID") == [f"af0.{i}" for i in range(6)]
+
+
+def test_rename_chrs_with_contig_comments(tmp_path):
+    comments = (
+        "##fileformat=VCFv4.2\n"
+        "##contig=<ID=1,length=9>\n"
+        "##contig=<ID=2,length=9>\n"
+        "##contig=<ID=X,length=9>\n"
+    )
+    prefix, _ = _fileset(tmp_path, comments=comments)
+    mapping = tmp_path / "map.txt"
+    mapping.write_text("1 chr1\nX chrX\n# a comment\n")
+    res = annotate_pgen(prefix, str(tmp_path / "out"), rename_chrs=str(mapping))
+    t = read_metadata(f"{res.out_prefix}.pvar")
+    assert t.get_column_strs("CHROM") == [
+        "chr1", "chr1", "2", "2", "chrX", "chrX",
+    ]
+    assert "##contig=<ID=chr1,length=9>" in t.comments
+    assert "##contig=<ID=2,length=9>" in t.comments  # unlisted passes through
+    assert "##contig=<ID=chrX,length=9>" in t.comments
+
+
+def test_set_id_sees_renamed_chroms(tmp_path):
+    prefix, _ = _fileset(tmp_path)
+    mapping = tmp_path / "map.txt"
+    mapping.write_text("1\tchr1\n")
+    res = annotate_pgen(
+        prefix,
+        str(tmp_path / "out"),
+        set_id='CHROM + ":" + POS',
+        rename_chrs=str(mapping),
+    )
+    t = read_metadata(f"{res.out_prefix}.pvar")
+    assert t.get_column_strs("ID")[:2] == ["chr1:100", "chr1:101"]
+
+
+def test_rename_samples_pairs_and_positional(tmp_path):
+    prefix, _ = _fileset(tmp_path)
+    pairs = tmp_path / "pairs.txt"
+    pairs.write_text("s0 alpha\ns3 delta\n")
+    res = annotate_pgen(prefix, str(tmp_path / "o1"), rename_samples=str(pairs))
+    t = read_metadata(f"{res.out_prefix}.psam")
+    assert t.get_column_strs("IID") == ["alpha", "s1", "s2", "delta", "s4"]
+    assert t.get_column_strs("SEX") == ["M", "F", "M", "F", "M"]
+    # pvar untouched on a psam-only run
+    assert (
+        open(f"{res.out_prefix}.pvar", "rb").read()
+        == open(f"{prefix}.pvar", "rb").read()
+    )
+
+    allnames = tmp_path / "all.txt"
+    allnames.write_text("".join(f"n{i}\n" for i in range(5)))
+    res2 = annotate_pgen(prefix, str(tmp_path / "o2"), rename_samples=str(allnames))
+    t2 = read_metadata(f"{res2.out_prefix}.psam")
+    assert t2.get_column_strs("IID") == [f"n{i}" for i in range(5)]
+
+
+def test_rename_samples_errors(tmp_path):
+    prefix, _ = _fileset(tmp_path)
+    short = tmp_path / "short.txt"
+    short.write_text("a\nb\n")
+    with pytest.raises(ValueError, match="2 names for 5 samples"):
+        annotate_pgen(prefix, str(tmp_path / "x"), rename_samples=str(short))
+    dup = tmp_path / "dup.txt"
+    dup.write_text("s0 s1\n")
+    with pytest.raises(ValueError, match="duplicate IIDs"):
+        annotate_pgen(prefix, str(tmp_path / "y"), rename_samples=str(dup))
+
+
+def test_annotate_value_validation(tmp_path):
+    prefix, _ = _fileset(tmp_path)
+    with pytest.raises(ValueError, match="empty ID"):
+        annotate_pgen(prefix, str(tmp_path / "x"), set_id='""')
+    with pytest.raises(ValueError, match="tabs or newlines"):
+        annotate_pgen(prefix, str(tmp_path / "y"), set_id='"a\tb"')
+
+
+def test_annotate_requires_an_operation(tmp_path):
+    prefix, _ = _fileset(tmp_path)
+    with pytest.raises(ValueError, match="at least one"):
+        annotate_pgen(prefix, str(tmp_path / "x"))
+
+
+def test_annotate_cli_roundtrip_filter(tmp_path, capsys):
+    prefix, codes = _fileset(tmp_path)
+    out = str(tmp_path / "cli")
+    rc = run_cli(
+        ["annotate", prefix, "--set-id", 'CHROM + "_" + POS', "-o", out]
+    )
+    assert rc == 0
+    rc = run_cli(["query", out, "-f", "ID", "-i", 'CHROM == "2"'])
+    assert rc == 0
+    assert capsys.readouterr().out.splitlines() == ["2_102", "2_103"]
