@@ -306,6 +306,45 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--provider", choices=["auto", "native", "device", "numpy"], default="auto"
     )
 
+    kg = sub.add_parser(
+        "king",
+        help="Pairwise KING-robust kinship table (MXU matmul workload).",
+        description=(
+            "plink2 --make-king-table analog: estimates kinship for every "
+            "sample pair from the 2-bit hard calls via the robust "
+            "between-family KING estimator (Manichaikul 2010). Counts are "
+            "pairwise-complete (variants where both samples are called). "
+            "Output is a .kin0-flavored TSV: IID1 IID2 NSNP HETHET IBS0 "
+            "KINSHIP (HETHET/IBS0 as proportions of NSNP). Accepts the "
+            "same predicates/regions/sample lists as filter."
+        ),
+    )
+    kg.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    kg.add_argument("-o", "--out", dest="out_file", default=None,
+                    help="Output table path (default {prefix}.kin0, '-' stdout).")
+    kg.add_argument("--include-var", dest="var_query", default=None)
+    kg.add_argument("--include-sam", dest="sam_query", default=None)
+    kg.add_argument("--exclude-var", dest="var_exclude", default=None)
+    kg.add_argument("--exclude-sam", dest="sam_exclude", default=None)
+    kg.add_argument("-r", "--regions", dest="regions", default=None)
+    kg.add_argument("-R", "--regions-file", dest="regions_file", default=None)
+    kg.add_argument("--samples", dest="samples", default=None)
+    kg.add_argument("--samples-file", dest="samples_file", default=None)
+    kg.add_argument(
+        "--min-kinship", dest="min_kinship", type=float, default=None,
+        help="Only write pairs with KINSHIP >= this (plink2 "
+             "--king-table-filter analog).",
+    )
+    kg.add_argument(
+        "--provider", choices=["auto", "native", "device", "numpy"],
+        default="auto",
+        help="Gram-matmul engine: device = TPU MXU, native/numpy = BLAS.",
+    )
+    kg.add_argument("--block-variants", type=int, default=None,
+                    help="Variant block height per Gram accumulation step.")
+    kg.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing/bandwidth to stderr.")
+
     im = sub.add_parser(
         "import",
         help="Import a VCF (.vcf/.vcf.gz) or PLINK1 .bed fileset into .pgen.",
@@ -684,6 +723,37 @@ def main(argv=None) -> int:
                 ),
                 provider=args.provider,
                 per_sample=args.per_sample,
+            )
+            return 0
+        if args.command == "king":
+            from pgen_tpu.pipeline.king import king_table
+            from pgen_tpu.query.exclude import apply_exclude
+            from pgen_tpu.query.regions import apply_regions
+            from pgen_tpu.query.samples import apply_samples
+
+            result = king_table(
+                args.pfile_prefix,
+                var_query=apply_exclude(
+                    apply_regions(args.var_query, args.regions, args.regions_file),
+                    args.var_exclude,
+                ),
+                sam_query=apply_exclude(
+                    apply_samples(args.sam_query, args.samples, args.samples_file),
+                    args.sam_exclude,
+                ),
+                out_file=None if args.out_file == "-" else args.out_file,
+                out=sys.stdout if args.out_file == "-" else None,
+                provider=args.provider,
+                min_kinship=args.min_kinship,
+                block_variants=args.block_variants,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            dest = "stdout" if args.out_file == "-" else result.out_path
+            print(
+                f"king: {result.num_pairs} pairs over {result.num_samples} "
+                f"samples x {result.num_variants} variants -> {dest}",
+                file=sys.stderr,
             )
             return 0
         if args.command == "import":

@@ -41,6 +41,17 @@ def unpack_codes_reference(packed: np.ndarray, num_samples: int) -> np.ndarray:
     return out
 
 
+def unpack_codes_numpy(packed: np.ndarray, num_samples: int) -> np.ndarray:
+    """Vectorized numpy unpack: (V, R) u8 -> (V, S) u8 codes.
+
+    Same LSB-first extraction as the oracle, materialized as one broadcast
+    shift over the 4 bit positions (byte j -> columns 4j..4j+3)."""
+    packed = np.asarray(packed, dtype=np.uint8)
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    codes = (packed[:, :, None] >> shifts) & np.uint8(3)  # (V, R, 4)
+    return codes.reshape(packed.shape[0], -1)[:, :num_samples]
+
+
 def _unpack_words(x: jnp.ndarray) -> jnp.ndarray:
     """(TV, R) u8 -> (TV, R) u32; word j's bytes (LE) = codes of samples 4j..4j+3.
 
