@@ -345,6 +345,40 @@ def build_arg_parser() -> argparse.ArgumentParser:
     kg.add_argument("--stats", action="store_true",
                     help="Print per-stage timing/bandwidth to stderr.")
 
+    pc = sub.add_parser(
+        "pca",
+        help="Top-K principal components via the GRM (MXU matmul workload).",
+        description=(
+            "plink2 --pca analog: standardizes the hard-call dosage matrix "
+            "(mean-imputed missing, monomorphic variants dropped), builds "
+            "the S x S genetic relationship matrix on the chosen provider, "
+            "and eigendecomposes on host. Writes OUT.eigenvec (#IID + "
+            "unit-norm PC columns) and OUT.eigenval (descending)."
+        ),
+    )
+    pc.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    pc.add_argument("-k", "--components", dest="k", type=int, default=10,
+                    help="Number of principal components (default 10).")
+    pc.add_argument("-o", "--out", dest="out_prefix", default=None,
+                    help="Output prefix (default {prefix}.pca).")
+    pc.add_argument("--include-var", dest="var_query", default=None)
+    pc.add_argument("--include-sam", dest="sam_query", default=None)
+    pc.add_argument("--exclude-var", dest="var_exclude", default=None)
+    pc.add_argument("--exclude-sam", dest="sam_exclude", default=None)
+    pc.add_argument("-r", "--regions", dest="regions", default=None)
+    pc.add_argument("-R", "--regions-file", dest="regions_file", default=None)
+    pc.add_argument("--samples", dest="samples", default=None)
+    pc.add_argument("--samples-file", dest="samples_file", default=None)
+    pc.add_argument(
+        "--provider", choices=["auto", "native", "device", "numpy"],
+        default="auto",
+        help="GRM engine: device = TPU MXU, native/numpy = BLAS.",
+    )
+    pc.add_argument("--block-variants", type=int, default=None,
+                    help="Variant block height per GRM accumulation step.")
+    pc.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing/bandwidth to stderr.")
+
     im = sub.add_parser(
         "import",
         help="Import a VCF (.vcf/.vcf.gz) or PLINK1 .bed fileset into .pgen.",
@@ -753,6 +787,36 @@ def main(argv=None) -> int:
             print(
                 f"king: {result.num_pairs} pairs over {result.num_samples} "
                 f"samples x {result.num_variants} variants -> {dest}",
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "pca":
+            from pgen_tpu.pipeline.pca import pca
+            from pgen_tpu.query.exclude import apply_exclude
+            from pgen_tpu.query.regions import apply_regions
+            from pgen_tpu.query.samples import apply_samples
+
+            result = pca(
+                args.pfile_prefix,
+                k=args.k,
+                var_query=apply_exclude(
+                    apply_regions(args.var_query, args.regions, args.regions_file),
+                    args.var_exclude,
+                ),
+                sam_query=apply_exclude(
+                    apply_samples(args.sam_query, args.samples, args.samples_file),
+                    args.sam_exclude,
+                ),
+                out_prefix=args.out_prefix,
+                provider=args.provider,
+                block_variants=args.block_variants,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            print(
+                f"pca: {len(result.eigenvalues)} components over "
+                f"{result.num_samples} samples x {result.num_used} "
+                f"polymorphic variants -> {result.out_prefix}.eigenvec",
                 file=sys.stderr,
             )
             return 0

@@ -84,19 +84,10 @@ def king_counts_reference(codes: np.ndarray) -> KingCounts:
     return KingCounts(hethet, ra, hetcal, nsnp)
 
 
-def _indicators_f32(codes: np.ndarray):
-    """(V, S) u8 codes -> (H, R, A, C) f32 0/1 indicator matrices."""
-    h = (codes == 1).astype(np.float32)
-    r = (codes == 0).astype(np.float32)
-    a = (codes == 2).astype(np.float32)
-    c = h + r + a
-    return h, r, a, c
-
-
 def king_counts_numpy(
     packed: np.ndarray,
     num_samples: int,
-    block_variants: int = 1 << 14,
+    block_variants: int = 1 << 12,
     sample_idx=None,
 ) -> KingCounts:
     """Host provider: blocked BLAS sgemm Grams, f64 cross-block accumulation.
@@ -104,6 +95,10 @@ def king_counts_numpy(
     Per-block counts are < block_variants <= 2^24, exact in f32; the f64
     accumulators keep exactness for any variant count. sample_idx
     (optional) restricts the Grams to that cohort's columns.
+
+    Indicator buffers are preallocated once and refilled in place — fresh
+    numpy temporaries pay a ~0.25 GB/s first-touch tax on hypervisors with
+    lazy page backing (ROADMAP.md Host IO), several times the sgemm cost.
     """
     from pgen_tpu.ops.unpack import unpack_codes_numpy
 
@@ -114,12 +109,21 @@ def king_counts_numpy(
     ra = np.zeros((ns, ns), dtype=np.float64)
     hetcal = np.zeros((ns, ns), dtype=np.float64)
     nsnp = np.zeros((ns, ns), dtype=np.float64)
-    for lo in range(0, nvar, block_variants):
-        blk = packed[lo : lo + block_variants]
-        codes = unpack_codes_numpy(blk, num_samples)
+    bv = min(block_variants, max(nvar, 1))
+    bufs = np.empty((4, bv, ns), dtype=np.float32)  # H, R, A, C
+    cmp = np.empty((bv, ns), dtype=bool)
+    for lo in range(0, nvar, bv):
+        codes = unpack_codes_numpy(packed[lo : lo + bv], num_samples)
         if sample_idx is not None:
             codes = codes[:, sample_idx]
-        h, r, a, c = _indicators_f32(codes)
+        n = codes.shape[0]
+        h, r, a, c = (bufs[k, :n] for k in range(4))
+        cb = cmp[:n]
+        for out, code in ((h, 1), (r, 0), (a, 2)):
+            np.equal(codes, code, out=cb)
+            np.copyto(out, cb, casting="unsafe")
+        np.add(h, r, out=c)
+        c += a
         hethet += h.T @ h
         ra += r.T @ a
         hetcal += h.T @ c
