@@ -249,6 +249,10 @@ def main():
     if os.environ.get("PGEN_BENCH_KERNEL", "1") == "1":
         detail.update(_subprocess_row("--kernel-bench", "unpack_kernel", 560))
 
+    # MXU workloads (king kinship Grams, PCA GRM) on the real chip
+    if os.environ.get("PGEN_BENCH_MXU", "1") == "1":
+        detail.update(_subprocess_row("--mxu-bench", "mxu", 900))
+
     print(
         json.dumps(
             {
@@ -466,10 +470,92 @@ def _kernel_bench() -> dict:
     }
 
 
+V5E_MXU_BF16_TFLOPS = 197.0
+
+
+def _mxu_bench() -> dict:
+    """Achieved MXU throughput of the two matmul workloads (ops/king.py
+    Grams in bf16, ops/pca.py GRM in true-f32) via chained-dependency
+    two-point differencing — dispatch timing lies through the axon tunnel
+    (see _kernel_bench), so each iteration's input is a data-dependent
+    perturbation of the previous output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() == "cpu":
+        raise RuntimeError("no accelerator backend")
+
+    from pgen_tpu.ops.king import _king_counts_device_jit
+    from pgen_tpu.ops.pca import _grm_device_jit
+
+    V, S = 65536, 2504
+    R = (2 * S + 7) // 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, size=(V, R), dtype=np.uint8))
+
+    def _chain(grams_fn):
+        @jax.jit
+        def chain(x0, n):
+            def body(i, acc):
+                # digest = sum of squares over EVERY Gram entry: consuming
+                # only one element (or a plain full-sum, which factors into
+                # per-column sums) lets XLA dead-code/strength-reduce the
+                # matmuls away — measured 4.6x "above peak" before this
+                digest = sum(jnp.sum(g * g) for g in grams_fn(acc))
+                p = (digest.astype(jnp.uint32) & jnp.uint32(1)).astype(
+                    jnp.uint8
+                )
+                return acc ^ p
+
+            return jnp.sum(
+                jax.lax.fori_loop(0, n, body, x0)[:, :8].astype(jnp.int32)
+            )
+
+        return chain
+
+    def _slope(chain, hi, lo=2, reps=4):
+        int(chain(x, 1))  # compile
+        t_hi = min(
+            _timed(lambda: int(chain(x, hi))) for _ in range(reps)
+        )
+        t_lo = min(
+            _timed(lambda: int(chain(x, lo))) for _ in range(reps)
+        )
+        return max((t_hi - t_lo) / (hi - lo), 1e-9)
+
+    def _timed(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    king = _chain(lambda a: _king_counts_device_jit(a, S, V, False))
+    king_dt = _slope(king, 12)
+    king_tflops = 2 * 4 * V * S * S / king_dt / 1e12  # 4 Grams, 2 flop/MAC
+
+    grm = _chain(lambda a: _grm_device_jit(a, None, S, V, False)[:1])
+    grm_dt = _slope(grm, 12)
+    grm_tflops = 2 * V * S * S / grm_dt / 1e12
+
+    return {
+        "king_tflops": round(king_tflops, 1),
+        "king_pct_bf16_peak": round(100 * king_tflops / V5E_MXU_BF16_TFLOPS, 1),
+        "king_mvar_s": round(V / king_dt / 1e6, 2),
+        "grm_tflops": round(grm_tflops, 1),
+        "grm_note": "true-f32 (Precision.HIGHEST, multi-pass bf16 MXU "
+        "decomposition); king's 0/1 Grams are exact in single-pass bf16",
+        "variants": V,
+        "samples": S,
+        "backend": jax.default_backend(),
+    }
+
+
 if __name__ == "__main__":
     if "--kernel-bench" in sys.argv:
         print(json.dumps(_kernel_bench()))
     elif "--device-bench" in sys.argv:
         print(json.dumps(_device_bench()))
+    elif "--mxu-bench" in sys.argv:
+        print(json.dumps(_mxu_bench()))
     else:
         main()

@@ -128,7 +128,15 @@ def _grm_device_jit(packed, sel, num_samples, block_variants, interpret):
         if sel is not None:
             codes = jnp.take(codes, sel, axis=1)
         z, used = _standardize_block_jnp(codes)
-        acc = acc + jnp.matmul(z.T, z, preferred_element_type=jnp.float32)
+        # HIGHEST: true-f32 MXU passes — the TPU default decomposes f32
+        # matmuls into single bf16 passes, whose ~5e-4 relative error is
+        # too coarse for eigenvector work (KING's 0/1 Grams are exact in
+        # bf16; standardized z values are not)
+        acc = acc + jnp.matmul(
+            z.T, z,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return (acc, m + jnp.sum(used.astype(jnp.int32))), None
 
     init = (jnp.zeros((ns, ns), dtype=jnp.float32), jnp.zeros((), jnp.int32))
