@@ -507,6 +507,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
     an.add_argument("--rename-samples", dest="rename_samples", default=None,
                     metavar="FILE",
                     help="IID mapping file ('old new' lines or one per line).")
+    an.add_argument(
+        "--fill-info", dest="fill_info", default=None, metavar="TAGS",
+        help="Compute genotype-derived INFO tags into the .pvar (bcftools "
+             "+fill-tags analog): comma list from AC,AN,AF,MAF,NS,"
+             "F_MISSING,HWE or 'all'. Existing instances are replaced; "
+             "##INFO declarations added when missing.",
+    )
+    an.add_argument("--include-sam", dest="sam_query", default=None,
+                    help="Cohort restriction for --fill-info counts.")
+    an.add_argument("--samples", dest="samples", default=None)
+    an.add_argument("--samples-file", dest="samples_file", default=None)
+    an.add_argument(
+        "--provider", choices=["auto", "native", "device", "numpy"],
+        default="auto", help="Counting engine for --fill-info.",
+    )
     an.add_argument("--stats", action="store_true",
                     help="Print per-stage timing to stderr.")
 
@@ -906,6 +921,8 @@ def main(argv=None) -> int:
             return 0
         if args.command == "annotate":
             from pgen_tpu.pipeline.annotate import annotate_pgen
+            from pgen_tpu.pipeline.filter import _resolve_provider
+            from pgen_tpu.query.samples import apply_samples
 
             result = annotate_pgen(
                 args.pfile_prefix,
@@ -913,6 +930,11 @@ def main(argv=None) -> int:
                 set_id=args.set_id,
                 rename_chrs=args.rename_chrs,
                 rename_samples=args.rename_samples,
+                fill_info=args.fill_info,
+                sam_query=apply_samples(
+                    args.sam_query, args.samples, args.samples_file
+                ),
+                provider=_resolve_provider(args.provider),
             )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)

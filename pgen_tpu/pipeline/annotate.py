@@ -16,11 +16,23 @@ writes filesets at all). Three operations, combinable in one run:
                         "old<TAB>new" lines or one new name per line for
                         all samples in order)
 
+  --fill-info TAGS      bcftools +fill-tags analog: compute genotype-
+                        derived INFO tags (AC, AN, AF, MAF, NS, F_MISSING,
+                        HWE — or 'all') from the packed matrix in one
+                        gt_counts pass and splice them into the .pvar INFO
+                        column. Existing instances of the chosen tags are
+                        replaced; other INFO fields pass through; matching
+                        ##INFO declarations are added to the header when
+                        absent. An optional sample cohort (--include-sam /
+                        --samples/--samples-file) restricts the counts;
+                        the .psam itself always passes through unchanged.
+
 The .pgen is never re-coded — record geometry is sample/variant counts
 only (SURVEY.md C9) — so it is copied verbatim. Column splicing is
 vectorized: rows are reassembled as (prefix bytes, new value, suffix
 bytes) span triples gathered in one fancy-index pass, no per-row string
-work on the hot path.
+work on the hot path (fill-info rows whose INFO already holds a target
+tag take a per-row strip path; typical INFO columns don't).
 """
 
 from __future__ import annotations
@@ -163,17 +175,161 @@ def _fstring_column(expr: str, table, extra=None) -> np.ndarray:
     return np.array([v.encode("utf-8") for v in vals], dtype=f"S{max(width, 1)}")
 
 
+FILL_INFO_TAGS = ("AC", "AN", "AF", "MAF", "NS", "F_MISSING", "HWE")
+
+_INFO_DECLS = {
+    "AC": '##INFO=<ID=AC,Number=A,Type=Integer,Description='
+    '"Allele count in genotypes">\n',
+    "AN": '##INFO=<ID=AN,Number=1,Type=Integer,Description='
+    '"Total number of alleles in called genotypes">\n',
+    "AF": '##INFO=<ID=AF,Number=A,Type=Float,Description='
+    '"Allele frequency">\n',
+    "MAF": '##INFO=<ID=MAF,Number=1,Type=Float,Description='
+    '"Minor allele frequency">\n',
+    "NS": '##INFO=<ID=NS,Number=1,Type=Integer,Description='
+    '"Number of samples with data">\n',
+    "F_MISSING": '##INFO=<ID=F_MISSING,Number=1,Type=Float,Description='
+    '"Fraction of missing genotypes">\n',
+    "HWE": '##INFO=<ID=HWE,Number=1,Type=Float,Description='
+    '"HWE exact test p-value">\n',
+}
+
+
+def _parse_fill_tags(spec: str) -> list:
+    if spec.strip().lower() == "all":
+        return list(FILL_INFO_TAGS)
+    tags = [t.strip().upper() for t in spec.split(",") if t.strip()]
+    bad = [t for t in tags if t not in FILL_INFO_TAGS]
+    if bad:
+        raise ValueError(
+            f"--fill-info: unsupported tag(s) {','.join(bad)}; "
+            f"supported: {','.join(FILL_INFO_TAGS)} or 'all'"
+        )
+    if not tags:
+        raise ValueError("--fill-info: no tags given")
+    return tags
+
+
+def _fill_info_values(tags, counts, n_cohort) -> np.ndarray:
+    """Per-variant 'TAG=val;TAG=val' byte strings from a (V,4) count
+    matrix — vectorized formatting (np.char.mod), no per-row Python."""
+    homref, het, homalt, missing = (
+        counts[:, k].astype(np.int64) for k in range(4)
+    )
+    ac = het + 2 * homalt
+    nobs = homref + het + homalt
+    an = 2 * nobs
+    with np.errstate(divide="ignore", invalid="ignore"):
+        af = np.where(an > 0, ac / np.maximum(an, 1), 0.0)
+    vals = {}
+    for t in tags:
+        if t == "AC":
+            vals[t] = np.char.mod(b"%d", ac)
+        elif t == "AN":
+            vals[t] = np.char.mod(b"%d", an)
+        elif t == "NS":
+            vals[t] = np.char.mod(b"%d", nobs)
+        elif t == "AF":
+            vals[t] = np.char.mod(b"%.6g", af)
+        elif t == "MAF":
+            vals[t] = np.char.mod(b"%.6g", np.minimum(af, 1.0 - af))
+        elif t == "F_MISSING":
+            denom = max(n_cohort, 1)
+            vals[t] = np.char.mod(b"%.6g", missing / denom)
+        elif t == "HWE":
+            from pgen_tpu.ops.hwe import hwe_exact_p
+
+            vals[t] = np.char.mod(b"%.6g", hwe_exact_p(counts))
+    parts = None
+    for t in tags:
+        piece = np.char.add(f"{t}=".encode(), vals[t])
+        parts = piece if parts is None else np.char.add(
+            np.char.add(parts, b";"), piece
+        )
+    return parts
+
+
+def _strip_tags_py(info: bytes, tags) -> bytes:
+    """Remove existing 'TAG=...' fields (boundary-exact) from one INFO."""
+    fields = [
+        f for f in info.split(b";")
+        if f.split(b"=", 1)[0].decode("latin-1") not in tags
+    ]
+    return b";".join(fields)
+
+
+def fill_info_column(pvar, psam, records, header, tags, sam_query=None,
+                     provider: str = "native") -> tuple:
+    """New INFO column values + augmented comments for --fill-info.
+
+    Returns (new_info 'S' array, comments str with missing ##INFO decls).
+    """
+    from pgen_tpu.ops.gt_stats import gt_counts, gt_counts_subset
+    from pgen_tpu.query.compile import compile_predicate
+
+    n_cohort = header.num_samples
+    if sam_query is not None:
+        sam_mask = compile_predicate(sam_query, psam)
+        sam_idx = np.flatnonzero(sam_mask)
+        n_cohort = len(sam_idx)
+        counts = gt_counts_subset(records, sam_idx.astype(np.int32), provider)
+    else:
+        counts = gt_counts(records, header.num_samples, provider)
+    new_tags = _fill_info_values(tags, counts, n_cohort)
+
+    old = pvar.get_column_bytes("INFO")
+    empty = (old == b".") | (old == b"")
+    # rows that may already contain a target tag: crude substring probe,
+    # exact boundary-aware strip in Python only for those rows
+    probe = np.zeros(len(old), dtype=bool)
+    for t in tags:
+        probe |= np.char.find(old, f"{t}=".encode()) >= 0
+    if probe.any():
+        tagset = set(tags)
+        stripped = old.astype(object)
+        for i in np.flatnonzero(probe):
+            stripped[i] = _strip_tags_py(old[i], tagset)
+        width = max(max((len(s) for s in stripped[probe]), default=1), 1)
+        old = old.astype(f"S{max(old.dtype.itemsize, width)}")
+        old[probe] = np.array(
+            [stripped[i] for i in np.flatnonzero(probe)], dtype=f"S{width}"
+        )
+        empty = (old == b".") | (old == b"")
+    joined = np.char.add(np.char.add(old, b";"), new_tags)
+    new_info = np.where(empty, new_tags, joined)
+
+    comments = pvar.comments
+    missing_decls = "".join(
+        _INFO_DECLS[t] for t in tags if f"##INFO=<ID={t}," not in comments
+    )
+    if missing_decls:
+        comments = comments + missing_decls
+    return new_info, comments
+
+
 def annotate_pgen(
     pfile_prefix: str,
     out_prefix: str | None = None,
     set_id: str | None = None,
     rename_chrs: str | None = None,
     rename_samples: str | None = None,
+    fill_info: str | None = None,
+    sam_query: str | None = None,
+    provider: str = "native",
 ) -> AnnotateResult:
-    if set_id is None and rename_chrs is None and rename_samples is None:
+    if (
+        set_id is None
+        and rename_chrs is None
+        and rename_samples is None
+        and fill_info is None
+    ):
         raise ValueError(
             "annotate: pass at least one of --set-id / --rename-chrs / "
-            "--rename-samples"
+            "--rename-samples / --fill-info"
+        )
+    if sam_query is not None and fill_info is None:
+        raise ValueError(
+            "annotate: sample selections only apply to --fill-info counts"
         )
     timer = StageTimer()
     out_prefix = (
@@ -184,7 +340,7 @@ def annotate_pgen(
         pvar = read_metadata(f"{pfile_prefix}.pvar")
         psam = read_metadata(f"{pfile_prefix}.psam")
         psam.column_index("IID")
-    if (set_id or rename_chrs) and pvar.num_rows != header.num_variants:
+    if (set_id or rename_chrs or fill_info) and pvar.num_rows != header.num_variants:
         raise ValueError(
             f"{pfile_prefix}.pvar has {pvar.num_rows} rows but the pgen "
             f"holds {header.num_variants} variant records"
@@ -199,9 +355,25 @@ def annotate_pgen(
                 pvar, "CHROM", _remap(pvar.get_column_bytes("CHROM"), mapping)
             )
             comments = _remap_contig_comments(comments, mapping)
-            if set_id is not None:
-                # --set-id sees the REMAPPED contig names (bcftools order:
+            if set_id is not None or fill_info is not None:
+                # later steps see the REMAPPED contig names (bcftools order:
                 # rename first, then expressions) — reparse the spliced rows
+                pvar = _table_from_rows(pvar, comments, rows)
+                rows = None
+        if fill_info is not None:
+            tags = _parse_fill_tags(fill_info)
+            rec = header.record_size
+            mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+            records = mm[12 : 12 + header.num_variants * rec].reshape(
+                header.num_variants, rec
+            )
+            new_info, comments = fill_info_column(
+                pvar, psam, records, header, tags, sam_query, provider
+            )
+            rows = replace_column_bytes(pvar, "INFO", new_info)
+            if set_id is not None:
+                # --set-id may reference INFO_* virtual variables: it sees
+                # the FILLED tags
                 pvar = _table_from_rows(pvar, comments, rows)
                 rows = None
         if set_id is not None:

@@ -172,3 +172,90 @@ def test_annotate_cli_roundtrip_filter(tmp_path, capsys):
     rc = run_cli(["query", out, "-f", "ID", "-i", 'CHROM == "2"'])
     assert rc == 0
     assert capsys.readouterr().out.splitlines() == ["2_102", "2_103"]
+
+
+def _expected_counts(codes):
+    out = np.zeros((codes.shape[0], 4), dtype=np.int64)
+    for k in range(4):
+        out[:, k] = (codes == k).sum(axis=1)
+    return out
+
+
+def test_fill_info_values_and_decls(tmp_path):
+    prefix, codes = _fileset(tmp_path)
+    res = annotate_pgen(
+        prefix, str(tmp_path / "fi"), fill_info="AC,AN,NS"
+    )
+    t = read_metadata(f"{res.out_prefix}.pvar")
+    cnt = _expected_counts(codes)
+    ac = cnt[:, 1] + 2 * cnt[:, 2]
+    an = 2 * (cnt[:, 0] + cnt[:, 1] + cnt[:, 2])
+    ns = cnt[:, 0] + cnt[:, 1] + cnt[:, 2]
+    infos = t.get_column_strs("INFO")
+    for i, info in enumerate(infos):
+        # the fixture's existing AF=0.i field passes through untouched
+        assert info == f"AF=0.{i};AC={ac[i]};AN={an[i]};NS={ns[i]}"
+    # declarations added once, before the column header
+    assert "##INFO=<ID=AC,Number=A,Type=Integer" in t.comments
+    assert "##INFO=<ID=AN," in t.comments and "##INFO=<ID=NS," in t.comments
+
+
+def test_fill_info_replaces_existing_tag(tmp_path):
+    prefix, codes = _fileset(tmp_path)
+    res = annotate_pgen(prefix, str(tmp_path / "fr"), fill_info="AF")
+    t = read_metadata(f"{res.out_prefix}.pvar")
+    cnt = _expected_counts(codes)
+    ac = cnt[:, 1] + 2 * cnt[:, 2]
+    an = 2 * (cnt[:, 0] + cnt[:, 1] + cnt[:, 2])
+    for i, info in enumerate(t.get_column_strs("INFO")):
+        af = ac[i] / an[i] if an[i] else 0.0
+        assert info == f"AF={af:.6g}", (i, info)  # old AF=0.i stripped
+
+
+def test_fill_info_dot_info_and_all(tmp_path):
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 4, size=(3, 4), dtype=np.uint8)
+    rows = [f"1\t{200 + i}\trs{i}\tA\tG\t.\t.\t." for i in range(3)]
+    prefix = build_fileset(
+        tmp_path, "dot", codes, rows, [f"s{i}\tM" for i in range(4)]
+    )
+    res = annotate_pgen(prefix, str(tmp_path / "da"), fill_info="all")
+    t = read_metadata(f"{res.out_prefix}.pvar")
+    for info in t.get_column_strs("INFO"):
+        assert info.startswith("AC=")  # '.' replaced, not prepended
+        names = [f.split("=")[0] for f in info.split(";")]
+        assert names == ["AC", "AN", "AF", "MAF", "NS", "F_MISSING", "HWE"]
+
+
+def test_fill_info_cohort_restriction(tmp_path):
+    prefix, codes = _fileset(tmp_path)
+    assert run_cli([
+        "annotate", prefix, "-o", str(tmp_path / "co"),
+        "--fill-info", "AC", "--samples", "s0,s2",
+    ]) == 0
+    t = read_metadata(str(tmp_path / "co.pvar"))
+    sub = codes[:, [0, 2]]
+    ac = (sub == 1).sum(axis=1) + 2 * (sub == 2).sum(axis=1)
+    for i, info in enumerate(t.get_column_strs("INFO")):
+        assert info.endswith(f";AC={ac[i]}")
+
+
+def test_fill_info_then_set_id_sees_tags(tmp_path):
+    prefix, codes = _fileset(tmp_path)
+    res = annotate_pgen(
+        prefix, str(tmp_path / "fs"), fill_info="AC",
+        set_id='ID + "_" + INFO_AC',
+    )
+    t = read_metadata(f"{res.out_prefix}.pvar")
+    cnt = _expected_counts(codes)
+    ac = cnt[:, 1] + 2 * cnt[:, 2]
+    assert t.get_column_strs("ID") == [f"rs{i}_{ac[i]}" for i in range(6)]
+
+
+def test_fill_info_errors(tmp_path):
+    prefix, _ = _fileset(tmp_path)
+    with pytest.raises(ValueError, match="unsupported tag"):
+        annotate_pgen(prefix, str(tmp_path / "x"), fill_info="AC,BOGUS")
+    with pytest.raises(ValueError, match="sample selections"):
+        annotate_pgen(prefix, str(tmp_path / "y"), set_id="ID",
+                      sam_query='IID=="s0"')
