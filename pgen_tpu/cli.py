@@ -466,6 +466,32 @@ def build_arg_parser() -> argparse.ArgumentParser:
     mg.add_argument("--stats", action="store_true",
                     help="Print per-stage timing to stderr.")
 
+    ic = sub.add_parser(
+        "isec",
+        help="Variant set operations between two filesets.",
+        description=(
+            "bcftools-isec analog: intersects two filesets by variant key "
+            "(CHROM:POS:REF:ALT, or CHROM:POS with --key pos) and writes "
+            "up to four filesets: {out}.a_only, {out}.b_only, {out}.both_a "
+            "(intersection, A's genotypes), {out}.both_b. Genotypes are "
+            "gathered, never re-coded."
+        ),
+    )
+    ic.add_argument("prefix_a", help="First fileset prefix (side A).")
+    ic.add_argument("prefix_b", help="Second fileset prefix (side B).")
+    ic.add_argument("-o", "--out", dest="out_prefix", required=True,
+                    help="Output prefix ({out}.a_only etc.).")
+    ic.add_argument("--key", choices=("full", "pos"), default="full",
+                    help="Match key: full = CHROM:POS:REF:ALT (default), "
+                         "pos = CHROM:POS.")
+    ic.add_argument(
+        "--write", dest="write", default=None, metavar="LIST",
+        help="Comma list of outputs to write (default all four): "
+             "a_only,b_only,both_a,both_b.",
+    )
+    ic.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing to stderr.")
+
     so = sub.add_parser(
         "sort",
         help="Sort a fileset's variants chromosomally (CHROM, POS).",
@@ -897,6 +923,25 @@ def main(argv=None) -> int:
                 f"{len(result.out_prefixes)} filesets",
                 file=sys.stderr,
             )
+            return 0
+        if args.command == "isec":
+            from pgen_tpu.pipeline.isec import isec_pgen
+
+            result = isec_pgen(
+                args.prefix_a,
+                args.prefix_b,
+                args.out_prefix,
+                key=args.key,
+                write=args.write,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            summary = "  ".join(
+                f"{name}={result.counts[name]}" for name in result.counts
+            )
+            print(f"isec: {summary}", file=sys.stderr)
+            for name, dest in result.out_prefixes.items():
+                print(f"wrote {dest}.pgen", file=sys.stderr)
             return 0
         if args.command == "sort":
             from pgen_tpu.pipeline.sort import sort_pgen
