@@ -466,6 +466,43 @@ def build_arg_parser() -> argparse.ArgumentParser:
     mg.add_argument("--stats", action="store_true",
                     help="Print per-stage timing to stderr.")
 
+    pr = sub.add_parser(
+        "prune",
+        help="LD pruning (plink --indep-pairwise analog).",
+        description=(
+            "Selects an approximately-independent variant subset: sliding "
+            "windows (count or kb, per chromosome), pairs above the r2 "
+            "threshold lose their lower-MAF member. Correlations use "
+            "mean-imputed dosages computed as banded Gram matmuls "
+            "(MXU on the device provider, BLAS on host). Writes "
+            "OUT.prune.in / OUT.prune.out ID lists."
+        ),
+    )
+    pr.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    pr.add_argument(
+        "--indep-pairwise", dest="indep_pairwise", nargs=3, required=True,
+        metavar=("WINDOW[kb]", "STEP", "R2"),
+        help="plink spec: window size (variant count, or Nkb), window "
+             "step in variants, r2 threshold.",
+    )
+    pr.add_argument("-o", "--out", dest="out_prefix", default=None,
+                    help="Output prefix (default {prefix}).")
+    pr.add_argument("--include-var", dest="var_query", default=None)
+    pr.add_argument("--include-sam", dest="sam_query", default=None)
+    pr.add_argument("--exclude-var", dest="var_exclude", default=None)
+    pr.add_argument("--exclude-sam", dest="sam_exclude", default=None)
+    pr.add_argument("-r", "--regions", dest="regions", default=None)
+    pr.add_argument("-R", "--regions-file", dest="regions_file", default=None)
+    pr.add_argument("--samples", dest="samples", default=None)
+    pr.add_argument("--samples-file", dest="samples_file", default=None)
+    pr.add_argument(
+        "--provider", choices=["auto", "native", "device", "numpy"],
+        default="auto",
+        help="Banded-Gram engine: device = TPU MXU, native/numpy = BLAS.",
+    )
+    pr.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing/bandwidth to stderr.")
+
     ic = sub.add_parser(
         "isec",
         help="Variant set operations between two filesets.",
@@ -921,6 +958,35 @@ def main(argv=None) -> int:
                 f"split {result.num_variants} variants x "
                 f"{result.num_samples} samples -> "
                 f"{len(result.out_prefixes)} filesets",
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "prune":
+            from pgen_tpu.pipeline.prune import prune
+            from pgen_tpu.query.exclude import apply_exclude
+            from pgen_tpu.query.regions import apply_regions
+            from pgen_tpu.query.samples import apply_samples
+
+            result = prune(
+                args.pfile_prefix,
+                args.indep_pairwise,
+                var_query=apply_exclude(
+                    apply_regions(args.var_query, args.regions, args.regions_file),
+                    args.var_exclude,
+                ),
+                sam_query=apply_exclude(
+                    apply_samples(args.sam_query, args.samples, args.samples_file),
+                    args.sam_exclude,
+                ),
+                out_prefix=args.out_prefix,
+                provider=args.provider,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            print(
+                f"prune: kept {result.num_kept}, removed "
+                f"{result.num_removed} of {result.num_considered} variants "
+                f"-> {result.out_prefix}.prune.in/.prune.out",
                 file=sys.stderr,
             )
             return 0
