@@ -336,6 +336,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
              "--king-table-filter analog).",
     )
     kg.add_argument(
+        "--cutoff", dest="cutoff", type=float, default=None,
+        help="plink2 --king-cutoff analog: greedily drop samples until no "
+             "pair exceeds this kinship; writes {out}.king.cutoff.in.id / "
+             ".out.id instead of a table.",
+    )
+    kg.add_argument(
         "--provider", choices=["auto", "native", "device", "numpy"],
         default="auto",
         help="Gram-matmul engine: device = TPU MXU, native/numpy = BLAS.",
@@ -358,9 +364,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     pc.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
     pc.add_argument("-k", "--components", dest="k", type=int, default=10,
-                    help="Number of principal components (default 10).")
+                    help="Number of principal components (default 10; 0 "
+                         "skips the eigendecomposition for --make-rel-only "
+                         "runs).")
     pc.add_argument("-o", "--out", dest="out_prefix", default=None,
                     help="Output prefix (default {prefix}.pca).")
+    pc.add_argument(
+        "--make-rel", dest="make_rel", nargs="?", const="bin",
+        choices=("bin", "text"), default=None,
+        help="Also write the relationship matrix (plink2 --make-rel "
+             "analog): OUT.rel.bin (square row-major LE f64) or OUT.rel "
+             "(text), plus OUT.rel.id.",
+    )
     pc.add_argument("--include-var", dest="var_query", default=None)
     pc.add_argument("--include-sam", dest="sam_query", default=None)
     pc.add_argument("--exclude-var", dest="var_exclude", default=None)
@@ -858,9 +873,18 @@ def main(argv=None) -> int:
                 provider=args.provider,
                 min_kinship=args.min_kinship,
                 block_variants=args.block_variants,
+                cutoff=args.cutoff,
             )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)
+            if args.cutoff is not None:
+                print(
+                    f"king: kept {result.num_pairs} of "
+                    f"{result.num_samples} samples at cutoff "
+                    f"{args.cutoff} -> {result.out_path}.king.cutoff.*.id",
+                    file=sys.stderr,
+                )
+                return 0
             dest = "stdout" if args.out_file == "-" else result.out_path
             print(
                 f"king: {result.num_pairs} pairs over {result.num_samples} "
@@ -888,13 +912,18 @@ def main(argv=None) -> int:
                 out_prefix=args.out_prefix,
                 provider=args.provider,
                 block_variants=args.block_variants,
+                make_rel=args.make_rel,
             )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)
+            wrote = (
+                f"{result.out_prefix}.eigenvec" if args.k
+                else f"{result.out_prefix}.rel.*"
+            )
             print(
                 f"pca: {len(result.eigenvalues)} components over "
                 f"{result.num_samples} samples x {result.num_used} "
-                f"polymorphic variants -> {result.out_prefix}.eigenvec",
+                f"polymorphic variants -> {wrote}",
                 file=sys.stderr,
             )
             return 0

@@ -14,6 +14,13 @@ KINSHIP is the robust estimator. `--min-kinship X` keeps only rows with
 KINSHIP >= X (the plink2 `--king-table-filter` analog); pairs with an
 undefined estimate (zero denominator) print `nan` and are dropped by any
 --min-kinship threshold.
+
+`--cutoff X` switches to the plink2 `--king-cutoff` analog: instead of a
+table, greedily drop samples until no surviving pair has kinship > X —
+each round removes the sample participating in the most above-cutoff
+surviving pairs (tie: the later psam index; NaN pairs never count) — and
+write {out}.king.cutoff.in.id / {out}.king.cutoff.out.id (one IID per
+line, psam order).
 """
 
 from __future__ import annotations
@@ -80,6 +87,27 @@ def king_counts_chunked(records, num_samples, provider, sample_idx, timer,
     return total
 
 
+def king_cutoff_mask(kin: np.ndarray, cutoff: float) -> np.ndarray:
+    """Greedy relatedness pruning: bool keep-mask over the cohort.
+
+    While any surviving pair exceeds the cutoff, remove the sample with
+    the most above-cutoff surviving pairs (tie: the later index). NaN
+    kinships (undefined estimates) never count as above-cutoff.
+    """
+    over = np.nan_to_num(kin, nan=-np.inf) > cutoff
+    np.fill_diagonal(over, False)
+    keep = np.ones(kin.shape[0], dtype=bool)
+    while True:
+        deg = (over & keep[None, :] & keep[:, None]).sum(axis=1)
+        deg[~keep] = 0
+        worst = int(deg.max()) if len(deg) else 0
+        if worst == 0:
+            return keep
+        # ties resolve to the LATER index: argmax on the reversed array
+        victim = len(deg) - 1 - int(np.argmax(deg[::-1]))
+        keep[victim] = False
+
+
 def king_table(
     pfile_prefix: str,
     var_query: str | None = None,
@@ -89,6 +117,7 @@ def king_table(
     min_kinship: float | None = None,
     block_variants: int | None = None,
     out=None,
+    cutoff: float | None = None,
 ) -> KingResult:
     provider = _resolve_provider(provider)
     if provider == "native":
@@ -131,6 +160,29 @@ def king_table(
     kin, ibs0 = king_kinship(counts)
     iids = psam.get_column_strs("IID")
     iids = [iids[int(s)] for s in sam_idx]
+
+    if cutoff is not None:
+        keep = king_cutoff_mask(kin, cutoff)
+        out_path = out_file or pfile_prefix
+        with timer.stage("king_emit"):
+            with open(f"{out_path}.king.cutoff.in.id", "w") as fh:
+                fh.writelines(
+                    f"{iid}\n" for iid, k in zip(iids, keep) if k
+                )
+            with open(f"{out_path}.king.cutoff.out.id", "w") as fh:
+                fh.writelines(
+                    f"{iid}\n" for iid, k in zip(iids, keep) if not k
+                )
+        return KingResult(
+            num_variants=len(var_idx),
+            num_samples=len(sam_idx),
+            num_pairs=int(keep.sum()),  # kept samples in cutoff mode
+            out_path=out_path,
+            kinship=kin,
+            ibs0=ibs0,
+            nsnp=counts.nsnp,
+            timer=timer,
+        )
 
     n_pairs = 0
     if out is not None:

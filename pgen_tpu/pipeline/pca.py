@@ -10,6 +10,12 @@ eigendecomposition runs on host LAPACK. Emits the plink conventions:
 
 Accepts the same include/exclude predicates, regions, and sample lists as
 `filter`; monomorphic variants are excluded from the GRM automatically.
+
+`--make-rel [bin|text]` additionally writes the relationship matrix
+itself (plink2 `--make-rel` analog): OUT.rel.bin (full square, row-major
+little-endian f64) or OUT.rel (text, full square, tab-separated), plus
+OUT.rel.id (one IID per line, row/column order). `-k 0` skips the
+eigendecomposition entirely (GRM-only runs).
 """
 
 from __future__ import annotations
@@ -44,7 +50,12 @@ def pca(
     provider: str = "auto",
     block_variants: int | None = None,
     write: bool = True,
+    make_rel: str | None = None,
 ) -> PcaResult:
+    if make_rel not in (None, "bin", "text"):
+        raise ValueError(f"--make-rel must be 'bin' or 'text', got {make_rel!r}")
+    if k == 0 and make_rel is None:
+        raise ValueError("pca: -k 0 only makes sense with --make-rel")
     provider = _resolve_provider(provider)
     if provider == "native":
         provider = "numpy"  # BLAS is the host gemm engine (ops/pca.py)
@@ -82,13 +93,17 @@ def pca(
     with timer.stage("grm", kept.shape[0] * rec):
         res = grm(kept, header.num_samples, provider=provider,
                   sample_idx=subset, **kw)
-    with timer.stage("eigh"):
-        vals, vecs = pca_from_grm(res.grm_sum, res.m_used, k)
+    if k > 0:
+        with timer.stage("eigh"):
+            vals, vecs = pca_from_grm(res.grm_sum, res.m_used, k)
+    else:
+        vals = np.zeros(0)
+        vecs = np.zeros((n_sam, 0))
 
     out = out_prefix or f"{pfile_prefix}.pca"
-    if write:
-        iids = psam.get_column_strs("IID")
-        iids = [iids[int(s)] for s in sam_idx]
+    iids = psam.get_column_strs("IID")
+    iids = [iids[int(s)] for s in sam_idx]
+    if write and k > 0:
         with timer.stage("emit"):
             with open(f"{out}.eigenvec", "w") as fh:
                 fh.write("#IID\t" + "\t".join(f"PC{i+1}" for i in range(k)) + "\n")
@@ -100,6 +115,19 @@ def pca(
                     )
             with open(f"{out}.eigenval", "w") as fh:
                 fh.writelines(f"{v:.10g}\n" for v in vals)
+    if write and make_rel is not None:
+        if res.m_used <= 0:
+            raise ValueError("pca: no polymorphic variants after filtering")
+        rel = res.grm_sum / float(res.m_used)
+        with timer.stage("emit_rel", rel.nbytes):
+            with open(f"{out}.rel.id", "w") as fh:
+                fh.writelines(f"{iid}\n" for iid in iids)
+            if make_rel == "bin":
+                rel.astype("<f8").tofile(f"{out}.rel.bin")
+            else:
+                with open(f"{out}.rel", "w") as fh:
+                    for row in rel:
+                        fh.write("\t".join(f"{v:.10g}" for v in row) + "\n")
     return PcaResult(
         num_variants=len(var_idx),
         num_used=res.m_used,

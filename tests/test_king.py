@@ -208,3 +208,33 @@ def test_cli_king_rejects_single_sample(tmp_path):
         tmp_path, "one", codes, ["1\t100\trs0\tA\tG\t.\t.\t."], ["s0\tM"]
     )
     assert run_cli(["king", prefix]) == 1
+
+
+def test_king_cutoff_mask_greedy():
+    from pgen_tpu.pipeline.king import king_cutoff_mask
+
+    # s1 related to s0 and s2; removing s1 resolves everything
+    kin = np.full((3, 3), -0.1)
+    kin[0, 1] = kin[1, 0] = 0.3
+    kin[1, 2] = kin[2, 1] = 0.3
+    keep = king_cutoff_mask(kin, 0.177)
+    assert keep.tolist() == [True, False, True]
+    # tie (one pair): the LATER member is removed
+    kin2 = np.full((2, 2), 0.5)
+    assert king_cutoff_mask(kin2, 0.177).tolist() == [True, False]
+    # NaN never counts
+    kin3 = np.full((2, 2), np.nan)
+    assert king_cutoff_mask(kin3, 0.177).tolist() == [True, True]
+
+
+def test_cli_king_cutoff(tmp_path):
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 3, size=(60, 5), dtype=np.uint8)
+    codes[:, 3] = codes[:, 1]  # duplicate pair s1/s3 -> kinship 0.5
+    prefix = _king_fileset(tmp_path, codes)
+    out = str(tmp_path / "kc")
+    assert run_cli(["king", prefix, "--cutoff", "0.354", "-o", out]) == 0
+    kept = (tmp_path / "kc.king.cutoff.in.id").read_text().split()
+    dropped = (tmp_path / "kc.king.cutoff.out.id").read_text().split()
+    assert dropped == ["s3"]  # tie between s1/s3 -> later removed
+    assert kept == ["s0", "s1", "s2", "s4"]

@@ -174,3 +174,32 @@ def test_cli_pca_provider_parity_and_subset(tmp_path):
                       for l in vec.splitlines()[1:]])
         )
     np.testing.assert_allclose(texts[0], texts[1], atol=5e-5)
+
+
+def test_cli_make_rel(tmp_path):
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, size=(50, 6), dtype=np.uint8)
+    prefix = _pca_fileset(tmp_path, codes)
+    out = str(tmp_path / "rel")
+    assert run_cli(["pca", prefix, "-k", "0", "-o", out, "--make-rel"]) == 0
+    ids = (tmp_path / "rel.rel.id").read_text().split()
+    assert ids == [f"s{i}" for i in range(6)]
+    mat = np.fromfile(tmp_path / "rel.rel.bin", dtype="<f8").reshape(6, 6)
+    acc, m = _grm_oracle(codes)
+    np.testing.assert_allclose(mat, acc / m, rtol=1e-12, atol=1e-12)
+    assert not (tmp_path / "rel.eigenvec").exists()  # k=0 skips eigh
+    # text flavor agrees
+    out2 = str(tmp_path / "relt")
+    assert run_cli([
+        "pca", prefix, "-k", "2", "-o", out2, "--make-rel", "text",
+    ]) == 0
+    txt = np.loadtxt(tmp_path / "relt.rel", delimiter="\t")
+    np.testing.assert_allclose(txt, mat, rtol=1e-9, atol=1e-9)
+    assert (tmp_path / "relt.eigenvec").exists()
+
+
+def test_pca_k0_without_rel_errors(tmp_path):
+    rng = np.random.default_rng(22)
+    codes = rng.integers(0, 3, size=(10, 4), dtype=np.uint8)
+    prefix = _pca_fileset(tmp_path, codes)
+    assert run_cli(["pca", prefix, "-k", "0"]) == 1
