@@ -248,15 +248,55 @@ def king_counts(
     packed: np.ndarray, num_samples: int, provider: str = "numpy", **kw
 ) -> KingCounts:
     """Provider dispatch. `native` falls through to numpy (BLAS is the
-    host matmul engine; there is no bespoke C++ path for a gemm)."""
+    host matmul engine; there is no bespoke C++ path for a gemm).
+    `device` shards the variant axis over ALL local devices when more
+    than one is visible (psum mesh step); single-device scan otherwise.
+    """
     if provider == "device":
+        import jax
+
         from pgen_tpu.pipeline.device import is_interpret_backend
 
+        if len(jax.devices()) > 1:
+            return king_counts_mesh(np.asarray(packed), num_samples, **kw)
         return king_counts_device(
             np.asarray(packed), num_samples,
             interpret=is_interpret_backend(), **kw,
         )
     return king_counts_numpy(packed, num_samples, **kw)
+
+
+def king_counts_mesh(
+    packed: np.ndarray,
+    num_samples: int,
+    block_variants: int = 1 << 15,
+    sample_idx=None,
+) -> KingCounts:
+    """Variant-sharded Grams over all local devices (see the mesh step)."""
+    from pgen_tpu.parallel.mesh import make_mesh, pad_to_multiple
+
+    nvar = int(packed.shape[0])
+    if nvar >= 1 << 24:
+        raise ValueError(
+            f"king_counts_mesh: {nvar} variants >= 2^24 exceeds exact f32 "
+            "accumulation; chunk calls and sum in f64 (pipeline/king.py does)"
+        )
+    ns_out = num_samples if sample_idx is None else len(sample_idx)
+    if nvar == 0:
+        z = np.zeros((ns_out, ns_out), dtype=np.float64)
+        return KingCounts(z, z.copy(), z.copy(), z.copy())
+    mesh = make_mesh()
+    ndev = mesh.devices.size
+    padded = pad_to_multiple(np.asarray(packed, dtype=np.uint8), ndev)
+    if padded.shape[0] != nvar:  # fresh pad rows -> all-missing (0xFF)
+        padded[nvar:] = 0xFF
+    step = build_king_mesh_step(
+        mesh, num_samples,
+        block_variants=min(block_variants, 1 << 24),
+        sample_idx=sample_idx,
+    )
+    out = step(padded)
+    return KingCounts(*(np.asarray(g, dtype=np.float64) for g in out))
 
 
 def king_kinship(counts: KingCounts):
@@ -272,15 +312,18 @@ def king_kinship(counts: KingCounts):
     return kin, ibs0
 
 
-def build_king_mesh_step(mesh, num_samples: int, block_variants: int = 1 << 15):
+def build_king_mesh_step(
+    mesh, num_samples: int, block_variants: int = 1 << 15, sample_idx=None
+):
     """Variant-sharded mesh kinship: per-shard Grams + one psum.
 
     packed (V, R) u8 shards as P('v', None); each device scans its local
     blocks through the indicator Grams and the four (S, S) f32 partials
     psum over the variant axis — the only collective, 4*S^2 f32 on ICI.
-    Output is replicated. Exactness bound is per-TOTAL variant count as in
-    king_counts_device (psum of exact integer f32 partials stays exact
-    below 2^24).
+    Output is replicated. sample_idx (optional) restricts columns via the
+    replicated gather variant. Exactness bound is per-TOTAL variant count
+    as in king_counts_device (psum of exact integer f32 partials stays
+    exact below 2^24).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -288,12 +331,18 @@ def build_king_mesh_step(mesh, num_samples: int, block_variants: int = 1 << 15):
     from pgen_tpu.pipeline.device import is_interpret_backend
 
     interpret = is_interpret_backend()
+    sel = None if sample_idx is None else np.asarray(sample_idx, np.int32)
 
     def step(packed):
         def inner(packed_l):
-            grams = _king_counts_device_jit(
-                packed_l, num_samples, block_variants, interpret
-            )
+            if sel is None:
+                grams = _king_counts_device_jit(
+                    packed_l, num_samples, block_variants, interpret
+                )
+            else:
+                grams = _king_counts_device_sel_jit(
+                    packed_l, sel, num_samples, block_variants, interpret
+                )
             return tuple(
                 jax.lax.psum(g, VARIANT_AXIS) for g in grams
             )

@@ -161,15 +161,46 @@ def grm_device(
 
 
 def grm(packed, num_samples: int, provider: str = "numpy", **kw) -> GrmResult:
-    """Provider dispatch (`native` -> numpy: BLAS is the host gemm engine)."""
+    """Provider dispatch (`native` -> numpy: BLAS is the host gemm engine).
+    `device` shards the variant axis over all local devices when more
+    than one is visible (standardization is per-variant, so shard-local
+    stats ARE the global stats)."""
     if provider == "device":
+        import jax
+
         from pgen_tpu.pipeline.device import is_interpret_backend
 
+        if len(jax.devices()) > 1:
+            return grm_mesh(np.asarray(packed), num_samples, **kw)
         return grm_device(
             np.asarray(packed), num_samples,
             interpret=is_interpret_backend(), **kw,
         )
     return grm_numpy(packed, num_samples, **kw)
+
+
+def grm_mesh(
+    packed: np.ndarray,
+    num_samples: int,
+    block_variants: int = 1 << 14,
+    sample_idx=None,
+) -> GrmResult:
+    """Variant-sharded GRM over all local devices (psum mesh step)."""
+    from pgen_tpu.parallel.mesh import make_mesh, pad_to_multiple
+
+    nvar = int(packed.shape[0])
+    ns = num_samples if sample_idx is None else len(sample_idx)
+    if nvar == 0:
+        return GrmResult(np.zeros((ns, ns), dtype=np.float64), 0)
+    mesh = make_mesh()
+    padded = pad_to_multiple(np.asarray(packed, dtype=np.uint8), mesh.devices.size)
+    if padded.shape[0] != nvar:  # fresh pad rows -> all-missing (0xFF)
+        padded[nvar:] = 0xFF
+    step = build_grm_mesh_step(
+        mesh, num_samples, block_variants=block_variants, sample_idx=sample_idx
+    )
+    acc, m = step(padded)
+    return GrmResult(np.asarray(acc, dtype=np.float64), int(m))
 
 
 def pca_from_grm(grm_sum: np.ndarray, m_used: int, k: int):
@@ -190,13 +221,16 @@ def pca_from_grm(grm_sum: np.ndarray, m_used: int, k: int):
     return vals, vecs * flip
 
 
-def build_grm_mesh_step(mesh, num_samples: int, block_variants: int = 1 << 14):
+def build_grm_mesh_step(
+    mesh, num_samples: int, block_variants: int = 1 << 14, sample_idx=None
+):
     """Variant-sharded GRM: per-shard standardized Grams + one psum.
 
     packed (V, R) u8 shards as P('v', None); pad rows must be 0xFF
     (all-missing). The (S, S) f32 partial and the used-count psum over the
     variant axis are the only collectives. Standardization is per-variant,
     so shard-local stats ARE the global stats — no pre-pass collective.
+    sample_idx (optional) restricts columns (replicated gather vector).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -204,11 +238,12 @@ def build_grm_mesh_step(mesh, num_samples: int, block_variants: int = 1 << 14):
     from pgen_tpu.pipeline.device import is_interpret_backend
 
     interpret = is_interpret_backend()
+    sel = None if sample_idx is None else np.asarray(sample_idx, np.int32)
 
     def step(packed):
         def inner(packed_l):
             acc, m = _grm_device_jit(
-                packed_l, None, num_samples, block_variants, interpret
+                packed_l, sel, num_samples, block_variants, interpret
             )
             return (
                 jax.lax.psum(acc, VARIANT_AXIS),
