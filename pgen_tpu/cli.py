@@ -394,6 +394,56 @@ def build_arg_parser() -> argparse.ArgumentParser:
     pc.add_argument("--stats", action="store_true",
                     help="Print per-stage timing/bandwidth to stderr.")
 
+    sc = sub.add_parser(
+        "score",
+        help="Polygenic scores from a weight table (MXU matmul workload).",
+        description=(
+            "plink2 --score analog: matches a scoring file's variant IDs "
+            "against the pvar, orients dosages to the effect allele (REF "
+            "matches run flipped), mean-imputes missing calls by default, "
+            "and accumulates per-sample score sums as genotype x weight "
+            "matmuls. Writes OUT.sscore (#IID ALLELE_CT DOSAGE_SUM "
+            "<NAME>_AVG ...). Accepts the same predicates/regions/sample "
+            "lists as filter."
+        ),
+    )
+    sc.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    sc.add_argument("--score", dest="score_file", required=True,
+                    help="Scoring table: variant ID, effect allele, and "
+                         "numeric weight column(s); header auto-detected.")
+    sc.add_argument("--variant-id-col", type=int, default=1,
+                    help="1-based variant ID column (default 1).")
+    sc.add_argument("--allele-col", type=int, default=2,
+                    help="1-based effect allele column (default 2).")
+    sc.add_argument("--score-col-nums", dest="score_col_nums", default="3",
+                    help="1-based weight columns, comma/range list "
+                         "(e.g. '3-5,7'; default 3). One score per column.")
+    sc.add_argument("--no-mean-imputation", dest="mean_impute",
+                    action="store_false",
+                    help="Missing calls contribute 0 and shrink that "
+                         "sample's ALLELE_CT (plink2 no-mean-imputation).")
+    sc.add_argument("--score-sums", dest="score_sums", action="store_true",
+                    help="Also write <NAME>_SUM columns.")
+    sc.add_argument("-o", "--out", dest="out_file", default=None,
+                    help="Output path (default {prefix}.sscore, '-' stdout).")
+    sc.add_argument("--include-var", dest="var_query", default=None)
+    sc.add_argument("--include-sam", dest="sam_query", default=None)
+    sc.add_argument("--exclude-var", dest="var_exclude", default=None)
+    sc.add_argument("--exclude-sam", dest="sam_exclude", default=None)
+    sc.add_argument("-r", "--regions", dest="regions", default=None)
+    sc.add_argument("-R", "--regions-file", dest="regions_file", default=None)
+    sc.add_argument("--samples", dest="samples", default=None)
+    sc.add_argument("--samples-file", dest="samples_file", default=None)
+    sc.add_argument(
+        "--provider", choices=["auto", "native", "device", "numpy"],
+        default="auto",
+        help="Dosage-matmul engine: device = TPU MXU, native/numpy = BLAS.",
+    )
+    sc.add_argument("--block-variants", type=int, default=None,
+                    help="Variant block height per matmul step.")
+    sc.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing/bandwidth to stderr.")
+
     im = sub.add_parser(
         "import",
         help="Import a VCF (.vcf/.vcf.gz) or PLINK1 .bed fileset into .pgen.",
@@ -924,6 +974,45 @@ def main(argv=None) -> int:
                 f"pca: {len(result.eigenvalues)} components over "
                 f"{result.num_samples} samples x {result.num_used} "
                 f"polymorphic variants -> {wrote}",
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "score":
+            from pgen_tpu.pipeline.score import parse_col_nums, score_pfile
+            from pgen_tpu.query.exclude import apply_exclude
+            from pgen_tpu.query.regions import apply_regions
+            from pgen_tpu.query.samples import apply_samples
+
+            result = score_pfile(
+                args.pfile_prefix,
+                args.score_file,
+                var_id_col=args.variant_id_col,
+                allele_col=args.allele_col,
+                weight_cols=parse_col_nums(args.score_col_nums),
+                var_query=apply_exclude(
+                    apply_regions(args.var_query, args.regions, args.regions_file),
+                    args.var_exclude,
+                ),
+                sam_query=apply_exclude(
+                    apply_samples(args.sam_query, args.samples, args.samples_file),
+                    args.sam_exclude,
+                ),
+                out_file=None if args.out_file == "-" else args.out_file,
+                out=sys.stdout if args.out_file == "-" else None,
+                provider=args.provider,
+                mean_impute=args.mean_impute,
+                write_sums=args.score_sums,
+                block_variants=args.block_variants,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            dest = "stdout" if args.out_file == "-" else result.out_path
+            print(
+                f"score: {len(result.names)} score(s) x {result.num_scored} "
+                f"variants over {result.num_samples} samples -> {dest}"
+                + (f" ({result.num_unmatched} unmatched, "
+                   f"{result.num_mismatched} allele-mismatched)"
+                   if result.num_unmatched or result.num_mismatched else ""),
                 file=sys.stderr,
             )
             return 0

@@ -1,0 +1,294 @@
+"""`pgen-tpu score`: polygenic scores from a per-variant weight table.
+
+plink2 `--score` analog (extension over the reference, which is a
+query/filter tool — /root/reference/README.md:3-5). A scoring file gives,
+per line: a variant ID, the effect allele, and one or more numeric effect
+weights. Variants are matched to the fileset by the pvar ID column; the
+effect allele must equal REF or ALT (REF matches run "flipped": dosage =
+2 - alt count). The per-sample score sums are blocked matmuls on the
+chosen provider (ops/score.py: MXU on device, BLAS on host).
+
+Score-file shape (whitespace- or tab-separated):
+  - column `var_id_col` (1-based, default 1): variant ID
+  - column `allele_col` (default 2): effect allele string
+  - columns `weight_cols` (default [3]): one score per listed column
+  - a header line is auto-detected (first weight cell not parseable as a
+    float) and, when present, names the score columns in the output.
+
+Output `{out}.sscore` (TSV), one row per kept sample:
+    #IID  ALLELE_CT  DOSAGE_SUM  <NAME>_AVG ...  [<NAME>_SUM ... with sums]
+where <NAME>_AVG = score sum / ALLELE_CT (0 when the denominator is 0).
+ALLELE_CT follows plink2: 2 x the number of scored variants contributing
+to that sample (all scoreable variants under mean imputation, the
+sample's called ones with --no-mean-imputation); zero-called variants
+never count.
+
+Unmatched score lines and allele mismatches are skipped with one stderr
+warning each (counts included); a duplicate variant ID in the score file
+is an error.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pgen_tpu.formats.header import read_pgen_header
+from pgen_tpu.formats.metadata import read_metadata
+from pgen_tpu.pipeline.filter import _gather_rows, _resolve_provider, compute_masks
+from pgen_tpu.utils.log import get_logger
+from pgen_tpu.utils.timer import StageTimer
+
+log = get_logger(__name__)
+
+
+@dataclass
+class ScoreTable:
+    """Parsed scoring file: aligned ID/allele/weight rows."""
+
+    ids: list
+    alleles: list
+    weights: np.ndarray  # (M, K) f64
+    names: list  # K score names
+
+
+@dataclass
+class ScoreRunResult:
+    num_scored: int  # variants entering the matmul
+    num_unmatched: int  # score lines with no pvar ID match
+    num_mismatched: int  # matched but effect allele is neither REF nor ALT
+    num_samples: int
+    names: list
+    sums: np.ndarray  # (S, K)
+    avgs: np.ndarray  # (S, K)
+    allele_ct: np.ndarray  # (S,)
+    dosage_sum: np.ndarray  # (S,)
+    out_path: str | None
+    timer: StageTimer = field(default_factory=StageTimer)
+
+
+def parse_col_nums(spec: str) -> tuple:
+    """plink2-style 1-based column list: '3-5,7' -> (3, 4, 5, 7)."""
+    out = []
+    for raw in str(spec).split(","):
+        tok = raw.strip()
+        if not tok:
+            continue
+        lo, dash, hi = tok.partition("-")
+        try:
+            if dash:
+                a, b = int(lo), int(hi)
+                if b < a:
+                    raise ValueError
+                out.extend(range(a, b + 1))
+            else:
+                out.append(int(tok))
+        except ValueError:
+            raise ValueError(
+                f"score: bad column list {spec!r} (want e.g. '3-5,7')"
+            ) from None
+    if not out:
+        raise ValueError(f"score: empty column list {spec!r}")
+    return tuple(out)
+
+
+def _parse_float(s: str):
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+def read_score_file(
+    path: str,
+    var_id_col: int = 1,
+    allele_col: int = 2,
+    weight_cols=(3,),
+) -> ScoreTable:
+    """Parse the scoring table; 1-based column indices, plink2-style."""
+    cols = [var_id_col, allele_col, *weight_cols]
+    if min(cols) < 1:
+        raise ValueError("score: column numbers are 1-based")
+    if len(set(cols)) != len(cols):
+        raise ValueError("score: ID/allele/weight columns must be distinct")
+    ids, alleles, rows = [], [], []
+    names = [f"SCORE{i + 1}" for i in range(len(weight_cols))]
+    with open(path) as fh:
+        lines = [ln.rstrip("\n") for ln in fh if ln.strip()]
+    if not lines:
+        raise ValueError(f"score: {path} is empty")
+    need = max(cols)
+    first = lines[0].split()
+    if len(first) < need:
+        raise ValueError(
+            f"score: {path} line 1 has {len(first)} fields, need {need}"
+        )
+    start = 0
+    if _parse_float(first[weight_cols[0] - 1]) is None:  # header line
+        names = [first[c - 1] for c in weight_cols]
+        start = 1
+    for lineno, ln in enumerate(lines[start:], start + 1):
+        f = ln.split()
+        if len(f) < need:
+            raise ValueError(
+                f"score: {path} line {lineno} has {len(f)} fields, need {need}"
+            )
+        w = []
+        for c in weight_cols:
+            v = _parse_float(f[c - 1])
+            if v is None:
+                raise ValueError(
+                    f"score: {path} line {lineno} col {c}: "
+                    f"{f[c - 1]!r} is not a number"
+                )
+            w.append(v)
+        ids.append(f[var_id_col - 1])
+        alleles.append(f[allele_col - 1])
+        rows.append(w)
+    if not ids:
+        raise ValueError(f"score: {path} has no data rows")
+    weights = np.asarray(rows, dtype=np.float64)
+    dup = len(ids) - len(set(ids))
+    if dup:
+        raise ValueError(f"score: {path} has {dup} duplicate variant ID(s)")
+    return ScoreTable(ids, alleles, weights, names)
+
+
+def score_pfile(
+    pfile_prefix: str,
+    score_file: str,
+    var_id_col: int = 1,
+    allele_col: int = 2,
+    weight_cols=(3,),
+    var_query: str | None = None,
+    sam_query: str | None = None,
+    out_file: str | None = None,
+    provider: str = "auto",
+    mean_impute: bool = True,
+    write_sums: bool = False,
+    block_variants: int | None = None,
+    write: bool = True,
+    out=None,
+) -> ScoreRunResult:
+    provider = _resolve_provider(provider)
+    if provider == "native":
+        provider = "numpy"  # BLAS is the host gemm engine (ops/score.py)
+    timer = StageTimer()
+
+    with timer.stage("score_file"):
+        table = read_score_file(score_file, var_id_col, allele_col, weight_cols)
+
+    header = read_pgen_header(f"{pfile_prefix}.pgen")
+    pvar = read_metadata(f"{pfile_prefix}.pvar")
+    psam = read_metadata(f"{pfile_prefix}.psam")
+    psam.column_index("IID")
+
+    rec = header.record_size
+    mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    records = mm[12 : 12 + header.num_variants * rec].reshape(
+        header.num_variants, rec
+    )
+    with timer.stage("predicates"):
+        var_mask, sam_mask = compute_masks(
+            var_query, sam_query, pvar, psam, header, records, provider
+        )
+        sam_idx = np.flatnonzero(sam_mask)
+    n_sam = len(sam_idx)
+    if n_sam == 0:
+        raise ValueError("score: no samples left after filtering")
+
+    with timer.stage("match"):
+        pvar_ids = pvar.get_column_strs("ID")
+        refs = pvar.get_column_strs("REF")
+        alts = pvar.get_column_strs("ALT")
+        id_to_row: dict = {}
+        for row, vid in enumerate(pvar_ids):
+            id_to_row.setdefault(vid, row)  # first occurrence wins
+        var_rows, w_rows, flips = [], [], []
+        unmatched = mismatched = 0
+        for i, (vid, a1) in enumerate(zip(table.ids, table.alleles)):
+            row = id_to_row.get(vid)
+            if row is None or not var_mask[row]:
+                unmatched += 1
+                continue
+            if a1 == alts[row]:
+                flips.append(False)
+            elif a1 == refs[row]:
+                flips.append(True)
+            else:
+                mismatched += 1
+                continue
+            var_rows.append(row)
+            w_rows.append(i)
+        order = np.argsort(np.asarray(var_rows, dtype=np.int64), kind="stable")
+        var_idx = np.asarray(var_rows, dtype=np.int64)[order]
+        weights = table.weights[np.asarray(w_rows, dtype=np.int64)[order]]
+        flip = np.asarray(flips, dtype=bool)[order]
+    if unmatched:
+        log.warning(
+            "score: %d score line(s) had no matching kept variant", unmatched
+        )
+    if mismatched:
+        log.warning(
+            "score: %d score line(s) skipped (effect allele matches "
+            "neither REF nor ALT)", mismatched,
+        )
+    if len(var_idx) == 0:
+        raise ValueError("score: no score variants matched the fileset")
+
+    with timer.stage("gather", len(var_idx) * rec):
+        kept = _gather_rows(records, var_idx)
+
+    from pgen_tpu.ops.score import score
+
+    subset = None if n_sam == header.num_samples else sam_idx.astype(np.int32)
+    kw = {"block_variants": int(block_variants)} if block_variants else {}
+    with timer.stage("score", kept.shape[0] * rec):
+        res = score(
+            kept, header.num_samples, weights, flip, provider=provider,
+            mean_impute=mean_impute, sample_idx=subset, **kw,
+        )
+    ct = res.allele_ct
+    avgs = res.sums / np.maximum(ct, 1)[:, None]
+
+    out_path = out_file or f"{pfile_prefix}.sscore"
+    iids = psam.get_column_strs("IID")
+    iids = [iids[int(s)] for s in sam_idx]
+    if write:
+        hdr = ["#IID", "ALLELE_CT", "DOSAGE_SUM"]
+        hdr += [f"{n}_AVG" for n in table.names]
+        if write_sums:
+            hdr += [f"{n}_SUM" for n in table.names]
+        with timer.stage("emit"):
+            import contextlib
+
+            cm = (
+                contextlib.nullcontext(out)
+                if out is not None
+                else open(out_path, "w")
+            )
+            with cm as fh:
+                fh.write("\t".join(hdr) + "\n")
+                for r, iid in enumerate(iids):
+                    cells = [iid, str(int(ct[r])), f"{res.dosage_sum[r]:.10g}"]
+                    cells += [f"{avgs[r, c]:.10g}" for c in range(avgs.shape[1])]
+                    if write_sums:
+                        cells += [
+                            f"{res.sums[r, c]:.10g}"
+                            for c in range(res.sums.shape[1])
+                        ]
+                    fh.write("\t".join(cells) + "\n")
+    return ScoreRunResult(
+        num_scored=len(var_idx),
+        num_unmatched=unmatched,
+        num_mismatched=mismatched,
+        num_samples=n_sam,
+        names=list(table.names),
+        sums=res.sums,
+        avgs=avgs,
+        allele_ct=ct,
+        dosage_sum=res.dosage_sum,
+        out_path=None if out is not None else out_path,
+        timer=timer,
+    )

@@ -1,0 +1,270 @@
+"""Polygenic scoring: providers vs an explicit per-variant oracle, allele
+orientation, imputation modes, mesh psum, and the CLI .sscore surface."""
+
+import numpy as np
+import pytest
+
+from tests.cli_helpers import run_cli
+from tests.conftest import build_fileset
+
+from pgen_tpu.formats.writer import write_pgen
+from pgen_tpu.ops.score import score_device, score_numpy
+from pgen_tpu.pipeline.score import parse_col_nums, read_score_file
+
+
+def _pack(codes: np.ndarray, tmp_path, name="p") -> np.ndarray:
+    path = str(tmp_path / f"{name}.pgen")
+    write_pgen(path, codes)
+    rec = (2 * codes.shape[1] + 7) // 8
+    return np.fromfile(path, dtype=np.uint8)[12:].reshape(codes.shape[0], rec)
+
+
+def _score_oracle(codes, weights, flip, mean_impute=True):
+    """Explicit f64 reference: per-variant dosage, impute, outer-product."""
+    nv, ns = codes.shape
+    sums = np.zeros((ns, weights.shape[1]))
+    dos = np.zeros(ns)
+    ct = np.zeros(ns, dtype=np.int64)
+    m = 0
+    for v in range(nv):
+        called = codes[v] != 3
+        n = called.sum()
+        if n == 0:
+            continue
+        m += 1
+        g = codes[v].astype(np.float64) * called
+        d = 2.0 * called - g if flip[v] else g
+        if mean_impute:
+            d = np.where(called, d, d.sum() / n)
+            ct += 2
+        else:
+            ct += 2 * called
+        sums += np.outer(d, weights[v])
+        dos += d
+    return sums, dos, ct, m
+
+
+@pytest.mark.parametrize("mean_impute", [True, False])
+@pytest.mark.parametrize("shape", [(9, 4), (60, 7), (33, 13)])
+def test_score_numpy_matches_oracle(shape, mean_impute, tmp_path):
+    rng = np.random.default_rng(shape[0] + mean_impute)
+    codes = rng.integers(0, 4, size=shape, dtype=np.uint8)
+    codes[0] = 3  # all-missing row: contributes nothing, never counted
+    w = rng.normal(size=(shape[0], 2))
+    flip = rng.random(shape[0]) < 0.5
+    packed = _pack(codes, tmp_path)
+    ref = _score_oracle(codes, w, flip, mean_impute)
+    got = score_numpy(packed, shape[1], w, flip, mean_impute=mean_impute,
+                      block_variants=8)
+    np.testing.assert_allclose(got.sums, ref[0], rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(got.dosage_sum, ref[1], rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(got.allele_ct, ref[2])
+    assert got.m_used == ref[3]
+
+
+@pytest.mark.parametrize("mean_impute", [True, False])
+def test_score_device_matches_numpy(mean_impute, tmp_path):
+    rng = np.random.default_rng(2 + mean_impute)
+    codes = rng.integers(0, 4, size=(50, 9), dtype=np.uint8)
+    w = rng.normal(size=(50, 3))
+    flip = rng.random(50) < 0.5
+    packed = _pack(codes, tmp_path)
+    ref = score_numpy(packed, 9, w, flip, mean_impute=mean_impute)
+    got = score_device(packed, 9, w, flip, mean_impute=mean_impute,
+                       block_variants=16, interpret=True)
+    np.testing.assert_allclose(got.sums, ref.sums, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got.dosage_sum, ref.dosage_sum,
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(got.allele_ct, ref.allele_ct)
+    assert got.m_used == ref.m_used
+
+
+def test_score_sample_subset(tmp_path):
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 4, size=(40, 10), dtype=np.uint8)
+    w = rng.normal(size=(40, 1))
+    flip = rng.random(40) < 0.5
+    packed = _pack(codes, tmp_path)
+    sel = np.array([1, 2, 6, 9], dtype=np.int32)
+    ref = _score_oracle(codes[:, sel], w, flip)
+    got = score_numpy(packed, 10, w, flip, sample_idx=sel)
+    np.testing.assert_allclose(got.sums, ref[0], rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(got.allele_ct, ref[2])
+    dev = score_device(packed, 10, w, flip, sample_idx=sel,
+                       block_variants=16, interpret=True)
+    np.testing.assert_allclose(dev.sums, ref[0], rtol=2e-5, atol=2e-5)
+
+
+def test_score_mesh_psum_matches_numpy(tmp_path):
+    import jax
+
+    from pgen_tpu.ops.score import score_mesh
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=(41, 5), dtype=np.uint8)
+    w = rng.normal(size=(41, 2))
+    flip = rng.random(41) < 0.5
+    packed = _pack(codes, tmp_path)
+    ref = score_numpy(packed, 5, w, flip)
+    got = score_mesh(packed, 5, w, flip, block_variants=4)
+    assert len(jax.devices()) > 1  # conftest forces the 8-device CPU mesh
+    np.testing.assert_allclose(got.sums, ref.sums, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(got.allele_ct, ref.allele_ct)
+    assert got.m_used == ref.m_used
+
+
+def test_parse_col_nums():
+    assert parse_col_nums("3") == (3,)
+    assert parse_col_nums("3-5,7") == (3, 4, 5, 7)
+    with pytest.raises(ValueError):
+        parse_col_nums("5-3")
+    with pytest.raises(ValueError):
+        parse_col_nums("")
+    with pytest.raises(ValueError):
+        parse_col_nums("a")
+
+
+def test_read_score_file_header_autodetect(tmp_path):
+    p = tmp_path / "w.tsv"
+    p.write_text("ID\tA1\tBETA_BMI\tBETA_HT\n"
+                 "rs1\tG\t0.5\t-1\n"
+                 "rs2\tA\t-0.25\t2\n")
+    t = read_score_file(str(p), weight_cols=(3, 4))
+    assert t.names == ["BETA_BMI", "BETA_HT"]
+    assert t.ids == ["rs1", "rs2"] and t.alleles == ["G", "A"]
+    np.testing.assert_allclose(t.weights, [[0.5, -1.0], [-0.25, 2.0]])
+    # headerless flavor
+    p2 = tmp_path / "w2.tsv"
+    p2.write_text("rs1 G 0.5\nrs2 A -0.25\n")
+    t2 = read_score_file(str(p2))
+    assert t2.names == ["SCORE1"] and t2.ids == ["rs1", "rs2"]
+
+
+def test_read_score_file_errors(tmp_path):
+    p = tmp_path / "bad.tsv"
+    p.write_text("rs1\tG\t0.5\nrs1\tG\t0.25\n")
+    with pytest.raises(ValueError, match="duplicate"):
+        read_score_file(str(p))
+    p.write_text("rs1\tG\tx\n")  # lone unparseable weight reads as a header
+    with pytest.raises(ValueError, match="no data rows"):
+        read_score_file(str(p))
+    p.write_text("ID\tA1\tW\nrs1\tG\tx\n")
+    with pytest.raises(ValueError, match="not a number"):
+        read_score_file(str(p))
+    p.write_text("rs1\tG\n")
+    with pytest.raises(ValueError, match="fields"):
+        read_score_file(str(p))
+
+
+def _score_fileset(tmp_path, codes):
+    nvar, ns = codes.shape
+    pvar_rows = [f"1\t{100 + i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(nvar)]
+    psam_rows = [f"s{i}\t{'F' if i % 2 else 'M'}" for i in range(ns)]
+    return build_fileset(tmp_path, "score", codes, pvar_rows, psam_rows)
+
+
+def test_cli_score_end_to_end(tmp_path):
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 4, size=(30, 6), dtype=np.uint8)
+    prefix = _score_fileset(tmp_path, codes)
+    # effect allele: ALT (G) for even variants, REF (A) -> flipped for odd
+    w = rng.normal(size=(30, 1))
+    lines = [
+        f"rs{i}\t{'G' if i % 2 == 0 else 'A'}\t{w[i, 0]:.10g}"
+        for i in range(30)
+    ]
+    sf = tmp_path / "weights.tsv"
+    sf.write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "out.sscore")
+    assert run_cli(["score", prefix, "--score", str(sf), "-o", out,
+                    "--score-sums"]) == 0
+    got = (tmp_path / "out.sscore").read_text().splitlines()
+    assert got[0] == "#IID\tALLELE_CT\tDOSAGE_SUM\tSCORE1_AVG\tSCORE1_SUM"
+    assert len(got) == 7
+    flip = np.array([i % 2 == 1 for i in range(30)])
+    ref_sums, ref_dos, ref_ct, _ = _score_oracle(codes, w, flip)
+    for r, line in enumerate(got[1:]):
+        cells = line.split("\t")
+        assert cells[0] == f"s{r}"
+        assert int(cells[1]) == ref_ct[r]
+        np.testing.assert_allclose(float(cells[2]), ref_dos[r], atol=1e-5)
+        np.testing.assert_allclose(
+            float(cells[3]), ref_sums[r, 0] / ref_ct[r], atol=1e-9
+        )
+        np.testing.assert_allclose(float(cells[4]), ref_sums[r, 0], atol=1e-9)
+
+
+def test_cli_score_provider_parity_and_filters(tmp_path):
+    rng = np.random.default_rng(12)
+    codes = rng.integers(0, 4, size=(40, 7), dtype=np.uint8)
+    prefix = _score_fileset(tmp_path, codes)
+    lines = ["VARID A1 W"] + [
+        f"rs{i} G {rng.normal():.6g}" for i in range(40)
+    ]
+    sf = tmp_path / "w.tsv"
+    sf.write_text("\n".join(lines) + "\n")
+    texts = []
+    for prov in ("numpy", "device"):
+        out = str(tmp_path / f"{prov}.sscore")
+        assert run_cli([
+            "score", prefix, "--score", str(sf), "-o", out,
+            "--provider", prov, "--samples", "s0,s2,s3,s5",
+            "--include-var", 'POS != "101"',
+        ]) == 0
+        lines_out = (tmp_path / f"{prov}.sscore").read_text().splitlines()
+        assert lines_out[0].endswith("W_AVG")
+        assert [l.split("\t")[0] for l in lines_out[1:]] == [
+            "s0", "s2", "s3", "s5"
+        ]
+        texts.append(
+            np.array([[float(x) for x in l.split("\t")[1:]]
+                      for l in lines_out[1:]])
+        )
+    np.testing.assert_allclose(texts[0], texts[1], rtol=2e-5, atol=2e-5)
+    # the excluded variant (rs1) reduces the denominator by 2
+    assert int(texts[0][0, 0]) == 2 * 39
+
+
+def test_cli_score_unmatched_and_mismatched(tmp_path, capsys):
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 3, size=(10, 4), dtype=np.uint8)
+    prefix = _score_fileset(tmp_path, codes)
+    sf = tmp_path / "w.tsv"
+    sf.write_text("rs0 G 1\nrs1 T 1\nnope G 1\n")  # T matches neither A/G
+    assert run_cli(["score", prefix, "--score", str(sf), "-o", "-"]) == 0
+    out = capsys.readouterr().out
+    rows = out.splitlines()
+    assert rows[0].startswith("#IID")
+    # only rs0 scored: ALLELE_CT == 2 everywhere
+    assert all(r.split("\t")[1] == "2" for r in rows[1:])
+
+
+def test_cli_score_no_match_errors(tmp_path):
+    rng = np.random.default_rng(14)
+    codes = rng.integers(0, 3, size=(5, 3), dtype=np.uint8)
+    prefix = _score_fileset(tmp_path, codes)
+    sf = tmp_path / "w.tsv"
+    sf.write_text("zzz G 1\n")
+    assert run_cli(["score", prefix, "--score", str(sf)]) == 1
+
+
+def test_cli_score_no_mean_imputation(tmp_path):
+    rng = np.random.default_rng(15)
+    codes = rng.integers(0, 4, size=(20, 5), dtype=np.uint8)
+    prefix = _score_fileset(tmp_path, codes)
+    w = rng.normal(size=(20, 1))
+    sf = tmp_path / "w.tsv"
+    sf.write_text("".join(f"rs{i} G {w[i, 0]:.10g}\n" for i in range(20)))
+    out = str(tmp_path / "ni.sscore")
+    assert run_cli(["score", prefix, "--score", str(sf), "-o", out,
+                    "--no-mean-imputation"]) == 0
+    ref_sums, _, ref_ct, _ = _score_oracle(codes, w,
+                                           np.zeros(20, bool), False)
+    rows = (tmp_path / "ni.sscore").read_text().splitlines()[1:]
+    for r, line in enumerate(rows):
+        cells = line.split("\t")
+        assert int(cells[1]) == ref_ct[r]
+        denom = max(ref_ct[r], 1)
+        np.testing.assert_allclose(
+            float(cells[3]), ref_sums[r, 0] / denom, atol=1e-9
+        )
