@@ -444,6 +444,46 @@ def build_arg_parser() -> argparse.ArgumentParser:
     sc.add_argument("--stats", action="store_true",
                     help="Print per-stage timing/bandwidth to stderr.")
 
+    gl = sub.add_parser(
+        "glm",
+        help="Per-variant linear association (GWAS; MXU matmul workload).",
+        description=(
+            "plink2 --glm linear analog: for every kept variant, OLS of a "
+            "psam phenotype on [intercept, covariates, alt dosage] over "
+            "that variant's complete cases (no imputation). Moments are "
+            "masked matmuls on the chosen provider; solves and Student-t "
+            "p-values run batched on host f64. Writes the plink2 "
+            ".glm.linear column layout (#CHROM..P, TEST=ADD, A1=ALT)."
+        ),
+    )
+    gl.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    gl.add_argument("--pheno-name", dest="pheno_name", default="PHENO1",
+                    help="psam phenotype column (default PHENO1); NA/./-9 "
+                         "mark missing samples.")
+    gl.add_argument("--covar-name", dest="covar_name", default=None,
+                    help="Comma-separated psam covariate columns "
+                         "(numeric; M/F accepted as 1/2).")
+    gl.add_argument("-o", "--out", dest="out_file", default=None,
+                    help="Output path (default "
+                         "{prefix}.{pheno}.glm.linear, '-' stdout).")
+    gl.add_argument("--include-var", dest="var_query", default=None)
+    gl.add_argument("--include-sam", dest="sam_query", default=None)
+    gl.add_argument("--exclude-var", dest="var_exclude", default=None)
+    gl.add_argument("--exclude-sam", dest="sam_exclude", default=None)
+    gl.add_argument("-r", "--regions", dest="regions", default=None)
+    gl.add_argument("-R", "--regions-file", dest="regions_file", default=None)
+    gl.add_argument("--samples", dest="samples", default=None)
+    gl.add_argument("--samples-file", dest="samples_file", default=None)
+    gl.add_argument(
+        "--provider", choices=["auto", "native", "device", "numpy"],
+        default="auto",
+        help="Moment-matmul engine: device = TPU MXU, native/numpy = BLAS.",
+    )
+    gl.add_argument("--block-variants", type=int, default=None,
+                    help="Variant block height per moment-matmul step.")
+    gl.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing/bandwidth to stderr.")
+
     im = sub.add_parser(
         "import",
         help="Import a VCF (.vcf/.vcf.gz) or PLINK1 .bed fileset into .pgen.",
@@ -1013,6 +1053,44 @@ def main(argv=None) -> int:
                 + (f" ({result.num_unmatched} unmatched, "
                    f"{result.num_mismatched} allele-mismatched)"
                    if result.num_unmatched or result.num_mismatched else ""),
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "glm":
+            from pgen_tpu.pipeline.glm import glm_linear_pfile
+            from pgen_tpu.query.exclude import apply_exclude
+            from pgen_tpu.query.regions import apply_regions
+            from pgen_tpu.query.samples import apply_samples
+
+            covars = [
+                c.strip() for c in (args.covar_name or "").split(",")
+                if c.strip()
+            ]
+            result = glm_linear_pfile(
+                args.pfile_prefix,
+                pheno_name=args.pheno_name,
+                covar_names=covars,
+                var_query=apply_exclude(
+                    apply_regions(args.var_query, args.regions, args.regions_file),
+                    args.var_exclude,
+                ),
+                sam_query=apply_exclude(
+                    apply_samples(args.sam_query, args.samples, args.samples_file),
+                    args.sam_exclude,
+                ),
+                out_file=None if args.out_file == "-" else args.out_file,
+                out=sys.stdout if args.out_file == "-" else None,
+                provider=args.provider,
+                block_variants=args.block_variants,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            dest = "stdout" if args.out_file == "-" else result.out_path
+            print(
+                f"glm: {result.pheno_name} ~ ADD"
+                + (f" + {len(covars)} covar(s)" if covars else "")
+                + f" over {result.num_variants} variants x "
+                f"{result.num_samples} samples -> {dest}",
                 file=sys.stderr,
             )
             return 0

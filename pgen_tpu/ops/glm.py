@@ -1,0 +1,490 @@
+"""Per-variant linear association (GWAS): masked-moment matmuls + batched
+tiny solves (MXU workload).
+
+The plink2 `--glm` linear-regression analog (extension — the reference is
+a query/filter tool, /root/reference/README.md:3-5). For each variant v,
+ordinary least squares of the phenotype on [1, covariates, dosage] over
+that variant's COMPLETE CASES (samples with a called genotype), exactly
+like plink2 — no imputation.
+
+TPU-first formulation: every per-variant normal-equation entry is a
+masked sum over samples, and masked sums are matmuls. With M the (V, S)
+called-mask matrix and G the (V, S) dosage matrix (missing -> 0):
+
+    sum_s m_vs * f(s)        = M @ f      for f in {1, c_i, c_i c_j, y,
+                                                     y^2, y c_i}
+    sum_s g_vs * h(s)        = G @ h      for h in {y, c_i}
+    sum_s g_vs^2             rides the same matmul via the identity
+                             g^2 = 2*hom - g on {0,1,2} hard calls? no —
+                             g^2 in {0,1,4} is its own elementwise square.
+
+So one (V, S) x (S, P) product per variant block delivers ALL moments
+(P = 2k + k(k+1)/2 + 3 columns for k covariates) — MXU work on the
+device provider, dgemm on host. The (k+2)-dim normal equations then
+solve batched on host LAPACK in f64 (V systems of a tiny fixed size),
+far off the critical path.
+
+Precision: moment matmuls accumulate in f32 on device
+(Precision.HIGHEST true-f32 passes, same reasoning as ops/pca.py) and
+f64 on host; the f32 moments bound |t-stat| error well below reporting
+precision for cohort sizes this format holds (validated against the f64
+host path in tests).
+
+Per-variant outputs (plink2 .glm.linear columns): OBS_CT = n_v, BETA =
+dosage coefficient, SE, T_STAT, P (two-sided, exact Student-t via the
+regularized incomplete beta, Lentz continued fraction in f64). Variants
+with n_v < k + 3 or zero complete-case dosage variance report NA
+(matching plink2's NA rows for unestimable tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import numpy as np
+
+
+class GlmMoments(NamedTuple):
+    """Per-variant complete-case moments (all f64, host-side)."""
+
+    n: np.ndarray  # (V,) called count
+    mp: np.ndarray  # (V, P) masked sums M @ P  (P = moment columns)
+    gq: np.ndarray  # (V, k+1) dosage sums G @ [y, C]
+    sg: np.ndarray  # (V,) sum g
+    sg2: np.ndarray  # (V,) sum g^2
+
+
+class GlmResult(NamedTuple):
+    n_obs: np.ndarray  # (V,) i64 complete-case count
+    beta: np.ndarray  # (V,) f64, NaN where unestimable
+    se: np.ndarray  # (V,) f64
+    t_stat: np.ndarray  # (V,) f64
+    p: np.ndarray  # (V,) f64
+
+
+def _moment_columns(y: np.ndarray, covars: np.ndarray) -> np.ndarray:
+    """(S, P) columns whose masked sums fill the normal equations:
+    [1, c_1..c_k, y, y^2, y*c_i..., upper-tri c_i*c_j...]."""
+    s = y.shape[0]
+    k = covars.shape[1]
+    cols = [np.ones(s), *(covars[:, i] for i in range(k)), y, y * y]
+    cols += [y * covars[:, i] for i in range(k)]
+    for i in range(k):
+        for j in range(i, k):
+            cols.append(covars[:, i] * covars[:, j])
+    return np.stack(cols, axis=1)
+
+
+def glm_moments_numpy(
+    packed: np.ndarray,
+    num_samples: int,
+    y: np.ndarray,
+    covars: np.ndarray,
+    block_variants: int = 1 << 13,
+    sample_idx=None,
+) -> GlmMoments:
+    """Host provider: f64 masked-moment dgemms per block, in-place block
+    buffers (first-touch tax — see ROADMAP.md Host IO)."""
+    from pgen_tpu.ops.unpack import unpack_codes_numpy
+
+    packed = np.asarray(packed, dtype=np.uint8)
+    nvar = packed.shape[0]
+    ns = num_samples if sample_idx is None else len(sample_idx)
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    if y.shape != (ns,) or covars.shape[0] != ns:
+        raise ValueError(
+            f"glm: y {y.shape} / covars {covars.shape} do not match "
+            f"{ns} samples"
+        )
+    pcols = _moment_columns(y, covars)  # (S, P)
+    q = np.concatenate([y[:, None], covars], axis=1)  # (S, k+1)
+    n = np.empty(nvar, dtype=np.float64)
+    mp = np.empty((nvar, pcols.shape[1]), dtype=np.float64)
+    gq = np.empty((nvar, q.shape[1]), dtype=np.float64)
+    sg = np.empty(nvar, dtype=np.float64)
+    sg2 = np.empty(nvar, dtype=np.float64)
+    bv = min(block_variants, max(nvar, 1))
+    m = np.empty((bv, ns), dtype=np.float64)
+    g = np.empty((bv, ns), dtype=np.float64)
+    for lo in range(0, nvar, bv):
+        codes = unpack_codes_numpy(packed[lo : lo + bv], num_samples)
+        if sample_idx is not None:
+            codes = codes[:, sample_idx]
+        nb = codes.shape[0]
+        mb, gb = m[:nb], g[:nb]
+        cal = codes != 3
+        np.copyto(mb, cal, casting="unsafe")
+        np.copyto(gb, codes, casting="unsafe")
+        gb *= cal
+        sl = slice(lo, lo + nb)
+        n[sl] = mb.sum(axis=1)
+        mp[sl] = mb @ pcols
+        gq[sl] = gb @ q
+        sg[sl] = gb.sum(axis=1)
+        gb *= gb
+        sg2[sl] = gb.sum(axis=1)
+    return GlmMoments(n, mp, gq, sg, sg2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "block_variants", "interpret")
+)
+def _glm_moments_device_jit(
+    packed, pcols, q, sel, num_samples, block_variants, interpret
+):
+    """Blocked scan: unpack -> mask/dosage -> f32 moment matmuls.
+    Pad rows must be 0xFF (all-missing): every moment is 0."""
+    import jax.numpy as jnp
+
+    from pgen_tpu.ops.unpack import unpack_codes
+
+    nvar = packed.shape[0]
+    nblk = max(1, -(-nvar // block_variants))
+    pad = nblk * block_variants - nvar
+    packed = jnp.pad(packed, ((0, pad), (0, 0)), constant_values=0xFF)
+
+    def body(_, blk):
+        codes = unpack_codes(blk, num_samples, interpret=interpret)
+        if sel is not None:
+            codes = jnp.take(codes, sel, axis=1)
+        cal = codes != 3
+        mf = cal.astype(jnp.float32)
+        g = codes.astype(jnp.float32) * mf
+        hi = jax.lax.Precision.HIGHEST
+        out = (
+            jnp.sum(mf, axis=1),
+            jnp.matmul(mf, pcols, preferred_element_type=jnp.float32,
+                       precision=hi),
+            jnp.matmul(g, q, preferred_element_type=jnp.float32,
+                       precision=hi),
+            jnp.sum(g, axis=1),
+            jnp.sum(g * g, axis=1),
+        )
+        return None, out
+
+    blocks = packed.reshape(nblk, block_variants, packed.shape[1])
+    _, outs = jax.lax.scan(body, None, blocks)
+    return tuple(
+        o.reshape(-1, *o.shape[2:])[:nvar] for o in outs
+    )
+
+
+def glm_moments_device(
+    packed,
+    num_samples: int,
+    y,
+    covars,
+    block_variants: int = 1 << 14,
+    interpret: bool = False,
+    sample_idx=None,
+) -> GlmMoments:
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    pcols = _moment_columns(y, covars).astype(np.float32)
+    q = np.concatenate([y[:, None], covars], axis=1).astype(np.float32)
+    ns = y.shape[0]
+    if packed.shape[0] == 0:
+        z = np.zeros(0)
+        return GlmMoments(z, np.zeros((0, pcols.shape[1])),
+                          np.zeros((0, q.shape[1])), z, z)
+    sel = None if sample_idx is None else np.asarray(sample_idx, np.int32)
+    outs = _glm_moments_device_jit(
+        np.asarray(packed, np.uint8), pcols, q, sel, num_samples,
+        block_variants, interpret,
+    )
+    return GlmMoments(*(np.asarray(o, np.float64) for o in outs))
+
+
+def glm_moments(
+    packed, num_samples: int, y, covars, provider: str = "numpy", **kw
+) -> GlmMoments:
+    """Provider dispatch (`native` -> numpy: BLAS is the host gemm engine).
+    `device` shards the variant axis over all local devices when more
+    than one is visible (per-variant outputs: embarrassingly parallel)."""
+    if provider == "device":
+        import jax
+
+        from pgen_tpu.pipeline.device import is_interpret_backend
+
+        if len(jax.devices()) > 1:
+            return glm_moments_mesh(np.asarray(packed), num_samples, y,
+                                    covars, **kw)
+        return glm_moments_device(
+            np.asarray(packed), num_samples, y, covars,
+            interpret=is_interpret_backend(), **kw,
+        )
+    return glm_moments_numpy(packed, num_samples, y, covars, **kw)
+
+
+def glm_moments_mesh(
+    packed: np.ndarray,
+    num_samples: int,
+    y,
+    covars,
+    block_variants: int = 1 << 14,
+    sample_idx=None,
+) -> GlmMoments:
+    """Variant-sharded moments over all local devices. Outputs stay
+    variant-sharded (no collective at all — per-variant results)."""
+    from pgen_tpu.parallel.mesh import make_mesh, pad_to_multiple
+
+    nvar = int(packed.shape[0])
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    if nvar == 0:
+        return glm_moments_numpy(packed, num_samples, y, covars,
+                                 sample_idx=sample_idx)
+    mesh = make_mesh()
+    padded = pad_to_multiple(np.asarray(packed, dtype=np.uint8),
+                             mesh.devices.size)
+    if padded.shape[0] != nvar:
+        padded[nvar:] = 0xFF  # all-missing pad rows: zero moments
+    step = build_glm_mesh_step(
+        mesh, num_samples, y, covars, block_variants=block_variants,
+        sample_idx=sample_idx,
+    )
+    outs = step(padded)
+    return GlmMoments(*(np.asarray(o, np.float64)[:nvar] for o in outs))
+
+
+def build_glm_mesh_step(
+    mesh, num_samples: int, y, covars, block_variants: int = 1 << 14,
+    sample_idx=None,
+):
+    """Variant-sharded GLM moments: per-shard matmuls, sharded outputs.
+    packed (V, R) u8 shards as P('v', None); pad rows must be 0xFF."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pgen_tpu.parallel.mesh import VARIANT_AXIS
+    from pgen_tpu.pipeline.device import is_interpret_backend
+
+    interpret = is_interpret_backend()
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    pcols = _moment_columns(y, covars).astype(np.float32)
+    q = np.concatenate([y[:, None], covars], axis=1).astype(np.float32)
+    sel = None if sample_idx is None else np.asarray(sample_idx, np.int32)
+
+    def step(packed):
+        def inner(packed_l):
+            return _glm_moments_device_jit(
+                packed_l, pcols, q, sel, num_samples, block_variants,
+                interpret,
+            )
+
+        return jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(VARIANT_AXIS, None),),
+            out_specs=(P(VARIANT_AXIS), P(VARIANT_AXIS, None),
+                       P(VARIANT_AXIS, None), P(VARIANT_AXIS),
+                       P(VARIANT_AXIS)),
+            check_vma=False,
+        )(packed)
+
+    in_shardings = (NamedSharding(mesh, P(VARIANT_AXIS, None)),)
+    return jax.jit(step, in_shardings=in_shardings)
+
+
+def glm_solve(moments: GlmMoments, num_covars: int) -> GlmResult:
+    """Assemble and solve the per-variant (k+2)-dim normal equations in
+    f64; Student-t p-values via the regularized incomplete beta.
+
+    Moment column layout (matches _moment_columns):
+      mp[:, 0]            = n        (== moments.n, kept for symmetry)
+      mp[:, 1 : 1+k]      = sum c_i
+      mp[:, 1+k]          = sum y
+      mp[:, 2+k]          = sum y^2
+      mp[:, 3+k : 3+2k]   = sum y c_i
+      mp[:, 3+2k : ]      = sum c_i c_j  (upper triangle, row-major)
+    """
+    k = num_covars
+    n = moments.n
+    nvar = n.shape[0]
+    d = k + 2  # [1, c_1..c_k, g]
+    a = np.zeros((nvar, d, d), dtype=np.float64)
+    rhs = np.zeros((nvar, d, 2), dtype=np.float64)  # [X^T y | e_g]
+    mp, gq, sg, sg2 = moments.mp, moments.gq, moments.sg, moments.sg2
+    sc = mp[:, 1 : 1 + k]
+    sy = mp[:, 1 + k]
+    syy = mp[:, 2 + k]
+    syc = mp[:, 3 + k : 3 + 2 * k]
+    a[:, 0, 0] = n
+    a[:, 0, 1 : 1 + k] = sc
+    a[:, 1 : 1 + k, 0] = sc
+    pos = 3 + 2 * k
+    for i in range(k):
+        for j in range(i, k):
+            a[:, 1 + i, 1 + j] = mp[:, pos]
+            a[:, 1 + j, 1 + i] = mp[:, pos]
+            pos += 1
+    a[:, 0, d - 1] = sg
+    a[:, d - 1, 0] = sg
+    a[:, 1 : 1 + k, d - 1] = gq[:, 1:].reshape(nvar, k)
+    a[:, d - 1, 1 : 1 + k] = gq[:, 1:].reshape(nvar, k)
+    a[:, d - 1, d - 1] = sg2
+    rhs[:, 0, 0] = sy
+    rhs[:, 1 : 1 + k, 0] = syc
+    rhs[:, d - 1, 0] = gq[:, 0]
+    rhs[:, d - 1, 1] = 1.0
+
+    df = n - d
+    # estimable gate: enough complete cases + complete-case dosage variance
+    with np.errstate(invalid="ignore", divide="ignore"):
+        gvar = sg2 - np.where(n > 0, sg * sg / np.maximum(n, 1), 0.0)
+    ok = (df >= 1) & (gvar > 1e-9 * np.maximum(n, 1))
+    beta = np.full(nvar, np.nan)
+    se = np.full(nvar, np.nan)
+    t = np.full(nvar, np.nan)
+    p = np.full(nvar, np.nan)
+    idx = np.flatnonzero(ok)
+    if idx.size:
+        try:
+            sol = np.linalg.solve(a[idx], rhs[idx])
+        except np.linalg.LinAlgError:
+            sol = np.full((idx.size, d, 2), np.nan)
+            for r, v in enumerate(idx):
+                try:
+                    sol[r] = np.linalg.solve(a[v], rhs[v])
+                except np.linalg.LinAlgError:
+                    ok[v] = False
+        coefs, zg = sol[..., 0], sol[..., 1]
+        bsel = coefs[:, d - 1]
+        # residual SS = y'y - beta' X'y;  Var(beta_g) = sigma^2 (A^-1)_gg
+        rss = syy[idx] - np.einsum("vi,vi->v", coefs, rhs[idx, :, 0])
+        rss = np.maximum(rss, 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sigma2 = rss / df[idx]
+            var_g = sigma2 * zg[:, d - 1]
+            s = np.sqrt(var_g)
+            tt = bsel / s
+            pp = t_sf2(tt, df[idx])
+        good = ok[idx] & np.isfinite(s) & (zg[:, d - 1] > 0)
+        beta[idx] = np.where(good, bsel, np.nan)
+        se[idx] = np.where(good, s, np.nan)
+        t[idx] = np.where(good, tt, np.nan)
+        p[idx] = np.where(good, pp, np.nan)
+    return GlmResult(n.astype(np.int64), beta, se, t, p)
+
+
+def glm_linear(
+    packed, num_samples: int, y, covars, provider: str = "numpy", **kw
+) -> GlmResult:
+    """Full per-variant OLS: moments on the chosen provider, batched
+    f64 solve + t-test on host."""
+    y = np.asarray(y, dtype=np.float64)
+    covars = (
+        np.zeros((y.shape[0], 0)) if covars is None
+        else np.asarray(covars, dtype=np.float64)
+    )
+    if covars.ndim != 2 or covars.shape[0] != y.shape[0]:
+        raise ValueError(f"glm: covars must be (S, k), got {covars.shape}")
+    m = glm_moments(packed, num_samples, y, covars, provider=provider, **kw)
+    return glm_solve(m, covars.shape[1])
+
+
+# ---- Student-t survival function (exact, f64, no scipy dependency) ----
+
+# Lanczos g=7, n=9 coefficients (Boost/GSL-standard; ~1e-15 relative)
+_LANCZOS = np.array([
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7,
+])
+
+
+def _lgamma(z):
+    """Vectorized log-gamma for z > 0 (Lanczos approximation, f64)."""
+    z = np.asarray(z, dtype=np.float64)
+    zm1 = z - 1.0
+    x = np.full(z.shape, _LANCZOS[0])
+    for i in range(1, 9):
+        x = x + _LANCZOS[i] / (zm1 + i)
+    t = zm1 + 7.5
+    return 0.5 * np.log(2.0 * np.pi) + (zm1 + 0.5) * np.log(t) - t + np.log(x)
+
+
+def betainc_reg(a, b, x, max_iter: int = 300, eps: float = 3e-16):
+    """Regularized incomplete beta I_x(a, b), vectorized f64.
+
+    Continued fraction (Lentz), with the standard symmetry switch at
+    x > (a+1)/(a+b+2) for convergence. Matches jax.scipy.special.betainc
+    to ~1e-14 (asserted in tests)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    a, b, x = np.broadcast_arrays(a, b, x)
+    out = np.empty(x.shape, dtype=np.float64)
+    flat_a, flat_b, flat_x = a.ravel(), b.ravel(), x.ravel()
+    res = np.empty(flat_x.shape)
+    lo = flat_x <= 0
+    hi = flat_x >= 1
+    res[lo] = 0.0
+    res[hi] = 1.0
+    mid = ~(lo | hi)
+    if mid.any():
+        aa, bb, xx = flat_a[mid], flat_b[mid], flat_x[mid]
+        swap = xx > (aa + 1.0) / (aa + bb + 2.0)
+        a_ = np.where(swap, bb, aa)
+        b_ = np.where(swap, aa, bb)
+        x_ = np.where(swap, 1.0 - xx, xx)
+        front = np.exp(
+            _lgamma(a_ + b_) - _lgamma(a_) - _lgamma(b_)
+            + a_ * np.log(x_) + b_ * np.log1p(-x_)
+        ) / a_
+        # Lentz's algorithm, active-set compressed: converged elements are
+        # retired each iteration so the per-iteration work tracks only the
+        # slow tail (most entries converge in << max_iter iterations)
+        tiny = 1e-300
+        c = np.ones_like(x_)
+        d = 1.0 - (a_ + b_) * x_ / (a_ + 1.0)
+        d = np.where(np.abs(d) < tiny, tiny, d)
+        d = 1.0 / d
+        h = d.copy()
+        h_final = np.empty_like(h)
+        idx = np.arange(h.size)
+        for m_i in range(1, max_iter + 1):
+            m2 = 2 * m_i
+            num = m_i * (b_ - m_i) * x_ / ((a_ + m2 - 1.0) * (a_ + m2))
+            d = 1.0 + num * d
+            d = np.where(np.abs(d) < tiny, tiny, d)
+            c = 1.0 + num / c
+            c = np.where(np.abs(c) < tiny, tiny, c)
+            d = 1.0 / d
+            h *= d * c
+            num = -(a_ + m_i) * (a_ + b_ + m_i) * x_ / (
+                (a_ + m2) * (a_ + m2 + 1.0)
+            )
+            d = 1.0 + num * d
+            d = np.where(np.abs(d) < tiny, tiny, d)
+            c = 1.0 + num / c
+            c = np.where(np.abs(c) < tiny, tiny, c)
+            d = 1.0 / d
+            delta = d * c
+            h *= delta
+            conv = np.abs(delta - 1.0) < eps
+            if conv.any():
+                h_final[idx[conv]] = h[conv]
+                if conv.all():
+                    break
+                keep = ~conv
+                idx, h, c, d = idx[keep], h[keep], c[keep], d[keep]
+                a_, b_, x_ = a_[keep], b_[keep], x_[keep]
+        else:
+            h_final[idx] = h  # unconverged tail: best effort
+        val = front * h_final
+        res[mid] = np.where(swap, 1.0 - val, val)
+    out.ravel()[:] = res
+    return out
+
+
+def t_sf2(t, df):
+    """Two-sided Student-t p-value: P(|T_df| >= |t|) =
+    I_{df/(df+t^2)}(df/2, 1/2)."""
+    t = np.asarray(t, dtype=np.float64)
+    df = np.asarray(df, dtype=np.float64)
+    x = df / (df + t * t)
+    return betainc_reg(df / 2.0, 0.5, x)

@@ -1,0 +1,220 @@
+"""`pgen-tpu glm`: per-variant linear association against a psam phenotype.
+
+plink2 `--glm` linear-regression analog (extension over the reference,
+which is a query/filter tool — /root/reference/README.md:3-5). For every
+kept variant, OLS of the phenotype on [intercept, covariates, alt-dosage]
+over that variant's complete cases (called genotypes) — no imputation,
+exactly plink2's ADD test. The per-variant moments are masked matmuls on
+the chosen provider (ops/glm.py: MXU on device, BLAS on host); the
+(k+2)-dim solves and Student-t p-values run batched on host f64.
+
+Phenotype / covariates come from psam columns:
+  - `--pheno-name` (default PHENO1): numeric; `NA`, `na`, `.`, `-9`, and
+    empty cells mark the sample missing (plink2's missing codes).
+  - `--covar-name A,B,...`: numeric, with `M`/`F` (any case) accepted as
+    1/2 for sex-style columns; missing codes as above.
+Samples missing the phenotype or any covariate are dropped from the
+analysis cohort (after the --include-sam/--samples predicates).
+
+Output `{out}` (default `{prefix}.{pheno}.glm.linear`), one TSV row per
+kept variant, plink2 column layout:
+    #CHROM POS ID REF ALT A1 TEST OBS_CT BETA SE T_STAT P
+with A1 = ALT, TEST = ADD, and NA in BETA..P when the test is
+unestimable (too few complete cases or zero dosage variance).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pgen_tpu.formats.header import read_pgen_header
+from pgen_tpu.formats.metadata import read_metadata
+from pgen_tpu.pipeline.filter import _gather_rows, _resolve_provider, compute_masks
+from pgen_tpu.utils.log import get_logger
+from pgen_tpu.utils.timer import StageTimer
+
+log = get_logger(__name__)
+
+MISSING_CODES = {"", ".", "NA", "na", "nan", "NaN", "-9"}
+
+
+@dataclass
+class GlmRunResult:
+    pheno_name: str
+    num_variants: int
+    num_samples: int  # analysis cohort size
+    num_dropped: int  # kept samples excluded for missing pheno/covars
+    n_obs: np.ndarray
+    beta: np.ndarray
+    se: np.ndarray
+    t_stat: np.ndarray
+    p: np.ndarray
+    out_path: str | None
+    timer: StageTimer = field(default_factory=StageTimer)
+
+
+def parse_numeric_column(values, colname: str) -> np.ndarray:
+    """psam column -> f64 with NaN for missing; M/F (any case) -> 1/2."""
+    out = np.empty(len(values), dtype=np.float64)
+    for i, raw in enumerate(values):
+        s = raw.strip()
+        if s in MISSING_CODES:
+            out[i] = np.nan
+            continue
+        try:
+            out[i] = float(s)
+        except ValueError:
+            u = s.upper()
+            if u == "M":
+                out[i] = 1.0
+            elif u == "F":
+                out[i] = 2.0
+            else:
+                raise ValueError(
+                    f"glm: {colname} value {raw!r} is not numeric "
+                    f"(missing codes: NA . -9; sex letters M/F)"
+                ) from None
+    return out
+
+
+def glm_linear_pfile(
+    pfile_prefix: str,
+    pheno_name: str = "PHENO1",
+    covar_names=(),
+    var_query: str | None = None,
+    sam_query: str | None = None,
+    out_file: str | None = None,
+    provider: str = "auto",
+    block_variants: int | None = None,
+    write: bool = True,
+    out=None,
+) -> GlmRunResult:
+    provider = _resolve_provider(provider)
+    if provider == "native":
+        provider = "numpy"  # BLAS is the host gemm engine (ops/glm.py)
+    timer = StageTimer()
+
+    header = read_pgen_header(f"{pfile_prefix}.pgen")
+    pvar = read_metadata(f"{pfile_prefix}.pvar")
+    psam = read_metadata(f"{pfile_prefix}.psam")
+    psam.column_index("IID")
+
+    rec = header.record_size
+    mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    records = mm[12 : 12 + header.num_variants * rec].reshape(
+        header.num_variants, rec
+    )
+    with timer.stage("predicates"):
+        var_mask, sam_mask = compute_masks(
+            var_query, sam_query, pvar, psam, header, records, provider
+        )
+        var_idx = np.flatnonzero(var_mask)
+
+    with timer.stage("phenotypes"):
+        y_all = parse_numeric_column(
+            psam.get_column_strs(pheno_name), pheno_name
+        )
+        cov_all = [
+            parse_numeric_column(psam.get_column_strs(c), c)
+            for c in covar_names
+        ]
+        complete = ~np.isnan(y_all)
+        for c in cov_all:
+            complete &= ~np.isnan(c)
+        kept_before = int(sam_mask.sum())
+        sam_mask = sam_mask & complete
+        sam_idx = np.flatnonzero(sam_mask)
+        dropped = kept_before - len(sam_idx)
+    n_sam = len(sam_idx)
+    k = len(covar_names)
+    if n_sam < k + 3:
+        raise ValueError(
+            f"glm: {n_sam} analyzable samples is too few for {k} "
+            f"covariate(s) (need >= {k + 3})"
+        )
+    if dropped:
+        log.warning(
+            "glm: %d sample(s) dropped for missing %s/covariates",
+            dropped, pheno_name,
+        )
+    y = y_all[sam_idx]
+    covars = (
+        np.stack([c[sam_idx] for c in cov_all], axis=1)
+        if k else np.zeros((n_sam, 0))
+    )
+    if np.nanstd(y) == 0:
+        raise ValueError(f"glm: phenotype {pheno_name} is constant")
+    if k:
+        # fail fast on a globally collinear design (e.g. a constant
+        # covariate): every variant would be unestimable (all-NA output)
+        x0 = np.column_stack([np.ones(n_sam), covars])
+        if np.linalg.matrix_rank(x0) < x0.shape[1]:
+            raise ValueError(
+                "glm: covariates are collinear with the intercept over the "
+                f"analysis cohort (constant column among {list(covar_names)}?)"
+            )
+
+    with timer.stage("gather", len(var_idx) * rec):
+        kept = _gather_rows(records, var_idx)
+
+    from pgen_tpu.ops.glm import glm_moments, glm_solve
+
+    subset = None if n_sam == header.num_samples else sam_idx.astype(np.int32)
+    kw = {"block_variants": int(block_variants)} if block_variants else {}
+    with timer.stage("moments", kept.shape[0] * rec):
+        moments = glm_moments(
+            kept, header.num_samples, y, covars, provider=provider,
+            sample_idx=subset, **kw,
+        )
+    with timer.stage("solve"):
+        res = glm_solve(moments, k)
+
+    out_path = out_file or f"{pfile_prefix}.{pheno_name}.glm.linear"
+    if write:
+        with timer.stage("emit"):
+            import contextlib
+
+            chroms = pvar.get_column_strs("CHROM")
+            poss = pvar.get_column_strs("POS")
+            ids = pvar.get_column_strs("ID")
+            refs = pvar.get_column_strs("REF")
+            alts = pvar.get_column_strs("ALT")
+            cm = (
+                contextlib.nullcontext(out)
+                if out is not None
+                else open(out_path, "w")
+            )
+            with cm as fh:
+                fh.write(
+                    "#CHROM\tPOS\tID\tREF\tALT\tA1\tTEST\tOBS_CT\t"
+                    "BETA\tSE\tT_STAT\tP\n"
+                )
+                for r, v in enumerate(var_idx):
+                    v = int(v)
+                    if np.isnan(res.beta[r]):
+                        tail = "NA\tNA\tNA\tNA"
+                    else:
+                        tail = (
+                            f"{res.beta[r]:.6g}\t{res.se[r]:.6g}\t"
+                            f"{res.t_stat[r]:.6g}\t{res.p[r]:.6g}"
+                        )
+                    fh.write(
+                        f"{chroms[v]}\t{poss[v]}\t{ids[v]}\t{refs[v]}\t"
+                        f"{alts[v]}\t{alts[v]}\tADD\t{res.n_obs[r]}\t"
+                        f"{tail}\n"
+                    )
+    return GlmRunResult(
+        pheno_name=pheno_name,
+        num_variants=len(var_idx),
+        num_samples=n_sam,
+        num_dropped=dropped,
+        n_obs=res.n_obs,
+        beta=res.beta,
+        se=res.se,
+        t_stat=res.t_stat,
+        p=res.p,
+        out_path=None if out is not None else out_path,
+        timer=timer,
+    )

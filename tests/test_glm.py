@@ -1,0 +1,259 @@
+"""GLM linear association: providers vs a per-variant lstsq oracle, the
+t-distribution tail, planted-effect recovery, mesh sharding, and the CLI
+.glm.linear surface."""
+
+import numpy as np
+import pytest
+
+from tests.cli_helpers import run_cli
+from tests.conftest import build_fileset
+
+from pgen_tpu.formats.writer import write_pgen
+from pgen_tpu.ops.glm import (
+    betainc_reg,
+    glm_linear,
+    glm_moments_device,
+    glm_moments_numpy,
+    glm_solve,
+    t_sf2,
+)
+from pgen_tpu.pipeline.glm import parse_numeric_column
+
+
+def _pack(codes: np.ndarray, tmp_path, name="p") -> np.ndarray:
+    path = str(tmp_path / f"{name}.pgen")
+    write_pgen(path, codes)
+    rec = (2 * codes.shape[1] + 7) // 8
+    return np.fromfile(path, dtype=np.uint8)[12:].reshape(codes.shape[0], rec)
+
+
+def _glm_oracle(codes, y, covars):
+    """Per-variant complete-case lstsq + classical t-test."""
+    nv, _ = codes.shape
+    k = covars.shape[1]
+    out = []
+    for v in range(nv):
+        cal = codes[v] != 3
+        n = int(cal.sum())
+        g = codes[v][cal].astype(np.float64)
+        if n < k + 3 or np.var(g) == 0:
+            out.append((n, np.nan, np.nan, np.nan, np.nan))
+            continue
+        x = np.column_stack([np.ones(n), covars[cal], g])
+        yy = y[cal]
+        coef = np.linalg.lstsq(x, yy, rcond=None)[0]
+        resid = yy - x @ coef
+        df = n - x.shape[1]
+        sigma2 = (resid @ resid) / df
+        se = np.sqrt(sigma2 * np.linalg.inv(x.T @ x)[-1, -1])
+        t = coef[-1] / se
+        out.append((n, coef[-1], se, t, t_sf2(t, df)))
+    return out
+
+
+@pytest.mark.parametrize("k", [0, 1, 3])
+def test_glm_numpy_matches_oracle(k, tmp_path):
+    rng = np.random.default_rng(10 + k)
+    nv, ns = 40, 23
+    codes = rng.integers(0, 4, size=(nv, ns), dtype=np.uint8)
+    codes[0] = 3  # all missing -> NA
+    codes[1] = 1  # zero dosage variance -> NA
+    y = rng.normal(size=ns)
+    covars = rng.normal(size=(ns, k))
+    packed = _pack(codes, tmp_path)
+    res = glm_linear(packed, ns, y, covars, provider="numpy",
+                     block_variants=16)
+    for v, (n, b, se, t, p) in enumerate(_glm_oracle(codes, y, covars)):
+        assert res.n_obs[v] == n
+        if np.isnan(b):
+            assert np.isnan(res.beta[v])
+            continue
+        np.testing.assert_allclose(res.beta[v], b, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(res.se[v], se, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(res.t_stat[v], t, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(res.p[v], p, rtol=1e-8, atol=1e-12)
+
+
+def test_glm_device_moments_match_numpy(tmp_path):
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 4, size=(50, 9), dtype=np.uint8)
+    y = rng.normal(size=9)
+    covars = rng.normal(size=(9, 2))
+    packed = _pack(codes, tmp_path)
+    ref = glm_moments_numpy(packed, 9, y, covars)
+    got = glm_moments_device(packed, 9, y, covars, block_variants=16,
+                             interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+    # end-to-end stats agree at f32-moment precision
+    r1 = glm_solve(ref, 2)
+    r2 = glm_solve(got, 2)
+    np.testing.assert_allclose(r2.beta, r1.beta, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(r2.t_stat, r1.t_stat, rtol=1e-2, atol=1e-3)
+
+
+def test_glm_sample_subset(tmp_path):
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 4, size=(30, 10), dtype=np.uint8)
+    packed = _pack(codes, tmp_path)
+    sel = np.array([0, 2, 3, 5, 6, 7, 8, 9], dtype=np.int32)
+    y = rng.normal(size=len(sel))
+    covars = rng.normal(size=(len(sel), 1))
+    res = glm_linear(packed, 10, y, covars, provider="numpy",
+                     sample_idx=sel)
+    for v, (n, b, se, t, p) in enumerate(
+        _glm_oracle(codes[:, sel], y, covars)
+    ):
+        assert res.n_obs[v] == n
+        if np.isnan(b):
+            assert np.isnan(res.beta[v])
+        else:
+            np.testing.assert_allclose(res.beta[v], b, rtol=1e-9)
+            np.testing.assert_allclose(res.t_stat[v], t, rtol=1e-8)
+
+
+def test_glm_mesh_matches_numpy(tmp_path):
+    import jax
+
+    from pgen_tpu.ops.glm import glm_moments_mesh
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=(41, 6), dtype=np.uint8)
+    y = rng.normal(size=6)
+    covars = rng.normal(size=(6, 1))
+    packed = _pack(codes, tmp_path)
+    assert len(jax.devices()) > 1  # conftest forces the 8-device CPU mesh
+    ref = glm_moments_numpy(packed, 6, y, covars)
+    got = glm_moments_mesh(packed, 6, y, covars, block_variants=4)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+def test_glm_recovers_planted_effect():
+    rng = np.random.default_rng(7)
+    nv, ns = 50, 400
+    codes = rng.binomial(2, 0.3, size=(nv, ns)).astype(np.uint8)
+    y = 0.9 * codes[17].astype(np.float64) + rng.normal(scale=0.5, size=ns)
+    covars = np.zeros((ns, 0))
+    res_rows = _glm_oracle(codes, y, covars)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        from pathlib import Path
+
+        packed = _pack(codes, Path(td))
+        res = glm_linear(packed, ns, y, covars, provider="numpy")
+    assert res.p[17] < 1e-20  # the causal variant dominates
+    assert np.nanmin(res.p) == res.p[17]
+    np.testing.assert_allclose(res.beta[17], 0.9, atol=0.1)
+    assert abs(res.beta[17] - res_rows[17][1]) < 1e-12
+
+
+def test_t_sf2_known_values():
+    # symmetric: t=0 -> p=1; heavier tails than normal at small df
+    assert abs(t_sf2(0.0, 10) - 1.0) < 1e-14
+    # classic table values: P(|T_1| >= 12.706) = 0.05
+    np.testing.assert_allclose(t_sf2(12.706, 1), 0.05, rtol=1e-4)
+    np.testing.assert_allclose(t_sf2(2.228, 10), 0.05, rtol=1e-3)
+    np.testing.assert_allclose(t_sf2(1.96, 1e9), 0.05, rtol=1e-3)
+    # betainc edges and symmetry
+    assert betainc_reg(0.5, 0.5, 0.0) == 0.0
+    assert betainc_reg(0.5, 0.5, 1.0) == 1.0
+    np.testing.assert_allclose(betainc_reg(0.5, 0.5, 0.5), 0.5, rtol=1e-12)
+    np.testing.assert_allclose(
+        betainc_reg(3.0, 2.0, 0.3) + betainc_reg(2.0, 3.0, 0.7), 1.0,
+        rtol=1e-12,
+    )
+
+
+def test_parse_numeric_column():
+    got = parse_numeric_column(["1.5", "NA", "-9", "M", "f", "."], "X")
+    np.testing.assert_array_equal(
+        np.isnan(got), [False, True, True, False, False, True]
+    )
+    assert got[0] == 1.5 and got[3] == 1.0 and got[4] == 2.0
+    with pytest.raises(ValueError, match="not numeric"):
+        parse_numeric_column(["zzz"], "X")
+
+
+def _glm_fileset(tmp_path, codes, pheno, sex=None):
+    nvar, ns = codes.shape
+    pvar_rows = [f"1\t{100 + i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(nvar)]
+    sex = sex or ["M" if i % 2 == 0 else "F" for i in range(ns)]
+    psam_rows = [f"s{i}\t{sex[i]}\t{pheno[i]}" for i in range(ns)]
+    return build_fileset(
+        tmp_path, "glm", codes, pvar_rows, psam_rows,
+        psam_columns="#IID\tSEX\tPHENO1",
+    )
+
+
+def test_cli_glm_end_to_end(tmp_path):
+    rng = np.random.default_rng(11)
+    nv, ns = 25, 40
+    codes = rng.binomial(2, 0.4, size=(nv, ns)).astype(np.uint8)
+    codes[3, :7] = 3  # some missingness
+    y = rng.normal(size=ns)
+    pheno = [f"{v:.8g}" for v in y]
+    pheno[5] = "NA"  # one missing phenotype -> dropped sample
+    prefix = _glm_fileset(tmp_path, codes, pheno)
+    out = str(tmp_path / "out.lin")
+    assert run_cli(["glm", prefix, "-o", out, "--covar-name", "SEX"]) == 0
+    lines = (tmp_path / "out.lin").read_text().splitlines()
+    assert lines[0] == (
+        "#CHROM\tPOS\tID\tREF\tALT\tA1\tTEST\tOBS_CT\tBETA\tSE\tT_STAT\tP"
+    )
+    assert len(lines) == nv + 1
+    keep = np.ones(ns, bool)
+    keep[5] = False
+    sex = np.array([1.0 if i % 2 == 0 else 2.0 for i in range(ns)])
+    oracle = _glm_oracle(codes[:, keep], y[keep], sex[keep][:, None])
+    for v, line in enumerate(lines[1:]):
+        c = line.split("\t")
+        assert c[:7] == ["1", str(100 + v), f"rs{v}", "A", "G", "G", "ADD"]
+        n, b, se, t, p = oracle[v]
+        assert int(c[7]) == n
+        if np.isnan(b):
+            assert c[8:] == ["NA", "NA", "NA", "NA"]
+        else:
+            np.testing.assert_allclose(float(c[8]), b, rtol=1e-5)
+            np.testing.assert_allclose(float(c[11]), p, rtol=1e-4, atol=0)
+
+
+def test_cli_glm_provider_parity(tmp_path):
+    rng = np.random.default_rng(12)
+    codes = rng.integers(0, 4, size=(30, 20), dtype=np.uint8)
+    y = rng.normal(size=20)
+    prefix = _glm_fileset(tmp_path, codes, [f"{v:.8g}" for v in y])
+    rows = []
+    for prov in ("numpy", "device"):
+        out = str(tmp_path / f"{prov}.lin")
+        assert run_cli([
+            "glm", prefix, "-o", out, "--provider", prov,
+            "--include-var", 'POS != "101"',
+        ]) == 0
+        body = (tmp_path / f"{prov}.lin").read_text().splitlines()[1:]
+        assert len(body) == 29  # one variant excluded
+        rows.append(body)
+    for a, b in zip(*rows):
+        ca, cb = a.split("\t"), b.split("\t")
+        assert ca[:8] == cb[:8]
+        if ca[8] == "NA":
+            assert cb[8] == "NA"
+        else:
+            np.testing.assert_allclose(
+                float(cb[8]), float(ca[8]), rtol=1e-3, atol=1e-6
+            )
+
+
+def test_cli_glm_errors(tmp_path):
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 3, size=(5, 6), dtype=np.uint8)
+    prefix = _glm_fileset(tmp_path, codes, ["1.0"] * 6)
+    # constant phenotype
+    assert run_cli(["glm", prefix]) == 1
+    # unknown phenotype column
+    assert run_cli(["glm", prefix, "--pheno-name", "NOPE"]) == 1
+    # too few samples after drops
+    prefix2 = _glm_fileset(tmp_path, codes[:, :3],
+                           ["1", "2", "NA"])
+    assert run_cli(["glm", prefix2]) == 1
