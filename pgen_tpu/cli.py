@@ -446,14 +446,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
     gl = sub.add_parser(
         "glm",
-        help="Per-variant linear association (GWAS; MXU matmul workload).",
+        help="Per-variant association GWAS (MXU matmul workload).",
         description=(
-            "plink2 --glm linear analog: for every kept variant, OLS of a "
+            "plink2 --glm analog: for every kept variant, regression of a "
             "psam phenotype on [intercept, covariates, alt dosage] over "
-            "that variant's complete cases (no imputation). Moments are "
-            "masked matmuls on the chosen provider; solves and Student-t "
-            "p-values run batched on host f64. Writes the plink2 "
-            ".glm.linear column layout (#CHROM..P, TEST=ADD, A1=ALT)."
+            "that variant's complete cases (no imputation). Case/control "
+            "phenotypes run logistic (batched IRLS, Wald Z, OR output), "
+            "quantitative ones linear OLS (Student-t) — plink2's model "
+            "choice. Moments are masked matmuls on the chosen provider; "
+            "solves and p-values run batched on host f64. Writes the "
+            "plink2 .glm.linear/.glm.logistic column layout (TEST=ADD, "
+            "A1=ALT)."
         ),
     )
     gl.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
@@ -463,6 +466,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     gl.add_argument("--covar-name", dest="covar_name", default=None,
                     help="Comma-separated psam covariate columns "
                          "(numeric; M/F accepted as 1/2).")
+    gm = gl.add_mutually_exclusive_group()
+    gm.add_argument("--linear", dest="model", action="store_const",
+                    const="linear", default="auto",
+                    help="Force OLS even for a case/control phenotype.")
+    gm.add_argument("--logistic", dest="model", action="store_const",
+                    const="logistic",
+                    help="Force logistic (needs a 1/2- or 0/1-coded "
+                         "phenotype). Default: auto like plink2 — "
+                         "case/control runs logistic, quantitative OLS.")
     gl.add_argument("-o", "--out", dest="out_file", default=None,
                     help="Output path (default "
                          "{prefix}.{pheno}.glm.linear, '-' stdout).")
@@ -1057,7 +1069,7 @@ def main(argv=None) -> int:
             )
             return 0
         if args.command == "glm":
-            from pgen_tpu.pipeline.glm import glm_linear_pfile
+            from pgen_tpu.pipeline.glm import glm_pfile
             from pgen_tpu.query.exclude import apply_exclude
             from pgen_tpu.query.regions import apply_regions
             from pgen_tpu.query.samples import apply_samples
@@ -1066,10 +1078,11 @@ def main(argv=None) -> int:
                 c.strip() for c in (args.covar_name or "").split(",")
                 if c.strip()
             ]
-            result = glm_linear_pfile(
+            result = glm_pfile(
                 args.pfile_prefix,
                 pheno_name=args.pheno_name,
                 covar_names=covars,
+                model=args.model,
                 var_query=apply_exclude(
                     apply_regions(args.var_query, args.regions, args.regions_file),
                     args.var_exclude,
@@ -1087,7 +1100,7 @@ def main(argv=None) -> int:
                 print(result.timer.report(), file=sys.stderr)
             dest = "stdout" if args.out_file == "-" else result.out_path
             print(
-                f"glm: {result.pheno_name} ~ ADD"
+                f"glm: {result.model} {result.pheno_name} ~ ADD"
                 + (f" + {len(covars)} covar(s)" if covars else "")
                 + f" over {result.num_variants} variants x "
                 f"{result.num_samples} samples -> {dest}",

@@ -1,0 +1,277 @@
+"""Per-variant logistic association (case/control GWAS): batched IRLS
+where every gradient/Hessian entry is a masked-moment matmul.
+
+The plink2 `--glm` logistic analog (plink2 runs logistic whenever the
+phenotype is case/control; extension over the reference, which is a
+query/filter tool — /root/reference/README.md:3-5). For each variant v,
+maximum-likelihood logistic regression of case status on
+[1, covariates, alt-dosage] over that variant's complete cases.
+
+TPU-first formulation, same trick as the linear path (ops/glm.py): with
+per-iteration working weights w_vs = mu(1-mu)·mask and working residual
+r_vs = (y - mu)·mask, Newton's update needs
+
+    grad_v  = [sum r,  r @ C,          sum r·g]
+    hess_v  = masked-weighted sums of {1, c_i, c_i c_j, g, g c_i, g^2}
+
+— all (V, S) x (S, P) matmuls per IRLS iteration (MXU work on the
+device provider, dgemm on host), plus a batched (k+2)-dim solve on host
+f64. Variants converge independently and retire from the active set.
+
+Per-variant gates and failures (reported NaN, matching plink2's NA):
+  - fewer complete cases than k + 3, zero dosage variance,
+  - single-class outcome among complete cases (quasi-separation of the
+    trivial kind), or
+  - IRLS failing to converge in max_iter Newton steps (plink2 also
+    NA's non-converged sites unless Firth fallback is requested).
+
+Wald test: Z = beta_g / SE, SE^2 = (H^-1)_gg at the optimum; two-sided
+p from the exact normal tail (math.erfc — elementwise-exact f64).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+
+
+class LogisticResult(NamedTuple):
+    n_obs: np.ndarray  # (V,) i64 complete-case count
+    beta: np.ndarray  # (V,) f64 log-odds per alt allele, NaN on failure
+    se: np.ndarray  # (V,) f64
+    z_stat: np.ndarray  # (V,) f64
+    p: np.ndarray  # (V,) f64
+    n_iter: np.ndarray  # (V,) i32 Newton steps used (0 where gated)
+
+
+def _cov_pairs(covars: np.ndarray) -> np.ndarray:
+    """(S, k(k+1)/2) upper-triangle covariate products, row-major."""
+    k = covars.shape[1]
+    return np.stack(
+        [covars[:, i] * covars[:, j] for i in range(k) for j in range(i, k)],
+        axis=1,
+    ) if k else np.zeros((covars.shape[0], 0))
+
+
+def _assemble_hess(h1, hc, hcc, hg, hgc, hgg, k: int) -> np.ndarray:
+    """Symmetric (V, d, d) from weighted moments; d = k + 2, layout
+    [1, c_1..c_k, g]."""
+    v = h1.shape[0]
+    d = k + 2
+    h = np.zeros((v, d, d), dtype=np.float64)
+    h[:, 0, 0] = h1
+    h[:, 0, 1 : 1 + k] = hc
+    h[:, 1 : 1 + k, 0] = hc
+    pos = 0
+    for i in range(k):
+        for j in range(i, k):
+            h[:, 1 + i, 1 + j] = hcc[:, pos]
+            h[:, 1 + j, 1 + i] = hcc[:, pos]
+            pos += 1
+    h[:, 0, d - 1] = hg
+    h[:, d - 1, 0] = hg
+    h[:, 1 : 1 + k, d - 1] = hgc
+    h[:, d - 1, 1 : 1 + k] = hgc
+    h[:, d - 1, d - 1] = hgg
+    return h
+
+
+_erfc = np.vectorize(math.erfc)
+
+
+def normal_sf2(z) -> np.ndarray:
+    """Two-sided normal p-value P(|Z| >= |z|) = erfc(|z|/sqrt(2)), f64."""
+    z = np.asarray(z, dtype=np.float64)
+    out = np.full(z.shape, np.nan)
+    fin = np.isfinite(z)
+    if fin.any():
+        out[fin] = _erfc(np.abs(z[fin]) / math.sqrt(2.0))
+    return out
+
+
+def _irls_block(
+    codes: np.ndarray,  # (Vb, S) u8, 3 = missing
+    y: np.ndarray,  # (S,) f64 in {0, 1}
+    covars: np.ndarray,  # (S, k)
+    cc: np.ndarray,  # (S, k(k+1)/2) covariate products
+    max_iter: int,
+    tol: float,
+    matmul=None,
+):
+    """IRLS over one variant block; returns per-variant (n, beta_g, se,
+    niter, converged). `matmul(A, B)` computes the masked-moment products
+    (host dgemm by default; the device provider supplies an MXU closure).
+    """
+    vb, ns = codes.shape
+    k = covars.shape[1]
+    d = k + 2
+    mm = matmul if matmul is not None else lambda a, b: a @ b
+    cal = codes != 3
+    m = cal.astype(np.float64)
+    g = codes.astype(np.float64) * cal
+    n = m.sum(axis=1)
+    ncase = m @ y
+    with np.errstate(invalid="ignore", divide="ignore"):
+        gvar = (g * g).sum(axis=1) - np.where(
+            n > 0, g.sum(axis=1) ** 2 / np.maximum(n, 1), 0.0
+        )
+    ok = (
+        (n >= d + 1)
+        & (gvar > 1e-9 * np.maximum(n, 1))
+        & (ncase > 0)
+        & (ncase < n)
+    )
+    beta = np.zeros((vb, d), dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p0 = np.clip(ncase / np.maximum(n, 1), 1e-12, 1 - 1e-12)
+    beta[:, 0] = np.where(ok, np.log(p0 / (1.0 - p0)), 0.0)
+    se = np.full(vb, np.nan)
+    niter = np.zeros(vb, dtype=np.int32)
+    converged = np.zeros(vb, dtype=bool)
+    active = np.flatnonzero(ok)
+    # Q columns for the r/w moment matmuls: [c_1..c_k, c_i c_j products]
+    q = np.concatenate([covars, cc], axis=1)  # (S, k + kk)
+    kk = cc.shape[1]
+    for it in range(1, max_iter + 1):
+        if active.size == 0:
+            break
+        ba = beta[active]
+        ma, ga = m[active], g[active]
+        # eta/mu/w/r: (Va, S) elementwise — the only non-matmul bulk work
+        eta = ba[:, [0]] + ba[:, 1 : 1 + k] @ covars.T + ba[:, [d - 1]] * ga
+        np.clip(eta, -30.0, 30.0, out=eta)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1.0 - mu) * ma
+        r = (y[None, :] - mu) * ma
+        wg = w * ga
+        # moment matmuls: grad and Hessian entries in two (Va,S)x(S,P) GEMMs
+        rq = mm(r, covars)  # (Va, k)
+        wq = mm(w, q)  # (Va, k + kk): [w@C | w@CC]
+        wgc = mm(wg, covars)  # (Va, k)
+        grad = np.concatenate(
+            [r.sum(axis=1)[:, None], rq, (r * ga).sum(axis=1)[:, None]],
+            axis=1,
+        )
+        hess = _assemble_hess(
+            w.sum(axis=1), wq[:, :k], wq[:, k : k + kk],
+            wg.sum(axis=1), wgc, (wg * ga).sum(axis=1), k,
+        )
+        try:
+            delta = np.linalg.solve(hess, grad[:, :, None])[:, :, 0]
+        except np.linalg.LinAlgError:
+            delta = np.full_like(grad, np.nan)
+            for i in range(active.size):
+                try:
+                    delta[i] = np.linalg.solve(hess[i], grad[i])
+                except np.linalg.LinAlgError:
+                    pass  # stays NaN -> retired as failed below
+        # step-halving cap: |delta| <= 10 componentwise keeps early
+        # iterations from overshooting into the flat tails
+        scale = np.max(np.abs(delta), axis=1)
+        big = scale > 10.0
+        delta[big] *= (10.0 / scale[big])[:, None]
+        bad = ~np.isfinite(delta).all(axis=1)
+        beta[active] += np.where(bad[:, None], 0.0, delta)
+        niter[active] = it
+        done = (np.abs(delta).max(axis=1) < tol) & ~bad
+        if done.any() or bad.any():
+            fin = active[done]
+            converged[fin] = True
+            # SE at the optimum: (H^-1)_gg via one more solve on e_g
+            if fin.size:
+                hf = hess[done]
+                eg = np.zeros((fin.size, d, 1))
+                eg[:, d - 1, 0] = 1.0
+                try:
+                    zg = np.linalg.solve(hf, eg)[:, d - 1, 0]
+                except np.linalg.LinAlgError:
+                    zg = np.full(fin.size, np.nan)
+                    for i in range(fin.size):
+                        try:
+                            zg[i] = np.linalg.solve(hf[i], eg[i])[d - 1, 0]
+                        except np.linalg.LinAlgError:
+                            pass
+                se[fin] = np.sqrt(np.where(zg > 0, zg, np.nan))
+            keep = ~(done | bad)
+            active = active[keep]
+    return n, beta[:, d - 1], se, niter, converged
+
+
+def glm_logistic_numpy(
+    packed: np.ndarray,
+    num_samples: int,
+    y: np.ndarray,
+    covars: np.ndarray,
+    block_variants: int = 1 << 12,
+    sample_idx=None,
+    max_iter: int = 24,
+    tol: float = 1e-7,
+    matmul=None,
+) -> LogisticResult:
+    """Host provider. y must be 0/1; covars (S, k)."""
+    from pgen_tpu.ops.unpack import unpack_codes_numpy
+
+    packed = np.asarray(packed, dtype=np.uint8)
+    nvar = packed.shape[0]
+    ns = num_samples if sample_idx is None else len(sample_idx)
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    if y.shape != (ns,) or covars.shape[0] != ns:
+        raise ValueError(
+            f"glm: y {y.shape} / covars {covars.shape} do not match "
+            f"{ns} samples"
+        )
+    if not np.isin(y, (0.0, 1.0)).all():
+        raise ValueError("logistic: y must be 0/1")
+    cc = _cov_pairs(covars)
+    n = np.empty(nvar)
+    beta = np.empty(nvar)
+    se = np.empty(nvar)
+    niter = np.empty(nvar, dtype=np.int32)
+    conv = np.empty(nvar, dtype=bool)
+    bv = min(block_variants, max(nvar, 1))
+    for lo in range(0, nvar, bv):
+        codes = unpack_codes_numpy(packed[lo : lo + bv], num_samples)
+        if sample_idx is not None:
+            codes = codes[:, sample_idx]
+        sl = slice(lo, lo + codes.shape[0])
+        n[sl], beta[sl], se[sl], niter[sl], conv[sl] = _irls_block(
+            codes, y, covars, cc, max_iter, tol, matmul
+        )
+    good = conv & np.isfinite(se)
+    beta = np.where(good, beta, np.nan)
+    se = np.where(good, se, np.nan)
+    with np.errstate(invalid="ignore"):
+        z = beta / se
+    return LogisticResult(
+        n.astype(np.int64), beta, se, z, normal_sf2(z), niter
+    )
+
+
+def glm_logistic(
+    packed, num_samples: int, y, covars, provider: str = "numpy", **kw
+) -> LogisticResult:
+    """Provider dispatch. The IRLS loop is host-driven either way; the
+    device provider routes the per-iteration (V,S)x(S,P) moment matmuls
+    through jnp (MXU, f32 HIGHEST) while solves stay host f64."""
+    y = np.asarray(y, dtype=np.float64)
+    covars = (
+        np.zeros((y.shape[0], 0)) if covars is None
+        else np.asarray(covars, dtype=np.float64)
+    )
+    if provider == "device":
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _mm(a, b):
+            return jnp.matmul(
+                a.astype(jnp.float32), b.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        kw = dict(kw, matmul=lambda a, b: np.asarray(_mm(a, b), np.float64))
+    return glm_logistic_numpy(packed, num_samples, y, covars, **kw)

@@ -1,12 +1,16 @@
-"""`pgen-tpu glm`: per-variant linear association against a psam phenotype.
+"""`pgen-tpu glm`: per-variant association against a psam phenotype.
 
-plink2 `--glm` linear-regression analog (extension over the reference,
-which is a query/filter tool — /root/reference/README.md:3-5). For every
-kept variant, OLS of the phenotype on [intercept, covariates, alt-dosage]
-over that variant's complete cases (called genotypes) — no imputation,
-exactly plink2's ADD test. The per-variant moments are masked matmuls on
-the chosen provider (ops/glm.py: MXU on device, BLAS on host); the
-(k+2)-dim solves and Student-t p-values run batched on host f64.
+plink2 `--glm` analog (extension over the reference, which is a
+query/filter tool — /root/reference/README.md:3-5). For every kept
+variant, regression of the phenotype on [intercept, covariates,
+alt-dosage] over that variant's complete cases (called genotypes) — no
+imputation, exactly plink2's ADD test. Model choice follows plink2:
+case/control phenotypes (1/2 plink coding, or 0/1) run LOGISTIC
+(batched IRLS, ops/logistic.py; Wald Z, OR output), quantitative ones
+run LINEAR (closed-form OLS, ops/glm.py; Student-t); `--linear` /
+`--logistic` force either. The per-variant moments are masked matmuls
+on the chosen provider (MXU on device, BLAS on host); the (k+2)-dim
+solves and p-values run batched on host f64.
 
 Phenotype / covariates come from psam columns:
   - `--pheno-name` (default PHENO1): numeric; `NA`, `na`, `.`, `-9`, and
@@ -43,16 +47,46 @@ MISSING_CODES = {"", ".", "NA", "na", "nan", "NaN", "-9"}
 @dataclass
 class GlmRunResult:
     pheno_name: str
+    model: str  # "linear" | "logistic"
     num_variants: int
     num_samples: int  # analysis cohort size
     num_dropped: int  # kept samples excluded for missing pheno/covars
     n_obs: np.ndarray
     beta: np.ndarray
     se: np.ndarray
-    t_stat: np.ndarray
+    t_stat: np.ndarray  # T_STAT (linear) / Z_STAT (logistic)
     p: np.ndarray
     out_path: str | None
     timer: StageTimer = field(default_factory=StageTimer)
+
+
+def detect_model(y: np.ndarray, model: str) -> tuple:
+    """plink2 model choice: case/control phenotypes run logistic.
+
+    `model` is "auto" (logistic iff values are {1,2} plink coding or
+    already {0,1}), "linear", or "logistic". Returns (model, y) with
+    case/control recoded to 0/1 for the logistic path."""
+    if model not in ("auto", "linear", "logistic"):
+        raise ValueError(f"glm: unknown model {model!r}")
+    vals = np.unique(y[~np.isnan(y)])
+    is_12 = np.isin(vals, (1.0, 2.0)).all()
+    is_01 = np.isin(vals, (0.0, 1.0)).all()
+    if model == "linear":
+        return "linear", y
+    if model == "logistic":
+        if is_12 and not is_01:
+            return "logistic", y - 1.0
+        if not np.isin(vals, (0.0, 1.0)).all():
+            raise ValueError(
+                "glm: --logistic needs a case/control phenotype "
+                "(1/2 plink coding or 0/1)"
+            )
+        return "logistic", y
+    if is_12 and not is_01:
+        return "logistic", y - 1.0
+    if is_01:
+        return "logistic", y
+    return "linear", y
 
 
 def parse_numeric_column(values, colname: str) -> np.ndarray:
@@ -79,7 +113,7 @@ def parse_numeric_column(values, colname: str) -> np.ndarray:
     return out
 
 
-def glm_linear_pfile(
+def glm_pfile(
     pfile_prefix: str,
     pheno_name: str = "PHENO1",
     covar_names=(),
@@ -88,6 +122,7 @@ def glm_linear_pfile(
     out_file: str | None = None,
     provider: str = "auto",
     block_variants: int | None = None,
+    model: str = "auto",
     write: bool = True,
     out=None,
 ) -> GlmRunResult:
@@ -146,6 +181,7 @@ def glm_linear_pfile(
     )
     if np.nanstd(y) == 0:
         raise ValueError(f"glm: phenotype {pheno_name} is constant")
+    model, y = detect_model(y, model)
     if k:
         # fail fast on a globally collinear design (e.g. a constant
         # covariate): every variant would be unestimable (all-NA output)
@@ -159,19 +195,31 @@ def glm_linear_pfile(
     with timer.stage("gather", len(var_idx) * rec):
         kept = _gather_rows(records, var_idx)
 
-    from pgen_tpu.ops.glm import glm_moments, glm_solve
-
     subset = None if n_sam == header.num_samples else sam_idx.astype(np.int32)
     kw = {"block_variants": int(block_variants)} if block_variants else {}
-    with timer.stage("moments", kept.shape[0] * rec):
-        moments = glm_moments(
-            kept, header.num_samples, y, covars, provider=provider,
-            sample_idx=subset, **kw,
-        )
-    with timer.stage("solve"):
-        res = glm_solve(moments, k)
+    if model == "logistic":
+        from pgen_tpu.ops.logistic import glm_logistic
 
-    out_path = out_file or f"{pfile_prefix}.{pheno_name}.glm.linear"
+        with timer.stage("irls", kept.shape[0] * rec):
+            lres = glm_logistic(
+                kept, header.num_samples, y, covars, provider=provider,
+                sample_idx=subset, **kw,
+            )
+        res = lres  # n_obs/beta/se/z_stat/p (stat name differs only)
+        stat = lres.z_stat
+    else:
+        from pgen_tpu.ops.glm import glm_moments, glm_solve
+
+        with timer.stage("moments", kept.shape[0] * rec):
+            moments = glm_moments(
+                kept, header.num_samples, y, covars, provider=provider,
+                sample_idx=subset, **kw,
+            )
+        with timer.stage("solve"):
+            res = glm_solve(moments, k)
+        stat = res.t_stat
+
+    out_path = out_file or f"{pfile_prefix}.{pheno_name}.glm.{model}"
     if write:
         with timer.stage("emit"):
             import contextlib
@@ -186,19 +234,27 @@ def glm_linear_pfile(
                 if out is not None
                 else open(out_path, "w")
             )
+            if model == "logistic":
+                cols = "OR\tLOG(OR)_SE\tZ_STAT\tP"
+            else:
+                cols = "BETA\tSE\tT_STAT\tP"
             with cm as fh:
                 fh.write(
-                    "#CHROM\tPOS\tID\tREF\tALT\tA1\tTEST\tOBS_CT\t"
-                    "BETA\tSE\tT_STAT\tP\n"
+                    f"#CHROM\tPOS\tID\tREF\tALT\tA1\tTEST\tOBS_CT\t{cols}\n"
                 )
                 for r, v in enumerate(var_idx):
                     v = int(v)
                     if np.isnan(res.beta[r]):
                         tail = "NA\tNA\tNA\tNA"
+                    elif model == "logistic":
+                        tail = (
+                            f"{np.exp(res.beta[r]):.6g}\t{res.se[r]:.6g}\t"
+                            f"{stat[r]:.6g}\t{res.p[r]:.6g}"
+                        )
                     else:
                         tail = (
                             f"{res.beta[r]:.6g}\t{res.se[r]:.6g}\t"
-                            f"{res.t_stat[r]:.6g}\t{res.p[r]:.6g}"
+                            f"{stat[r]:.6g}\t{res.p[r]:.6g}"
                         )
                     fh.write(
                         f"{chroms[v]}\t{poss[v]}\t{ids[v]}\t{refs[v]}\t"
@@ -207,13 +263,14 @@ def glm_linear_pfile(
                     )
     return GlmRunResult(
         pheno_name=pheno_name,
+        model=model,
         num_variants=len(var_idx),
         num_samples=n_sam,
         num_dropped=dropped,
         n_obs=res.n_obs,
         beta=res.beta,
         se=res.se,
-        t_stat=res.t_stat,
+        t_stat=stat,
         p=res.p,
         out_path=None if out is not None else out_path,
         timer=timer,

@@ -245,6 +245,97 @@ def test_cli_glm_provider_parity(tmp_path):
             )
 
 
+def _logit_oracle(gv, yv, cv):
+    """Independent per-variant Newton logistic MLE + Wald SE."""
+    n = len(yv)
+    x = np.column_stack([np.ones(n), cv, gv])
+    b = np.zeros(x.shape[1])
+    h = None
+    for _ in range(60):
+        eta = np.clip(x @ b, -30, 30)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        h = x.T @ ((mu * (1 - mu))[:, None] * x)
+        step = np.linalg.solve(h, x.T @ (yv - mu))
+        b += step
+        if np.abs(step).max() < 1e-10:
+            break
+    se = np.sqrt(np.linalg.inv(h)[-1, -1])
+    return b[-1], se
+
+
+@pytest.mark.parametrize("k", [0, 2])
+def test_logistic_matches_oracle(k, tmp_path):
+    from pgen_tpu.ops.logistic import glm_logistic, normal_sf2
+
+    rng = np.random.default_rng(30 + k)
+    nv, ns = 25, 250
+    codes = rng.binomial(2, 0.35, size=(nv, ns)).astype(np.uint8)
+    codes[rng.random((nv, ns)) < 0.04] = 3
+    codes[0] = 3  # all-missing -> NA
+    codes[1] = 2  # zero dosage variance -> NA
+    covars = rng.normal(size=(ns, k))
+    logit = -0.2 + 0.7 * np.where(codes[5] == 3, 0, codes[5])
+    y = (rng.random(ns) < 1.0 / (1.0 + np.exp(-logit))).astype(float)
+    packed = _pack(codes, tmp_path)
+    res = glm_logistic(packed, ns, y, covars, block_variants=8)
+    for v in range(nv):
+        cal = codes[v] != 3
+        g = codes[v][cal].astype(float)
+        yv = y[cal]
+        if v in (0, 1) or np.var(g) == 0 or yv.sum() in (0, cal.sum()):
+            assert np.isnan(res.beta[v]), v
+            continue
+        b, se = _logit_oracle(g, yv, covars[cal])
+        np.testing.assert_allclose(res.beta[v], b, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(res.se[v], se, rtol=1e-4)
+        np.testing.assert_allclose(
+            res.p[v], normal_sf2(b / se), rtol=1e-3
+        )
+    assert res.p[5] < 0.01  # planted effect found
+    # single-class outcome gate
+    res1 = glm_logistic(packed, ns, np.ones(ns), covars, block_variants=8)
+    assert np.isnan(res1.beta).all()
+
+
+def test_normal_sf2_known_values():
+    from pgen_tpu.ops.logistic import normal_sf2
+
+    np.testing.assert_allclose(normal_sf2(0.0), 1.0, rtol=1e-14)
+    np.testing.assert_allclose(normal_sf2(1.959964), 0.05, rtol=1e-5)
+    np.testing.assert_allclose(normal_sf2(-2.575829), 0.01, rtol=1e-5)
+    assert np.isnan(normal_sf2(np.nan))
+
+
+def test_cli_glm_logistic_autodetect(tmp_path):
+    rng = np.random.default_rng(31)
+    nv, ns = 15, 120
+    codes = rng.binomial(2, 0.4, size=(nv, ns)).astype(np.uint8)
+    logit = -0.1 + 0.8 * codes[4]
+    case = rng.random(ns) < 1.0 / (1.0 + np.exp(-logit))
+    pheno = ["2" if c else "1" for c in case]  # plink 1/2 coding
+    prefix = _glm_fileset(tmp_path, codes, pheno)
+    out = str(tmp_path / "out.logi")
+    assert run_cli(["glm", prefix, "-o", out]) == 0
+    lines = (tmp_path / "out.logi").read_text().splitlines()
+    assert lines[0].endswith("OBS_CT\tOR\tLOG(OR)_SE\tZ_STAT\tP")
+    row4 = lines[5].split("\t")
+    b, se = _logit_oracle(
+        codes[4].astype(float), case.astype(float), np.zeros((ns, 0))
+    )
+    np.testing.assert_allclose(float(row4[8]), np.exp(b), rtol=1e-4)
+    np.testing.assert_allclose(float(row4[9]), se, rtol=1e-4)
+    # --linear forces OLS on the same phenotype
+    out2 = str(tmp_path / "out.lin")
+    assert run_cli(["glm", prefix, "-o", out2, "--linear"]) == 0
+    assert "BETA\tSE\tT_STAT" in (tmp_path / "out.lin").read_text(
+    ).splitlines()[0]
+    # --logistic on a non-binary phenotype errors
+    prefix2 = _glm_fileset(
+        tmp_path, codes, [f"{v:.4g}" for v in rng.normal(size=ns)]
+    )
+    assert run_cli(["glm", prefix2, "--logistic"]) == 1
+
+
 def test_cli_glm_errors(tmp_path):
     rng = np.random.default_rng(13)
     codes = rng.integers(0, 3, size=(5, 6), dtype=np.uint8)
