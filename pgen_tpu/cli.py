@@ -418,6 +418,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     sc.add_argument("--score-col-nums", dest="score_col_nums", default="3",
                     help="1-based weight columns, comma/range list "
                          "(e.g. '3-5,7'; default 3). One score per column.")
+    sc.add_argument("--header-row", dest="header_row", default="auto",
+                    choices=("auto", "yes", "no"),
+                    help="Whether line 1 of --score is a header (default "
+                         "auto: header iff every weight cell and the ID "
+                         "cell are non-numeric and no weight cell is a "
+                         "missing token like NA).")
     sc.add_argument("--no-mean-imputation", dest="mean_impute",
                     action="store_false",
                     help="Missing calls contribute 0 and shrink that "
@@ -1041,6 +1047,7 @@ def main(argv=None) -> int:
                 var_id_col=args.variant_id_col,
                 allele_col=args.allele_col,
                 weight_cols=parse_col_nums(args.score_col_nums),
+                header_row=args.header_row,
                 var_query=apply_exclude(
                     apply_regions(args.var_query, args.regions, args.regions_file),
                     args.var_exclude,

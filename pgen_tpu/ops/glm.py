@@ -64,6 +64,19 @@ class GlmResult(NamedTuple):
     p: np.ndarray  # (V,) f64
 
 
+def _centered(y: np.ndarray, covars: np.ndarray):
+    """Shift y and each covariate to cohort mean zero before building the
+    moment columns. The dosage BETA/SE/T are invariant to these shifts
+    (the intercept absorbs them, per-variant complete-case subsets
+    included), while the moment magnitudes drop by orders of magnitude —
+    this is what keeps the f32 device accumulation well conditioned for
+    large-magnitude covariates (e.g. birth years ~2000). Applied in every
+    provider so cross-provider moment-parity holds."""
+    yc = y - y.mean() if y.size else y
+    cc = covars - covars.mean(axis=0) if covars.size else covars
+    return yc, cc
+
+
 def _moment_columns(y: np.ndarray, covars: np.ndarray) -> np.ndarray:
     """(S, P) columns whose masked sums fill the normal equations:
     [1, c_1..c_k, y, y^2, y*c_i..., upper-tri c_i*c_j...]."""
@@ -99,6 +112,7 @@ def glm_moments_numpy(
             f"glm: y {y.shape} / covars {covars.shape} do not match "
             f"{ns} samples"
         )
+    y, covars = _centered(y, covars)
     pcols = _moment_columns(y, covars)  # (S, P)
     q = np.concatenate([y[:, None], covars], axis=1)  # (S, k+1)
     n = np.empty(nvar, dtype=np.float64)
@@ -183,6 +197,7 @@ def glm_moments_device(
 ) -> GlmMoments:
     y = np.asarray(y, dtype=np.float64)
     covars = np.asarray(covars, dtype=np.float64)
+    y, covars = _centered(y, covars)
     pcols = _moment_columns(y, covars).astype(np.float32)
     q = np.concatenate([y[:, None], covars], axis=1).astype(np.float32)
     ns = y.shape[0]
@@ -264,6 +279,7 @@ def build_glm_mesh_step(
     interpret = is_interpret_backend()
     y = np.asarray(y, dtype=np.float64)
     covars = np.asarray(covars, dtype=np.float64)
+    y, covars = _centered(y, covars)
     pcols = _moment_columns(y, covars).astype(np.float32)
     q = np.concatenate([y[:, None], covars], axis=1).astype(np.float32)
     sel = None if sample_idx is None else np.asarray(sample_idx, np.int32)
@@ -362,7 +378,8 @@ def glm_solve(moments: GlmMoments, num_covars: int) -> GlmResult:
             s = np.sqrt(var_g)
             tt = bsel / s
             pp = t_sf2(tt, df[idx])
-        good = ok[idx] & np.isfinite(s) & (zg[:, d - 1] > 0)
+        # s > 0 NA's exact fits (rss == 0 -> SE 0, T inf) like plink2
+        good = ok[idx] & np.isfinite(s) & (s > 0) & (zg[:, d - 1] > 0)
         beta[idx] = np.where(good, bsel, np.nan)
         se[idx] = np.where(good, s, np.nan)
         t[idx] = np.where(good, tt, np.nan)

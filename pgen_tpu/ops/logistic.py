@@ -274,4 +274,8 @@ def glm_logistic(
             )
 
         kw = dict(kw, matmul=lambda a, b: np.asarray(_mm(a, b), np.float64))
+        # f32 moment noise in the gradient can exceed the host step
+        # tolerance for large cohorts; a provider-matched tol keeps
+        # device convergence decisions aligned with the numpy provider
+        kw.setdefault("tol", 1e-5)
     return glm_logistic_numpy(packed, num_samples, y, covars, **kw)

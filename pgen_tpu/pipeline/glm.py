@@ -14,7 +14,10 @@ solves and p-values run batched on host f64.
 
 Phenotype / covariates come from psam columns:
   - `--pheno-name` (default PHENO1): numeric; `NA`, `na`, `.`, `-9`, and
-    empty cells mark the sample missing (plink2's missing codes).
+    empty cells mark the sample missing (plink2's missing codes). A
+    phenotype whose non-missing values are {0,1,2} with both 1 and 2
+    present uses plink2's case/control coding: 0 = missing (dropped),
+    1 = control, 2 = case -> logistic.
   - `--covar-name A,B,...`: numeric, with `M`/`F` (any case) accepted as
     1/2 for sex-style columns; missing codes as above.
 Samples missing the phenotype or any covariate are dropped from the
@@ -158,6 +161,27 @@ def glm_pfile(
         complete = ~np.isnan(y_all)
         for c in cov_all:
             complete &= ~np.isnan(c)
+        if model != "linear":
+            # plink2 case/control coding: a {0,1,2}-valued phenotype with
+            # both 1 and 2 present means 0 = missing, 1 = control,
+            # 2 = case (plink2's default missing pheno code is 0 for
+            # case/control). Drop the 0s so detect_model sees {1,2}.
+            prov = y_all[sam_mask & complete]
+            vals = np.unique(prov)
+            if (
+                vals.size
+                and np.isin(vals, (0.0, 1.0, 2.0)).all()
+                and 1.0 in vals
+                and 2.0 in vals
+                and 0.0 in vals
+            ):
+                n_zero = int((prov == 0.0).sum())
+                log.warning(
+                    "glm: %s looks case/control (values 0/1/2); treating "
+                    "0 as missing per plink coding (%d sample(s) dropped)",
+                    pheno_name, n_zero,
+                )
+                complete &= y_all != 0.0
         kept_before = int(sam_mask.sum())
         sam_mask = sam_mask & complete
         sam_idx = np.flatnonzero(sam_mask)

@@ -105,8 +105,13 @@ def read_score_file(
     var_id_col: int = 1,
     allele_col: int = 2,
     weight_cols=(3,),
+    header_row: str = "auto",
 ) -> ScoreTable:
-    """Parse the scoring table; 1-based column indices, plink2-style."""
+    """Parse the scoring table; 1-based column indices, plink2-style.
+    `header_row` is "auto" (heuristic below), "yes", or "no"."""
+    if header_row not in ("auto", "yes", "no"):
+        raise ValueError(f"score: header_row must be auto/yes/no, "
+                         f"got {header_row!r}")
     cols = [var_id_col, allele_col, *weight_cols]
     if min(cols) < 1:
         raise ValueError("score: column numbers are 1-based")
@@ -125,7 +130,20 @@ def read_score_file(
             f"score: {path} line 1 has {len(first)} fields, need {need}"
         )
     start = 0
-    if _parse_float(first[weight_cols[0] - 1]) is None:  # header line
+    # Header heuristic: line 1 is a header only if EVERY weight cell
+    # fails to parse as a number, none of them is a missing-value token
+    # (a headerless file whose first weight is 'NA' is data with a bad
+    # cell, reported below — not a header to drop silently), and the ID
+    # cell is non-numeric too (guards numeric column names like '2019'
+    # from swallowing a data row).
+    missing_tokens = {"NA", "na", "N/A", ".", ""}
+    w_first = [first[c - 1] for c in weight_cols]
+    is_header = (
+        all(_parse_float(w) is None for w in w_first)
+        and not any(w in missing_tokens for w in w_first)
+        and _parse_float(first[var_id_col - 1]) is None
+    ) if header_row == "auto" else (header_row == "yes")
+    if is_header:
         names = [first[c - 1] for c in weight_cols]
         start = 1
     for lineno, ln in enumerate(lines[start:], start + 1):
@@ -138,9 +156,15 @@ def read_score_file(
         for c in weight_cols:
             v = _parse_float(f[c - 1])
             if v is None:
+                hint = (
+                    " (line 1 is treated as data because its ID/weight "
+                    "cells look numeric or missing-valued; pass "
+                    "--header-row to force a header)"
+                    if lineno == 1 else ""
+                )
                 raise ValueError(
                     f"score: {path} line {lineno} col {c}: "
-                    f"{f[c - 1]!r} is not a number"
+                    f"{f[c - 1]!r} is not a number{hint}"
                 )
             w.append(v)
         ids.append(f[var_id_col - 1])
@@ -161,6 +185,7 @@ def score_pfile(
     var_id_col: int = 1,
     allele_col: int = 2,
     weight_cols=(3,),
+    header_row: str = "auto",
     var_query: str | None = None,
     sam_query: str | None = None,
     out_file: str | None = None,
@@ -177,7 +202,8 @@ def score_pfile(
     timer = StageTimer()
 
     with timer.stage("score_file"):
-        table = read_score_file(score_file, var_id_col, allele_col, weight_cols)
+        table = read_score_file(score_file, var_id_col, allele_col,
+                                weight_cols, header_row)
 
     header = read_pgen_header(f"{pfile_prefix}.pgen")
     pvar = read_metadata(f"{pfile_prefix}.pvar")

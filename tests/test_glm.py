@@ -336,6 +336,97 @@ def test_cli_glm_logistic_autodetect(tmp_path):
     assert run_cli(["glm", prefix2, "--logistic"]) == 1
 
 
+def test_cli_glm_012_pheno_zero_is_missing(tmp_path):
+    # plink2 case/control coding: {0,1,2}-valued phenotype means
+    # 0 = missing, 1 = control, 2 = case -> logistic over the non-zeros
+    rng = np.random.default_rng(44)
+    nv, ns = 10, 150
+    codes = rng.binomial(2, 0.4, size=(nv, ns)).astype(np.uint8)
+    logit = -0.1 + 0.9 * codes[4]
+    case = rng.random(ns) < 1.0 / (1.0 + np.exp(-logit))
+    pheno = ["2" if c else "1" for c in case]
+    miss = [3, 17, 40, 99]
+    for i in miss:
+        pheno[i] = "0"
+    prefix = _glm_fileset(tmp_path, codes, pheno)
+    out = str(tmp_path / "out.logi")
+    assert run_cli(["glm", prefix, "-o", out]) == 0
+    lines = (tmp_path / "out.logi").read_text().splitlines()
+    assert lines[0].endswith("OBS_CT\tOR\tLOG(OR)_SE\tZ_STAT\tP")  # logistic
+    keep = np.ones(ns, bool)
+    keep[miss] = False
+    row4 = lines[5].split("\t")
+    assert int(row4[7]) == ns - len(miss)
+    b, se = _logit_oracle(
+        codes[4, keep].astype(float), case[keep].astype(float),
+        np.zeros((keep.sum(), 0)),
+    )
+    np.testing.assert_allclose(float(row4[8]), np.exp(b), rtol=1e-4)
+    np.testing.assert_allclose(float(row4[9]), se, rtol=1e-4)
+
+
+def test_glm_device_centering_large_covars(tmp_path):
+    # uncentered f32 moments with birth-year-scale covariates would lose
+    # ~7 digits to cancellation; centering keeps the device path usable
+    rng = np.random.default_rng(45)
+    nv, ns = 30, 200
+    codes = rng.binomial(2, 0.3, size=(nv, ns)).astype(np.uint8)
+    y = 170.0 + rng.normal(size=ns) * 10.0
+    covars = np.column_stack([
+        2000.0 + rng.integers(-30, 30, size=ns).astype(float),
+        50.0 + rng.normal(size=ns),
+    ])
+    packed = _pack(codes, tmp_path)
+    ref = glm_solve(glm_moments_numpy(packed, ns, y, covars), 2)
+    got = glm_solve(
+        glm_moments_device(packed, ns, y, covars, interpret=True), 2
+    )
+    np.testing.assert_allclose(got.beta, ref.beta, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(got.se, ref.se, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(got.t_stat, ref.t_stat, rtol=5e-3, atol=1e-3)
+
+
+def test_glm_logistic_device_matches_numpy(tmp_path):
+    from pgen_tpu.ops.logistic import glm_logistic
+
+    rng = np.random.default_rng(46)
+    nv, ns = 20, 180
+    codes = rng.binomial(2, 0.35, size=(nv, ns)).astype(np.uint8)
+    codes[rng.random((nv, ns)) < 0.03] = 3
+    covars = rng.normal(size=(ns, 2))
+    logit = -0.2 + 0.6 * np.where(codes[3] == 3, 0, codes[3])
+    y = (rng.random(ns) < 1.0 / (1.0 + np.exp(-logit))).astype(float)
+    packed = _pack(codes, tmp_path)
+    ref = glm_logistic(packed, ns, y, covars, provider="numpy")
+    got = glm_logistic(packed, ns, y, covars, provider="device")
+    nan_ref = np.isnan(ref.beta)
+    np.testing.assert_array_equal(np.isnan(got.beta), nan_ref)
+    ok = ~nan_ref
+    np.testing.assert_allclose(got.beta[ok], ref.beta[ok], rtol=1e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(got.se[ok], ref.se[ok], rtol=1e-3, atol=1e-5)
+
+
+def test_glm_solve_perfect_fit_is_na():
+    # y exactly collinear with [1, g]: rss == 0 -> SE 0 -> NA (not inf),
+    # matching plink2's NA for degenerate tests. Exact-arithmetic moments
+    # (powers of two) make the zero residual deterministic.
+    from pgen_tpu.ops.glm import GlmMoments
+
+    m = GlmMoments(
+        n=np.array([4.0]),
+        mp=np.array([[4.0, 4.0, 8.0]]),  # [n, sum y, sum y^2], y = g
+        gq=np.array([[8.0]]),  # sum g*y
+        sg=np.array([4.0]),
+        sg2=np.array([8.0]),
+    )
+    res = glm_solve(m, 0)
+    assert np.isnan(res.beta[0])
+    assert np.isnan(res.se[0])
+    assert np.isnan(res.t_stat[0])
+    assert np.isnan(res.p[0])
+
+
 def test_cli_glm_errors(tmp_path):
     rng = np.random.default_rng(13)
     codes = rng.integers(0, 3, size=(5, 6), dtype=np.uint8)

@@ -140,6 +140,31 @@ def test_read_score_file_header_autodetect(tmp_path):
     assert t2.names == ["SCORE1"] and t2.ids == ["rs1", "rs2"]
 
 
+def test_read_score_file_header_heuristic_hardening(tmp_path):
+    # headerless file whose first weight cell is a missing token must NOT
+    # be silently reclassified as a header (dropping the row) — it is a
+    # data row with a bad cell, reported as such
+    p = tmp_path / "na.tsv"
+    p.write_text("rs1\tG\tNA\nrs2\tA\t0.5\n")
+    with pytest.raises(ValueError, match="line 1.*not a number"):
+        read_score_file(str(p))
+    # numeric ID cell on line 1 -> data, even though the weight cell
+    # fails to parse (guards against numeric-named fabrication)
+    p2 = tmp_path / "numid.tsv"
+    p2.write_text("1234\tG\tNA\nrs2\tA\t0.5\n")
+    with pytest.raises(ValueError, match="line 1.*not a number"):
+        read_score_file(str(p2))
+    # explicit override wins both ways
+    p3 = tmp_path / "force.tsv"
+    p3.write_text("ID\tA1\t2019\nrs1\tG\t0.5\n")
+    t = read_score_file(str(p3), header_row="yes")
+    assert t.names == ["2019"] and t.ids == ["rs1"]
+    t2 = read_score_file(str(p3), header_row="no")
+    assert t2.names == ["SCORE1"] and t2.ids == ["ID", "rs1"]
+    with pytest.raises(ValueError, match="header_row"):
+        read_score_file(str(p3), header_row="maybe")
+
+
 def test_read_score_file_errors(tmp_path):
     p = tmp_path / "bad.tsv"
     p.write_text("rs1\tG\t0.5\nrs1\tG\t0.25\n")
