@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: chr22-scale filter wall-clock vs the reference.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (headline keys only, sized to survive a
+tail-window capture) and writes the full detail record — runs lists,
+notes, every sub-bench key — to bench_detail.json next to this file:
   {"metric": "chr22_keep_all_filter_wall_s", "value": <warm median s>,
-   "unit": "s", "vs_baseline": <ref_s / ours_s>, ...detail fields}
+   "unit": "s", "vs_baseline": <ref_s / ours_s>, ...headline fields,
+   "detail_file": "bench_detail.json"}
+
+The headline fixture is the REALISTIC-frequency one (mostly hom-ref,
+like real chr22); the uniform-bytes fixture is reported alongside.
 
 Baselines (BASELINE.md, /root/reference/README.md:162-189):
   keep-all chr22 filter -> VCF : 30.747 s   (the flagship, output-bound)
@@ -17,14 +23,17 @@ same-size output file's pages. `keep_all_cold_s` deletes the output first
 (pays kernel page allocation, ~0.25 GB/s on this VM); the headline value
 is the WARM median (`headline_is_warm: true` says so in the output).
 
-Fixtures: the headline runs use uniform random packed bytes (fast
-generation, throughput-equivalent); `keep_all_realistic_s` repeats keep-all
-on a realistic-frequency fixture (mostly hom-ref, like real chr22).
+Scaling: `scaling_2worker_efficiency` = median(1-worker) / (2 x
+median(2-worker)) over the process-shard path (filter --workers N), the
+single-host stand-in for 2-host scaling. CAVEAT: this VM has 2 cores and
+hypervisor-lazy page backing, so worker runs pay first-touch backing each
+time; the ratio is same-structure and honest, the absolute times are not
+comparable to the in-process warm numbers.
 
 Env knobs: PGEN_BENCH_VARIANTS (default 1103547), BENCH_RUNS (default 5),
 PGEN_BENCH_PROVIDER (default native), PGEN_BENCH_REALISTIC=0 to skip,
-PGEN_BENCH_DEVICE=0 to skip the device-mesh e2e row, PGEN_BENCH_KERNEL=0
-to skip kernel microbenches.
+PGEN_BENCH_SCALING=0 to skip, PGEN_BENCH_DEVICE=0 to skip the device-mesh
+e2e row, PGEN_BENCH_KERNEL=0 to skip kernel microbenches.
 """
 
 import json
@@ -165,10 +174,43 @@ def main():
             os.unlink(imp_prefix + suf)
         os.sync()
 
-    # realistic-frequency fixture (mostly hom-ref): warm timed runs. Drop
+    # 2-worker scaling (process-shard path, the single-host stand-in for
+    # 2-host scaling; BASELINE.md ">=80% at 2 hosts"). Rewrites `out` with
+    # identical bytes via per-worker pwrite.
+    scaling_row = {}
+    if os.environ.get("PGEN_BENCH_SCALING", "1") == "1":
+        from pgen_tpu.parallel.shard import filter_to_vcf_parallel
+
+        sruns = max(3, runs - 2)
+        filter_to_vcf_parallel(prefix, out_file=out, num_workers=2)  # warm
+        w1 = _timed_runs(
+            lambda: filter_to_vcf_parallel(prefix, out_file=out, num_workers=1),
+            sruns, warmups=0,
+        )
+        w2 = _timed_runs(
+            lambda: filter_to_vcf_parallel(prefix, out_file=out, num_workers=2),
+            sruns, warmups=0,
+        )
+        m1, m2 = statistics.median(w1), statistics.median(w2)
+        scaling_row = {
+            "scaling_w1_s": round(m1, 3),
+            "scaling_w2_s": round(m2, 3),
+            "scaling_w1_runs_s": [round(t, 3) for t in w1],
+            "scaling_w2_runs_s": [round(t, 3) for t in w2],
+            "scaling_2worker_efficiency": round(m1 / (2 * m2), 3),
+            "scaling_note": "process-shard path (filter --workers N) on a "
+            "2-core VM with hypervisor-lazy page backing: each worker run "
+            "pays first-touch backing, so absolute times exceed the "
+            "in-process warm numbers; the 1-vs-2 ratio is same-structure",
+        }
+        os.sync()
+
+    # realistic-frequency fixture (mostly hom-ref, like real chr22): the
+    # HEADLINE config, same warm treatment as the uniform fixture. Drop
     # the uniform fixture's 11 GB output first — two multi-GB outputs
     # fighting for page cache contaminate each other's timings.
     realistic = None
+    realistic_times = []
     if os.environ.get("PGEN_BENCH_REALISTIC", "1") == "1":
         if os.path.exists(out):
             os.unlink(out)
@@ -185,7 +227,8 @@ def main():
         def run_realistic():
             return filter_to_vcf(rprefix, out_file=rout, provider=provider)
 
-        realistic = statistics.median(_timed_runs(run_realistic, max(2, runs - 3)))
+        realistic_times = _timed_runs(run_realistic, runs, warmups=2)
+        realistic = statistics.median(realistic_times)
         os.unlink(rout)  # free the page cache for the remaining rows
         os.sync()
 
@@ -219,8 +262,17 @@ def main():
         "keep_two_vs_baseline": round(BASELINE_KEEP_TWO_S / keep_two, 2),
         "keep_two_runs_s": [round(t, 3) for t in keep_two_times],
         **import_row,
+        **scaling_row,
         **(
-            {"keep_all_realistic_s": round(realistic, 3)}
+            {
+                "keep_all_realistic_s": round(realistic, 3),
+                "keep_all_realistic_runs_s": [
+                    round(t, 3) for t in realistic_times
+                ],
+                "keep_all_realistic_vs_baseline": round(
+                    BASELINE_KEEP_ALL_S / realistic, 2
+                ),
+            }
             if realistic is not None
             else {}
         ),
@@ -253,17 +305,42 @@ def main():
     if os.environ.get("PGEN_BENCH_MXU", "1") == "1":
         detail.update(_subprocess_row("--mxu-bench", "mxu", 900))
 
-    print(
-        json.dumps(
-            {
-                "metric": "chr22_keep_all_filter_wall_s",
-                "value": round(keep_all, 3),
-                "unit": "s",
-                "vs_baseline": round(BASELINE_KEEP_ALL_S / keep_all, 2),
-                **detail,
-            }
-        )
-    )
+    # headline = realistic-frequency fixture (the honest chr22 stand-in);
+    # falls back to the uniform fixture when realistic is skipped
+    headline = realistic if realistic is not None else keep_all
+    full = {
+        "metric": "chr22_keep_all_filter_wall_s",
+        "value": round(headline, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_KEEP_ALL_S / headline, 2),
+        "headline_fixture": (
+            "realistic-frequency" if realistic is not None else "uniform"
+        ),
+        **detail,
+    }
+    detail_path = REPO / "bench_detail.json"
+    detail_path.write_text(json.dumps(full, indent=1) + "\n")
+
+    # ONE compact line on stdout: headline keys only, sized well under a
+    # tail-window capture (~2 KB) so the archived record always parses
+    compact_keys = [
+        "metric", "value", "unit", "vs_baseline", "headline_fixture",
+        "keep_all_realistic_s", "keep_all_realistic_vs_baseline",
+        "keep_all_warm_s", "keep_all_min_s", "keep_two_wall_s",
+        "keep_two_vs_baseline", "scaling_w1_s", "scaling_w2_s",
+        "scaling_2worker_efficiency", "emit_gbps", "output_gb", "variants",
+        "samples", "provider", "import_gbps", "device_e2e_wall_s",
+        "device_e2e_variants_per_s", "unpack_kernel_fused_gbps",
+        "unpack_kernel_fused_pct_hbm_peak", "unpack_kernel_step_mvar_s",
+        "unpack_kernel_kernel_compile_ok", "mxu_king_tflops",
+        "mxu_king_pct_bf16_peak", "baseline_keep_all_s",
+    ]
+    compact = {k: full[k] for k in compact_keys if k in full}
+    for k, v in full.items():
+        if k.endswith("_error"):
+            compact[k] = v
+    compact["detail_file"] = str(detail_path.name)
+    print(json.dumps(compact))
 
 
 def _subprocess_row(flag: str, prefix: str, timeout_s: int) -> dict:

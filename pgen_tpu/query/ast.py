@@ -17,6 +17,19 @@ class ExprError(ValueError):
     """Runtime expression evaluation error (evalexpr EvalexprError parity)."""
 
 
+class _Empty:
+    """evalexpr Value::Empty singleton: the value of ``()`` and of a
+    ``;``-terminated expression chain."""
+
+    __slots__ = ()
+
+    def __repr__(self):
+        return "()"
+
+
+EMPTY = _Empty()
+
+
 class ParseError(ExprError):
     """Expression syntax error."""
 
@@ -52,6 +65,37 @@ class Call:
     args: tuple
 
 
+@dataclass(frozen=True)
+class TupleExpr:
+    """evalexpr tuple aggregation: ``a, b, c``. ``grouped`` marks a
+    parenthesized tuple so a following ``,`` nests instead of flattening
+    (``(1, 2), 3`` is a 2-tuple whose head is a 2-tuple)."""
+
+    items: tuple
+    grouped: bool = False
+
+
+@dataclass(frozen=True)
+class Chain:
+    """evalexpr ``;`` expression chain: value = last expression's value,
+    or Empty when the chain ends with ``;``."""
+
+    exprs: tuple
+    trailing: bool = False
+
+
+@dataclass(frozen=True)
+class Assign:
+    """Assignment operator (``= += -= *= /= %= ^= &&= ||=``). The
+    reference evaluates against an immutable context reference
+    (/root/reference/src/pfile.rs:93-97), where evalexpr rejects every
+    assignment at eval time — so this node always errors when evaluated."""
+
+    op: str
+    target: object  # usually Var; anything else errors like evalexpr
+    value: object
+
+
 def walk(node):
     """Yield every node in the expression tree."""
     yield node
@@ -63,6 +107,15 @@ def walk(node):
     elif isinstance(node, Call):
         for a in node.args:
             yield from walk(a)
+    elif isinstance(node, TupleExpr):
+        for a in node.items:
+            yield from walk(a)
+    elif isinstance(node, Chain):
+        for a in node.exprs:
+            yield from walk(a)
+    elif isinstance(node, Assign):
+        yield from walk(node.target)
+        yield from walk(node.value)
 
 
 def variables(node) -> set:

@@ -22,7 +22,18 @@ from __future__ import annotations
 
 import math
 
-from pgen_tpu.query.ast import Binary, Call, ExprError, Lit, Unary, Var
+from pgen_tpu.query.ast import (
+    EMPTY,
+    Assign,
+    Binary,
+    Call,
+    Chain,
+    ExprError,
+    Lit,
+    TupleExpr,
+    Unary,
+    Var,
+)
 from pgen_tpu.query.parser import parse
 
 
@@ -35,6 +46,10 @@ def _type_name(v) -> str:
         return "Float"
     if isinstance(v, str):
         return "String"
+    if isinstance(v, tuple):
+        return "Tuple"
+    if v is EMPTY:
+        return "Empty"
     return type(v).__name__
 
 
@@ -60,6 +75,12 @@ def _values_equal(a, b) -> bool:
         return type(a) is type(b) and a == b
     if isinstance(a, str) and isinstance(b, str):
         return a == b
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(
+            _values_equal(x, y) for x, y in zip(a, b)
+        )
+    if a is EMPTY and b is EMPTY:
+        return True
     return False
 
 
@@ -100,6 +121,22 @@ def eval_value(node, context: dict):
     if isinstance(node, Call):
         args = [eval_value(arg, context) for arg in node.args]
         return _call_builtin(node.name, args)
+    if isinstance(node, TupleExpr):
+        return tuple(eval_value(item, context) for item in node.items)
+    if isinstance(node, Chain):
+        v = EMPTY
+        for e in node.exprs:
+            v = eval_value(e, context)
+        return EMPTY if node.trailing else v
+    if isinstance(node, Assign):
+        # the reference evaluates with an immutable context reference
+        # (pfile.rs:93-97, eval_*_with_context &ctx): evalexpr rejects
+        # every assignment there with ContextNotMutable
+        raise ExprError(
+            f"{node.op}: the context is immutable "
+            "(evalexpr ContextNotMutable: assignments are not allowed "
+            "in include/fstring expressions)"
+        )
     raise ExprError(f"unknown AST node {node!r}")
 
 
@@ -163,6 +200,27 @@ _STR_FUNCS = {
     "str::trim": lambda s: s.strip(),
 }
 
+
+def _display(v) -> str:
+    """str::from formatting: top-level strings stay raw (round-2 pinned
+    behavior), booleans are true/false, floats keep their repr, tuples
+    format as "(a, b)" with nested strings quoted, Empty is "()"."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, tuple):
+        return "(" + ", ".join(_display_inner(x) for x in v) + ")"
+    if v is EMPTY:
+        return "()"
+    return str(v)
+
+
+def _display_inner(v) -> str:
+    if isinstance(v, str):
+        return '"' + v + '"'
+    return _display(v)
+
 # evalexpr's regex builtins are backed by the Rust `regex` crate; Python
 # `re` covers the same common syntax (character classes, anchors,
 # alternation, repetition). Differences only appear in exotic constructs
@@ -185,12 +243,117 @@ def _regex_replace(s: str, pattern: str, repl: str) -> str:
         raise ExprError(f"str::regex_replace: invalid regex {pattern!r}: {e}")
 
 
+# ---- Rust f64 semantics for the math:: builtins -------------------------
+# evalexpr backs math:: with Rust f64 methods, which return NaN/inf on
+# domain violations instead of erroring (e.g. (-1.0).sqrt() is NaN,
+# (0.0).ln() is -inf); Python's math module raises — these wrappers restore
+# the Rust behavior.
+
+
+def _rust_f(fn, *xs):
+    try:
+        return float(fn(*(float(x) for x in xs)))
+    except ValueError:
+        return math.nan
+    except OverflowError:
+        return math.inf
+
+
+def _rust_log(x: float, ln_fn) -> float:
+    x = float(x)
+    if x == 0.0:
+        return -math.inf
+    if x < 0.0 or math.isnan(x):
+        return math.nan
+    return ln_fn(x)
+
+
+def _rust_atanh(x: float) -> float:
+    x = float(x)
+    if x == 1.0:
+        return math.inf
+    if x == -1.0:
+        return -math.inf
+    return _rust_f(math.atanh, x)
+
+
+def _rust_pow(x: float, y: float) -> float:
+    x, y = float(x), float(y)
+    if x == 0.0 and y < 0.0 and not math.isnan(y):
+        return math.copysign(math.inf, 1.0 if not _neg_zero(x) else -1.0)
+    return _rust_f(math.pow, x, y)
+
+
+def _neg_zero(x: float) -> bool:
+    return x == 0.0 and math.copysign(1.0, x) < 0
+
+
+def _rust_round(x: float) -> float:
+    # f64::round: nearest, ties away from zero (Python's round() is
+    # banker's rounding — wrong parity here)
+    x = float(x)
+    if not math.isfinite(x):
+        return x
+    return math.copysign(math.floor(abs(x) + 0.5), x)
+
+
+# one-arg math:: functions: name -> Rust-semantics float fn
+_MATH_1 = {
+    "math::ln": lambda x: _rust_log(x, math.log),
+    "math::log2": lambda x: _rust_log(x, math.log2),
+    "math::log10": lambda x: _rust_log(x, math.log10),
+    "math::exp": lambda x: _rust_f(math.exp, x),
+    "math::exp2": lambda x: _rust_f(lambda v: 2.0 ** v, x),
+    "math::sqrt": lambda x: _rust_f(math.sqrt, x),
+    "math::cbrt": lambda x: _rust_f(math.cbrt, x),
+    "math::sin": lambda x: _rust_f(math.sin, x),
+    "math::cos": lambda x: _rust_f(math.cos, x),
+    "math::tan": lambda x: _rust_f(math.tan, x),
+    "math::asin": lambda x: _rust_f(math.asin, x),
+    "math::acos": lambda x: _rust_f(math.acos, x),
+    "math::atan": lambda x: _rust_f(math.atan, x),
+    "math::sinh": lambda x: _rust_f(math.sinh, x),
+    "math::cosh": lambda x: _rust_f(math.cosh, x),
+    "math::tanh": lambda x: _rust_f(math.tanh, x),
+    "math::asinh": lambda x: _rust_f(math.asinh, x),
+    "math::acosh": lambda x: _rust_f(math.acosh, x),
+    "math::atanh": _rust_atanh,
+}
+
+# one-arg math:: predicates: Boolean results
+_MATH_PRED = {
+    "math::is_nan": lambda x: math.isnan(float(x)),
+    "math::is_finite": lambda x: math.isfinite(float(x)),
+    "math::is_infinite": lambda x: math.isinf(float(x)),
+    "math::is_normal": lambda x: (
+        math.isfinite(float(x))
+        and float(x) != 0.0
+        and abs(float(x)) >= 2.2250738585072014e-308  # f64::MIN_POSITIVE
+    ),
+}
+
+_I64_MASK = (1 << 64) - 1
+
+
+def _as_i64(v, name):
+    if not isinstance(v, int) or isinstance(v, bool):
+        raise ExprError(f"{name}: expected Int, got {_type_name(v)}")
+    return v
+
+
+def _wrap_i64(v: int) -> int:
+    v &= _I64_MASK
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _call_builtin(name, args):
     if name == "len":
         (v,) = _arity(name, args, 1)
         if isinstance(v, str):
             return len(v)
-        raise ExprError(f"len: expected String, got {_type_name(v)}")
+        if isinstance(v, tuple):
+            return len(v)
+        raise ExprError(f"len: expected String or Tuple, got {_type_name(v)}")
     if name in _STR_FUNCS:
         (v,) = _arity(name, args, 1)
         if not isinstance(v, str):
@@ -205,16 +368,46 @@ def _call_builtin(name, args):
         return min(args) if name == "min" else max(args)
     if name == "str::from":
         (v,) = _arity(name, args, 1)
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        if isinstance(v, float):
-            return repr(v)
-        return str(v)
+        return _display(v)
     if name == "contains":
         a, b = _arity(name, args, 2)
         if isinstance(a, str) and isinstance(b, str):
             return b in a
-        raise ExprError("contains: expected two Strings")
+        if isinstance(a, tuple):
+            # evalexpr: tuple membership, variant-tagged equality
+            return any(_values_equal(x, b) for x in a)
+        raise ExprError(
+            "contains: expected (String, String) or (Tuple, value), got "
+            f"({_type_name(a)}, {_type_name(b)})"
+        )
+    if name == "contains_any":
+        a, b = _arity(name, args, 2)
+        if not isinstance(b, tuple):
+            raise ExprError(
+                f"contains_any: expected a Tuple of candidates, got "
+                f"{_type_name(b)}"
+            )
+        if isinstance(a, str):
+            # any candidate substring occurs in the string
+            for cand in b:
+                if not isinstance(cand, str):
+                    raise ExprError(
+                        "contains_any: String haystack needs String "
+                        f"candidates, got {_type_name(cand)}"
+                    )
+                if cand in a:
+                    return True
+            return False
+        if isinstance(a, tuple):
+            return any(
+                any(_values_equal(x, y) for y in b) for x in a
+            )
+        raise ExprError(
+            f"contains_any: expected String or Tuple, got {_type_name(a)}"
+        )
+    if name == "typeof":
+        (v,) = _arity(name, args, 1)
+        return _type_name(v).lower()
     if name == "str::regex_matches":
         a, b = _arity(name, args, 2)
         if isinstance(a, str) and isinstance(b, str):
@@ -245,6 +438,72 @@ def _call_builtin(name, args):
         if _is_num(v):
             return float(math.ceil(v))
         raise ExprError("ceil: expected a number")
+    if name == "round":
+        (v,) = _arity(name, args, 1)
+        if _is_num(v):
+            return _rust_round(v)
+        raise ExprError("round: expected a number")
+    if name in _MATH_1:
+        (v,) = _arity(name, args, 1)
+        if _is_num(v):
+            return _MATH_1[name](v)
+        raise ExprError(f"{name}: expected a number, got {_type_name(v)}")
+    if name in _MATH_PRED:
+        (v,) = _arity(name, args, 1)
+        if _is_num(v):
+            return _MATH_PRED[name](v)
+        raise ExprError(f"{name}: expected a number, got {_type_name(v)}")
+    if name == "math::log":
+        a, b = _arity(name, args, 2)
+        if _is_num(a) and _is_num(b):
+            # f64::log(self, base) = self.ln() / base.ln() in Rust, with
+            # IEEE division (0/0 and inf/inf are NaN, x/0 is signed inf)
+            num = _rust_log(a, math.log)
+            den = _rust_log(b, math.log)
+            if math.isnan(num) or math.isnan(den):
+                return math.nan
+            if den == 0.0:
+                return math.nan if num == 0.0 else math.copysign(
+                    math.inf, num
+                ) * math.copysign(1.0, den)
+            if math.isinf(num) and math.isinf(den):
+                return math.nan
+            return num / den
+        raise ExprError("math::log: expected two numbers")
+    if name == "math::pow":
+        a, b = _arity(name, args, 2)
+        if _is_num(a) and _is_num(b):
+            return _rust_pow(a, b)
+        raise ExprError("math::pow: expected two numbers")
+    if name == "math::hypot":
+        a, b = _arity(name, args, 2)
+        if _is_num(a) and _is_num(b):
+            return _rust_f(math.hypot, a, b)
+        raise ExprError("math::hypot: expected two numbers")
+    if name == "math::atan2":
+        a, b = _arity(name, args, 2)
+        if _is_num(a) and _is_num(b):
+            return _rust_f(math.atan2, a, b)
+        raise ExprError("math::atan2: expected two numbers")
+    if name in ("bitand", "bitor", "bitxor"):
+        a, b = _arity(name, args, 2)
+        a, b = _as_i64(a, name), _as_i64(b, name)
+        if name == "bitand":
+            return _wrap_i64(a & b)
+        if name == "bitor":
+            return _wrap_i64(a | b)
+        return _wrap_i64(a ^ b)
+    if name == "bitnot":
+        (v,) = _arity(name, args, 1)
+        return _wrap_i64(~_as_i64(v, name))
+    if name in ("shl", "shr"):
+        a, b = _arity(name, args, 2)
+        a, b = _as_i64(a, name), _as_i64(b, name)
+        if b < 0 or b >= 64:
+            raise ExprError(f"{name}: shift amount {b} out of range for i64")
+        if name == "shl":
+            return _wrap_i64(a << b)
+        return a >> b  # Python >> on ints is arithmetic, like Rust i64
     if name == "num":
         # extension: parse a string to Int (preferred) or Float; the
         # reference has no numeric typing at all (README.md:279-280)

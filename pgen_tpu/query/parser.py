@@ -3,6 +3,10 @@
 Grammar (operators and precedences mirror evalexpr v11.3.0, the engine the
 reference embeds — /root/reference/Cargo.toml:13-15, README.md:268-280):
 
+    ;              0   chain (value = last expr; trailing ; -> Empty)
+    , (aggregation) 40 left (flat tuples; parenthesized tuples nest)
+    = += -= *= /= %= ^= &&= ||=  50  (always an eval-time error here:
+                                      the reference's context is immutable)
     ||            70   left
     &&            75   left
     == != < <= > >= 80 left
@@ -13,7 +17,8 @@ reference embeds — /root/reference/Cargo.toml:13-15, README.md:268-280):
 
 Literals: double-quoted strings (``\\`` and ``\"`` escapes), integers,
 floats, ``true``/``false``. Identifiers are variables; ``name(...)`` and
-namespaced ``str::name(...)`` are function calls.
+namespaced ``str::name(...)`` are function calls (the argument list is
+evalexpr-style: one expression, a tuple aggregation fans out to args).
 """
 
 from __future__ import annotations
@@ -21,7 +26,18 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from pgen_tpu.query.ast import Binary, Call, Lit, ParseError, Unary, Var
+from pgen_tpu.query.ast import (
+    EMPTY,
+    Assign,
+    Binary,
+    Call,
+    Chain,
+    Lit,
+    ParseError,
+    TupleExpr,
+    Unary,
+    Var,
+)
 
 _TOKEN_RE = re.compile(
     r"""
@@ -29,14 +45,20 @@ _TOKEN_RE = re.compile(
   | (?P<float>(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>\d+)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:::[A-Za-z_][A-Za-z0-9_]*)*)
-  | (?P<op>\|\||&&|==|!=|<=|>=|[<>+\-*/%^!()])
+  | (?P<op>&&=|\|\|=|\|\||&&|==|!=|<=|>=|[+\-*/%^]=|[<>+\-*/%^!()=;])
   | (?P<comma>,)
   | (?P<quote>")
     """,
     re.VERBOSE,
 )
 
+_ASSIGN_OPS = frozenset(
+    ("=", "+=", "-=", "*=", "/=", "%=", "^=", "&&=", "||=")
+)
+
 _BIN_PRECEDENCE = {
+    ",": 40,
+    **{op: 50 for op in _ASSIGN_OPS},
     "||": 70,
     "&&": 75,
     "==": 80,
@@ -152,12 +174,31 @@ class _Parser:
         left = self.parse_prefix()
         while True:
             tok = self.peek()
-            if tok is None or tok.kind not in ("op",) or tok.value not in _BIN_PRECEDENCE:
+            if (
+                tok is None
+                or tok.kind not in ("op", ",")
+                or tok.value not in _BIN_PRECEDENCE
+            ):
                 break
             bp = _BIN_PRECEDENCE[tok.value]
             if bp < min_bp:
                 break
             self.next()
+            if tok.value == ",":
+                # aggregation: a bare comma chain builds ONE flat tuple;
+                # a parenthesized tuple on the left nests instead
+                right = self.parse_expr(bp + 1)
+                if isinstance(left, TupleExpr) and not left.grouped:
+                    left = TupleExpr(left.items + (right,))
+                else:
+                    left = TupleExpr((left, right))
+                continue
+            if tok.value in _ASSIGN_OPS:
+                # right-associative; always an eval-time error against the
+                # immutable filter/query context (evalexpr parity)
+                right = self.parse_expr(bp)
+                left = Assign(tok.value, left, right)
+                continue
             # '^' is right-associative; everything else is left-associative.
             next_bp = bp if tok.value == "^" else bp + 1
             right = self.parse_expr(next_bp)
@@ -172,18 +213,26 @@ class _Parser:
             nxt = self.peek()
             if nxt is not None and nxt.kind == "(":
                 self.next()
-                args = []
-                if self.peek() is not None and self.peek().kind != ")":
-                    args.append(self.parse_expr(0))
-                    while self.peek() is not None and self.peek().kind == ",":
-                        self.next()
-                        args.append(self.parse_expr(0))
+                # evalexpr-style argument: ONE expression; a bare tuple
+                # aggregation fans out into the argument list, while a
+                # parenthesized tuple stays one (tuple-valued) argument
+                if self.peek() is not None and self.peek().kind == ")":
+                    self.next()
+                    return Call(tok.value, ())
+                inner = self.parse_expr(0)
                 self.expect(")")
-                return Call(tok.value, tuple(args))
+                if isinstance(inner, TupleExpr) and not inner.grouped:
+                    return Call(tok.value, inner.items)
+                return Call(tok.value, (inner,))
             return Var(tok.value)
         if tok.kind == "(":
+            if self.peek() is not None and self.peek().kind == ")":
+                self.next()
+                return Lit(EMPTY)  # evalexpr '()' is the Empty value
             inner = self.parse_expr(0)
             self.expect(")")
+            if isinstance(inner, TupleExpr):
+                inner = TupleExpr(inner.items, grouped=True)
             return inner
         if tok.kind == "op" and tok.value == "!":
             return Unary("!", self.parse_expr(_PREFIX_PRECEDENCE))
@@ -193,12 +242,26 @@ class _Parser:
 
 
 def parse(src: str):
-    """Parse an expression string into an AST."""
+    """Parse an expression string into an AST. A top-level ``;`` chains
+    expressions (evalexpr): the chain's value is the last expression's,
+    or Empty when the source ends with ``;``."""
     parser = _Parser(tokenize(src), src)
-    node = parser.parse_expr(0)
-    trailing = parser.peek()
-    if trailing is not None:
+    exprs = [parser.parse_expr(0)]
+    trailing_semi = False
+    while True:
+        tok = parser.peek()
+        if tok is None:
+            break
+        if tok.kind == "op" and tok.value == ";":
+            parser.next()
+            if parser.peek() is None:
+                trailing_semi = True
+                break
+            exprs.append(parser.parse_expr(0))
+            continue
         raise ParseError(
-            f"unexpected trailing token {trailing.value!r} at {trailing.pos} in {src!r}"
+            f"unexpected trailing token {tok.value!r} at {tok.pos} in {src!r}"
         )
-    return node
+    if len(exprs) == 1 and not trailing_semi:
+        return exprs[0]
+    return Chain(tuple(exprs), trailing=trailing_semi)

@@ -30,9 +30,15 @@ def test_string_escapes():
 
 
 def test_parse_errors():
-    for bad in ["ID ==", '"unterminated', "(ID", "ID = 1", "a b", "~x"]:
+    for bad in ["ID ==", '"unterminated', "(ID", "a b", "~x", "1;;2"]:
         with pytest.raises(ParseError):
             parse(bad)
+    # assignments PARSE (evalexpr grammar) but always error at eval time:
+    # the reference evaluates against an immutable context (pfile.rs:93-97)
+    for src in ["ID = 1", 'ID += "x"', "x = 1; x == 1"]:
+        node = parse(src)
+        with pytest.raises(ExprError, match="immutable"):
+            eval_value(node, {"ID": "rs1"})
 
 
 def test_numeric_literals():

@@ -110,9 +110,9 @@ def test_native_matches_oracle():
 
 @pytest.mark.parametrize("shape", [(4, 128), (8, 256), (40, 128)])
 def test_fused_transposed_kernel(shape):
-    """Experimental single-pass fused kernel (ops/fused_text.py): the
-    in-kernel sublane-expanding bitcasts produce sample-major text."""
-    from pgen_tpu.ops.fused_text import genotype_text_transposed
+    """Experimental single-pass fused kernel (tools/fused_text_lab.py):
+    the in-kernel sublane-expanding bitcasts produce sample-major text."""
+    from fused_text_lab import genotype_text_transposed
 
     rec, v = shape
     rng = np.random.default_rng(rec)
