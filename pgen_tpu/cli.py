@@ -908,12 +908,11 @@ def main(argv=None) -> int:
                         index_format=args.index_format,
                         **kwargs,
                     )
-                elif args.provider == "device" and not str(
-                    args.out_file or ""
-                ).endswith(".gz"):
+                elif args.provider == "device":
                     # The flagship multi-chip path: one jitted step over a
                     # variant-axis device mesh (predicate -> compaction ->
-                    # unpack -> text -> all-gather offsets), per-host pwrite.
+                    # unpack -> text -> all-gather offsets), per-host pwrite
+                    # (.gz: per-host standalone BGZF parts + ordered concat).
                     from pgen_tpu.pipeline.mesh_filter import filter_to_vcf_mesh
 
                     result = filter_to_vcf_mesh(
@@ -921,6 +920,8 @@ def main(argv=None) -> int:
                         var_query=args.var_query,
                         sam_query=args.sam_query,
                         out_file=args.out_file,
+                        index=args.index,
+                        index_format=args.index_format,
                         **kwargs,
                     )
                 else:

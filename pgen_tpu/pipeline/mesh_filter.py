@@ -76,6 +76,8 @@ def filter_to_vcf_mesh(
     mesh=None,
     block_variants: int = DEFAULT_BLOCK_VARIANTS,
     source_tag: str = DEFAULT_SOURCE_TAG,
+    index: bool = False,
+    index_format: str = "auto",
 ) -> FilterResult:
     """Filter a pgen fileset to a VCF with the device-mesh pipeline.
 
@@ -83,6 +85,16 @@ def filter_to_vcf_mesh(
     size >= 1; on a multi-host deployment each process writes only its
     addressable shards (the byte offsets are derived from the replicated
     all-gathered counts, so no host coordinates with any other).
+
+    A ``.gz`` out_file produces BGZF (bcftools/tabix compatible): each
+    drained (block, shard) chunk compresses into standalone BGZF members.
+    Single-process runs stream-append them in drain order; multi-process
+    deployments write per-chunk part files and process 0 concatenates them
+    in global (block, shard) order — BGZF members concatenate losslessly,
+    exactly like the host shard path (parallel/shard.py _concat_gz_parts).
+    ``index=True`` additionally emits a tabix .tbi/.csi from the same
+    arithmetic row layout the uncompressed path uses (every row's
+    uncompressed offset is known without re-reading the output).
     """
     import jax
     import jax.numpy as jnp
@@ -103,11 +115,16 @@ def filter_to_vcf_mesh(
     if out_file is None:
         out_file = f"{pfile_prefix}.pgen-rs.vcf"
     out_file = str(out_file)
-    if out_file.endswith(".gz"):
-        raise ValueError(
-            "the mesh pipeline writes uncompressed VCF; pipe through the "
-            "host bgzf path (no --workers) for .gz output"
-        )
+    gz = out_file.endswith(".gz")
+    if gz:
+        from pgen_tpu.native import HAVE_NATIVE as _have_native
+
+        if not _have_native:
+            raise ValueError(
+                "bgzf (.gz) output requires the native runtime (C++ toolchain)"
+            )
+    if index and not gz:
+        raise ValueError("--index requires a .gz (BGZF) output file")
 
     with timer.stage("metadata_load"):
         header = read_pgen_header(f"{pfile_prefix}.pgen")
@@ -228,21 +245,46 @@ def filter_to_vcf_mesh(
     # index to start 0, which would alias all shards onto d=0.
     dev_to_d = {dev.id: i for i, dev in enumerate(mesh.devices.flat)}
 
-    # No O_TRUNC: on a multi-process deployment every process opens the
-    # SAME shared-filesystem output and pwrites its own shards' rows — a
-    # late opener must not wipe an early writer's bytes. The final size is
-    # set by the ftruncate below (identical in every process: the byte
-    # accounting is derived from the replicated counts).
-    fd = os.open(out_file, os.O_WRONLY | os.O_CREAT, 0o644)
-    state = {"byte_base": len(header_bytes), "rows": 0}
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if gz:
+        from pgen_tpu.native import native as _native
+
+        from pgen_tpu.pipeline.filter import _write_all
+
+        # Compressed sizes aren't precomputable, so .gz can't pwrite at
+        # arithmetic offsets. Single-process: stream-append BGZF members in
+        # drain order (== global row order). Multi-process: per-(block,
+        # shard) standalone part files, merged by process 0 below.
+        if nproc == 1:
+            fd = os.open(out_file, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+        else:
+            fd = -1
+    else:
+        # No O_TRUNC: on a multi-process deployment every process opens the
+        # SAME shared-filesystem output and pwrites its own shards' rows —
+        # a late opener must not wipe an early writer's bytes. The final
+        # size is set by the ftruncate below (identical in every process:
+        # the byte accounting is derived from the replicated counts).
+        fd = os.open(out_file, os.O_WRONLY | os.O_CREAT, 0o644)
+    state = {"byte_base": len(header_bytes), "rows": 0, "gz_bytes": 0}
+    # Tabix layout accumulation: the drained mask/counts are replicated, so
+    # EVERY process sees the full kept set — the index row spans need no
+    # extra collective.
+    kept_rows: list = []
+    kept_ls: list = []
+    kept_le: list = []
+
+    def _gz_part_path(bi: int, d: int) -> str:
+        return f"{out_file}.mesh.b{bi:06d}.d{d:04d}.part"
 
     def drain(block):
-        """Read back one block's shards and pwrite their rows.
+        """Read back one block's shards and write their rows.
 
         Each process handles only its addressable shards; the byte offsets
         come from the replicated all-gathered counts, so no coordination.
         """
-        n, ls_blk, le_blk, text_out, mask, counts = block
+        bi, n, rows_blk, ls_blk, le_blk, text_out, mask, counts = block
         counts_h = np.asarray(counts)
         offs_h = np.concatenate(([0], np.cumsum(counts_h)[:-1]))
         mask_h = np.asarray(mask)[:n]
@@ -250,6 +292,10 @@ def filter_to_vcf_mesh(
         nk = len(kept_local)
         ls = ls_blk[kept_local]
         le = le_blk[kept_local]
+        if index:
+            kept_rows.append(rows_blk[kept_local])
+            kept_ls.append(ls)
+            kept_le.append(le)
         psz = np.zeros(nk + 1, dtype=np.int64)
         np.cumsum(le - ls + 3, out=psz[1:])
         # align the four planes' addressable shards by device
@@ -310,8 +356,21 @@ def filter_to_vcf_mesh(
 
                         n = _assemble_rows_numpy(text_u8, pbuf, poff, scratch)
             assert n == nbytes, f"mesh shard wrote {n}, planned {nbytes}"
-            with timer.stage("pwrite", nbytes=nbytes):
-                _pwrite_all(fd, scratch, bstart)
+            if gz:
+                with timer.stage("compress", nbytes=nbytes):
+                    comp = _native.bgzf_compress(scratch)
+                with timer.stage("pwrite", nbytes=len(comp)):
+                    if nproc == 1:
+                        _write_all(fd, memoryview(comp))
+                    else:
+                        part = _gz_part_path(bi, d)
+                        with open(part + ".tmp", "wb") as pf:
+                            pf.write(comp)
+                        os.replace(part + ".tmp", part)
+                state["gz_bytes"] += len(comp)
+            else:
+                with timer.stage("pwrite", nbytes=nbytes):
+                    _pwrite_all(fd, scratch, bstart)
         state["byte_base"] += int(psz[-1]) + nk * row_fixed
         state["rows"] += nk
 
@@ -340,7 +399,7 @@ def filter_to_vcf_mesh(
                 host_pred = pred
             else:
                 host_pred = None
-        return lo, hi, n, packed, valid, host_pred, line_starts_all[rows], line_ends_all[rows]
+        return lo, hi, n, packed, valid, host_pred, rows, line_starts_all[rows], line_ends_all[rows]
 
     reader = ThreadPoolExecutor(1, thread_name_prefix="pgen-stage")
 
@@ -348,12 +407,21 @@ def filter_to_vcf_mesh(
     # async, so the device computes ahead of the host readback/write).
     pending = deque()
     try:
-        _pwrite_all(fd, header_bytes, 0)
+        if gz:
+            if nproc == 1:
+                comp_hdr = _native.bgzf_compress(
+                    np.frombuffer(header_bytes, dtype=np.uint8)
+                )
+                _write_all(fd, memoryview(comp_hdr))
+                state["gz_bytes"] += len(comp_hdr)
+            # multi-process: process 0 writes the header during the merge
+        else:
+            _pwrite_all(fd, header_bytes, 0)
         block_los = list(range(0, total_rows, vb))
         staged = reader.submit(stage_block, block_los[0]) if block_los else None
         for bi in range(len(block_los)):
             with timer.stage("stage_read"):
-                lo, hi, n, packed, valid, host_pred, ls_blk, le_blk = staged.result()
+                lo, hi, n, packed, valid, host_pred, rows_blk, ls_blk, le_blk = staged.result()
             if bi + 1 < len(block_los):
                 staged = reader.submit(stage_block, block_los[bi + 1])
             with timer.stage("h2d", nbytes=packed.nbytes):
@@ -398,23 +466,106 @@ def filter_to_vcf_mesh(
                 with timer.stage("device_step"):
                     out = step(*args)
             text_words, mask, counts = out
-            pending.append((n, ls_blk, le_blk, text_words, mask, counts))
+            pending.append((bi, n, rows_blk, ls_blk, le_blk, text_words, mask, counts))
             if len(pending) >= 2:
                 drain(pending.popleft())
         while pending:
             drain(pending.popleft())
-        # every process computes the same final size; trims any stale
-        # tail from a previous larger file at this path
-        os.ftruncate(fd, state["byte_base"])
+        if gz:
+            if nproc == 1:
+                from pgen_tpu.pipeline.filter import BGZF_EOF
+
+                _write_all(fd, memoryview(BGZF_EOF))
+                state["gz_bytes"] += len(BGZF_EOF)
+            else:
+                state["gz_bytes"] = _merge_gz_parts(
+                    out_file, header_bytes, nproc, pid
+                )
+        else:
+            # every process computes the same final size; trims any stale
+            # tail from a previous larger file at this path
+            os.ftruncate(fd, state["byte_base"])
     finally:
         reader.shutdown(wait=False, cancel_futures=True)
-        os.close(fd)
+        if fd >= 0:
+            os.close(fd)
+
+    if index and (nproc == 1 or pid == 0):
+        from pgen_tpu.pipeline.filter import emit_tabix_index
+
+        var_idx = (
+            np.concatenate(kept_rows)
+            if kept_rows
+            else np.zeros(0, dtype=np.int64)
+        )
+        ls_all = (
+            np.concatenate(kept_ls) if kept_ls else np.zeros(0, dtype=np.int64)
+        )
+        le_all = (
+            np.concatenate(kept_le) if kept_le else np.zeros(0, dtype=np.int64)
+        )
+        psz = np.zeros(len(var_idx) + 1, dtype=np.int64)
+        np.cumsum(le_all - ls_all + 3, out=psz[1:])
+        with timer.stage("index"):
+            emit_tabix_index(
+                out_file,
+                pvar,
+                var_idx,
+                psz,
+                row_fixed,
+                len(header_bytes),
+                fmt=index_format,
+            )
+    if gz and nproc > 1:
+        # everyone returns only once the merged file (and index) exists
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("pgen_tpu_mesh_gz_done")
 
     log.info("mesh filter: %s", timer.report())
     return FilterResult(
         out_path=out_file,
         num_variants_kept=state["rows"],
         num_samples_kept=n_kept,
-        bytes_written=state["byte_base"],
+        bytes_written=state["gz_bytes"] if gz else state["byte_base"],
         timer=timer,
     )
+
+
+def _merge_gz_parts(out_file: str, header_bytes: bytes, nproc: int, pid: int) -> int:
+    """Multi-process BGZF finish: barrier until every process's part files
+    exist, then process 0 concatenates compressed header + parts in global
+    (block, shard) order + EOF. BGZF members concatenate losslessly
+    (SAM spec §4.1), exactly like parallel/shard.py _concat_gz_parts."""
+    import glob
+
+    from jax.experimental import multihost_utils
+
+    from pgen_tpu.native import native
+    from pgen_tpu.pipeline.filter import BGZF_EOF, _write_all
+
+    multihost_utils.sync_global_devices("pgen_tpu_mesh_gz_parts")
+    if pid != 0:
+        return 0
+    total = 0
+    parts = sorted(glob.glob(f"{out_file}.mesh.b*.part"))
+    fd = os.open(out_file, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    try:
+        comp_hdr = native.bgzf_compress(np.frombuffer(header_bytes, dtype=np.uint8))
+        _write_all(fd, memoryview(comp_hdr))
+        total += len(comp_hdr)
+        for part in parts:
+            with open(part, "rb") as f:
+                while True:
+                    chunk = f.read(8 << 20)
+                    if not chunk:
+                        break
+                    _write_all(fd, memoryview(chunk))
+                    total += len(chunk)
+        _write_all(fd, memoryview(BGZF_EOF))
+        total += len(BGZF_EOF)
+    finally:
+        os.close(fd)
+    for part in parts:
+        os.unlink(part)
+    return total

@@ -169,6 +169,7 @@ res = filter_to_vcf_mesh(
     out_file={out!r},
     mesh=mesh,
     block_variants=8,  # several blocks, so streaming + offsets are exercised
+    index={index},
 )
 print("MESH_FILTER_OK", pid, res.num_variants_kept)
 """
@@ -188,6 +189,7 @@ def test_two_process_mesh_filter_end_to_end(tiny_fileset, tmp_path):
         prefix=prefix,
         var_query='REF == "A"',
         out=str(out),
+        index=False,
     )
     procs = [
         subprocess.Popen(
@@ -209,3 +211,49 @@ def test_two_process_mesh_filter_end_to_end(tiny_fileset, tmp_path):
         assert b"MESH_FILTER_OK" in outb
     expected = scalar_filter_vcf(prefix, lambda v: v["REF"] == "A", None)
     assert out.read_bytes() == expected
+
+
+@pytest.mark.slow
+def test_two_process_mesh_filter_gz_parts_merge(tiny_fileset, tmp_path):
+    """.gz across a PROCESS boundary (VERDICT r2 item 5): each process
+    writes standalone per-(block, shard) BGZF parts, process 0 merges them
+    in global order + EOF + tabix index; the merged stream must decompress
+    byte-equal to the oracle and leave no part files behind."""
+    import gzip
+
+    from pgen_tpu.native import HAVE_NATIVE
+
+    if not HAVE_NATIVE:
+        pytest.skip("bgzf requires the native runtime")
+    prefix, _ = tiny_fileset
+    out = tmp_path / "meshdist.vcf.gz"
+    script = _MESH_FILTER_WORKER.format(
+        repo=str(REPO),
+        port=12489,
+        prefix=prefix,
+        var_query='REF == "A"',
+        out=str(out),
+        index=True,
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            cwd=str(REPO),
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            outb, errb = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, errb.decode()[-2500:]
+        assert b"MESH_FILTER_OK" in outb
+    expected = scalar_filter_vcf(prefix, lambda v: v["REF"] == "A", None)
+    assert gzip.decompress(out.read_bytes()) == expected
+    assert (tmp_path / "meshdist.vcf.gz.tbi").exists()
+    assert not list(tmp_path.glob("*.part")), "part files not cleaned up"
