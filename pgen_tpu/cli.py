@@ -499,6 +499,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     gl.add_argument("--block-variants", type=int, default=None,
                     help="Variant block height per moment-matmul step.")
+    gf = gl.add_mutually_exclusive_group()
+    gf.add_argument("--firth-fallback", dest="firth", action="store_const",
+                    const="fallback", default="fallback",
+                    help="Re-fit non-converged logistic sites with Firth "
+                         "penalized regression (plink2 --glm "
+                         "firth-fallback; the default).")
+    gf.add_argument("--firth", dest="firth", action="store_const",
+                    const="always",
+                    help="Fit every logistic site with Firth regression "
+                         "(plink2 --glm firth).")
+    gf.add_argument("--no-firth", dest="firth", action="store_const",
+                    const="none",
+                    help="Report non-converged logistic sites as NA "
+                         "(plink2 --glm no-firth).")
     gl.add_argument("--stats", action="store_true",
                     help="Print per-stage timing/bandwidth to stderr.")
 
@@ -1103,6 +1117,7 @@ def main(argv=None) -> int:
                 out=sys.stdout if args.out_file == "-" else None,
                 provider=args.provider,
                 block_variants=args.block_variants,
+                firth=args.firth,
             )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)

@@ -22,8 +22,19 @@ Per-variant gates and failures (reported NaN, matching plink2's NA):
   - fewer complete cases than k + 3, zero dosage variance,
   - single-class outcome among complete cases (quasi-separation of the
     trivial kind), or
-  - IRLS failing to converge in max_iter Newton steps (plink2 also
-    NA's non-converged sites unless Firth fallback is requested).
+  - IRLS failing to converge in max_iter Newton steps.
+
+Firth rescue (plink2 `--glm firth-fallback` semantics, plink2's default
+logistic mode): sites where vanilla IRLS fails to converge — the classic
+(quasi-)separation signature — re-fit with Jeffreys-prior penalized
+likelihood (Firth 1993): the score gains the hat-diagonal term
+    U*(b) = X^T (y - mu + h (1/2 - mu)),   h_s = w_s x_s^T (X^T W X)^-1 x_s
+which keeps the MLE finite under separation. In the blocked masked-moment
+formulation h is three extra small (V,k)x(k,S) products against the
+inverted per-variant information matrix — the big (V,S)x(S,P) moment
+matmuls are unchanged (same MXU path on the device provider).
+`firth="always"` forces Firth everywhere (plink2 `--glm firth`);
+`firth="none"` disables the rescue (plink2 `--glm no-firth`).
 
 Wald test: Z = beta_g / SE, SE^2 = (H^-1)_gg at the optimum; two-sided
 p from the exact normal tail (math.erfc — elementwise-exact f64).
@@ -44,6 +55,7 @@ class LogisticResult(NamedTuple):
     z_stat: np.ndarray  # (V,) f64
     p: np.ndarray  # (V,) f64
     n_iter: np.ndarray  # (V,) i32 Newton steps used (0 where gated)
+    firth: np.ndarray = None  # (V,) bool: site fit by Firth regression
 
 
 def _cov_pairs(covars: np.ndarray) -> np.ndarray:
@@ -196,6 +208,122 @@ def _irls_block(
                 se[fin] = np.sqrt(np.where(zg > 0, zg, np.nan))
             keep = ~(done | bad)
             active = active[keep]
+    return n, beta[:, d - 1], se, niter, converged, ok
+
+
+def _batched_inv(h: np.ndarray):
+    """(V,d,d) batched inverse; singular members come back NaN with
+    ok=False instead of poisoning the whole batch."""
+    ok = np.ones(h.shape[0], dtype=bool)
+    try:
+        return np.linalg.inv(h), ok
+    except np.linalg.LinAlgError:
+        out = np.full_like(h, np.nan)
+        for i in range(h.shape[0]):
+            try:
+                out[i] = np.linalg.inv(h[i])
+            except np.linalg.LinAlgError:
+                ok[i] = False
+        return out, ok
+
+
+def _firth_block(
+    codes: np.ndarray,  # (Vb, S) u8, 3 = missing
+    y: np.ndarray,
+    covars: np.ndarray,
+    cc: np.ndarray,
+    idx: np.ndarray,  # block-local variant indices to (re)fit
+    max_iter: int,
+    tol: float,
+    matmul=None,
+):
+    """Firth-penalized IRLS over the selected variants.
+
+    Identical moment structure to `_irls_block` plus the hat diagonal:
+    with A = (X^T W X)^-1 and x_s = [1, C_s, g_vs],
+        x_s^T A x_s = A_00 + 2 A_0c.C_s + C_s^T A_cc C_s
+                      + 2 g (A_0g + A_gc.C_s) + g^2 A_gg
+    — the covariate quadratic reuses the same upper-triangle pair columns
+    `cc` the Hessian moments use. SE comes from A_gg at the optimum (the
+    penalized-likelihood Wald convention, same as logistf/plink2).
+    """
+    mm = matmul if matmul is not None else lambda a, b: a @ b
+    k = covars.shape[1]
+    kk = cc.shape[1]
+    d = k + 2
+    cal = codes[idx] != 3
+    m = cal.astype(np.float64)
+    g = codes[idx].astype(np.float64) * cal
+    n = m.sum(axis=1)
+    ncase = m @ y
+    q = np.concatenate([covars, cc], axis=1)
+    nb = len(idx)
+    beta = np.zeros((nb, d), dtype=np.float64)
+    # Firth's penalty is equivalent to splitting each case/control half a
+    # count: the matching intercept start is the shrunk log-odds
+    p0 = np.clip((ncase + 0.5) / (n + 1.0), 1e-12, 1 - 1e-12)
+    beta[:, 0] = np.log(p0 / (1.0 - p0))
+    se = np.full(nb, np.nan)
+    niter = np.zeros(nb, dtype=np.int32)
+    converged = np.zeros(nb, dtype=bool)
+    active = np.arange(nb)
+    # upper-triangle (i<=j) index/weight vectors for the A_cc quadratic
+    ii = np.array([i for i in range(k) for j in range(i, k)], dtype=np.intp)
+    jj = np.array([j for i in range(k) for j in range(i, k)], dtype=np.intp)
+    pw = np.where(ii == jj, 1.0, 2.0)
+    for it in range(1, max_iter + 1):
+        if active.size == 0:
+            break
+        ba = beta[active]
+        ma, ga = m[active], g[active]
+        eta = ba[:, [0]] + ba[:, 1 : 1 + k] @ covars.T + ba[:, [d - 1]] * ga
+        np.clip(eta, -30.0, 30.0, out=eta)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1.0 - mu) * ma
+        wg = w * ga
+        wq = mm(w, q)
+        wgc = mm(wg, covars)
+        hess = _assemble_hess(
+            w.sum(axis=1), wq[:, :k], wq[:, k : k + kk],
+            wg.sum(axis=1), wgc, (wg * ga).sum(axis=1), k,
+        )
+        ainv, inv_ok = _batched_inv(hess)
+        a00 = ainv[:, 0, 0]
+        a0c = ainv[:, 0, 1 : 1 + k]
+        a0g = ainv[:, 0, d - 1]
+        agc = ainv[:, d - 1, 1 : 1 + k]
+        agg = ainv[:, d - 1, d - 1]
+        acc_pairs = ainv[:, 1 + ii, 1 + jj] * pw if kk else np.zeros((len(active), 0))
+        with np.errstate(invalid="ignore"):
+            xax = (
+                a00[:, None]
+                + 2.0 * (a0c @ covars.T)
+                + (acc_pairs @ cc.T)
+                + ga * (2.0 * (a0g[:, None] + agc @ covars.T))
+                + ga * ga * agg[:, None]
+            )
+            h = w * xax
+            r = (y[None, :] - mu + h * (0.5 - mu)) * ma
+        rq = mm(r, covars)
+        grad = np.concatenate(
+            [r.sum(axis=1)[:, None], rq, (r * ga).sum(axis=1)[:, None]],
+            axis=1,
+        )
+        with np.errstate(invalid="ignore"):
+            delta = np.einsum("vij,vj->vi", ainv, grad)
+        # logistf-style step cap: componentwise |delta| <= 5
+        scale = np.max(np.abs(delta), axis=1)
+        big = scale > 5.0
+        delta[big] *= (5.0 / scale[big])[:, None]
+        bad = ~np.isfinite(delta).all(axis=1) | ~inv_ok
+        beta[active] += np.where(bad[:, None], 0.0, delta)
+        niter[active] = it
+        done = (np.abs(delta).max(axis=1) < tol) & ~bad
+        if done.any() or bad.any():
+            fin = active[done]
+            converged[fin] = True
+            se[fin] = np.sqrt(np.where(agg[done] > 0, agg[done], np.nan))
+            active = active[~(done | bad)]
     return n, beta[:, d - 1], se, niter, converged
 
 
@@ -209,10 +337,19 @@ def glm_logistic_numpy(
     max_iter: int = 24,
     tol: float = 1e-7,
     matmul=None,
+    firth: str = "fallback",
 ) -> LogisticResult:
-    """Host provider. y must be 0/1; covars (S, k)."""
+    """Host provider. y must be 0/1; covars (S, k).
+
+    firth: "fallback" (default, plink2's `--glm firth-fallback`) re-fits
+    non-converged sites with Firth regression; "always" (`--glm firth`)
+    fits every estimable site with Firth; "none" (`--glm no-firth`)
+    reports non-converged sites as NA.
+    """
     from pgen_tpu.ops.unpack import unpack_codes_numpy
 
+    if firth not in ("fallback", "always", "none"):
+        raise ValueError(f"logistic: unknown firth mode {firth!r}")
     packed = np.asarray(packed, dtype=np.uint8)
     nvar = packed.shape[0]
     ns = num_samples if sample_idx is None else len(sample_idx)
@@ -231,22 +368,39 @@ def glm_logistic_numpy(
     se = np.empty(nvar)
     niter = np.empty(nvar, dtype=np.int32)
     conv = np.empty(nvar, dtype=bool)
+    fused = np.zeros(nvar, dtype=bool)
     bv = min(block_variants, max(nvar, 1))
+    # Firth needs far more steps than vanilla Newton: the update uses the
+    # UNPENALIZED Hessian, so near separation it converges linearly
+    # (measured rate ~0.7/step) rather than quadratically — ~100+ steps to
+    # tol=1e-7. Cheap in practice: converged sites retire from the active
+    # set, so the tail iterations run on a shrinking handful of variants.
+    firth_iter = max(max_iter, 256)
     for lo in range(0, nvar, bv):
         codes = unpack_codes_numpy(packed[lo : lo + bv], num_samples)
         if sample_idx is not None:
             codes = codes[:, sample_idx]
         sl = slice(lo, lo + codes.shape[0])
-        n[sl], beta[sl], se[sl], niter[sl], conv[sl] = _irls_block(
-            codes, y, covars, cc, max_iter, tol, matmul
+        nb, bb, sb, ib, cb, ok = _irls_block(
+            codes, y, covars, cc,
+            0 if firth == "always" else max_iter, tol, matmul,
         )
+        if firth != "none":
+            retry = np.flatnonzero(ok & ~cb)
+            if retry.size:
+                _, fb, fs, fi, fc = _firth_block(
+                    codes, y, covars, cc, retry, firth_iter, tol, matmul
+                )
+                bb[retry], sb[retry], ib[retry], cb[retry] = fb, fs, fi, fc
+                fused[lo + retry] = fc
+        n[sl], beta[sl], se[sl], niter[sl], conv[sl] = nb, bb, sb, ib, cb
     good = conv & np.isfinite(se)
     beta = np.where(good, beta, np.nan)
     se = np.where(good, se, np.nan)
     with np.errstate(invalid="ignore"):
         z = beta / se
     return LogisticResult(
-        n.astype(np.int64), beta, se, z, normal_sf2(z), niter
+        n.astype(np.int64), beta, se, z, normal_sf2(z), niter, fused & good
     )
 
 

@@ -126,6 +126,7 @@ def glm_pfile(
     provider: str = "auto",
     block_variants: int | None = None,
     model: str = "auto",
+    firth: str = "fallback",
     write: bool = True,
     out=None,
 ) -> GlmRunResult:
@@ -227,7 +228,12 @@ def glm_pfile(
         with timer.stage("irls", kept.shape[0] * rec):
             lres = glm_logistic(
                 kept, header.num_samples, y, covars, provider=provider,
-                sample_idx=subset, **kw,
+                sample_idx=subset, firth=firth, **kw,
+            )
+        if lres.firth is not None and lres.firth.any():
+            log.info(
+                "glm: %d site(s) fit by Firth regression (%s)",
+                int(lres.firth.sum()), firth,
             )
         res = lres  # n_obs/beta/se/z_stat/p (stat name differs only)
         stat = lres.z_stat

@@ -439,3 +439,112 @@ def test_cli_glm_errors(tmp_path):
     prefix2 = _glm_fileset(tmp_path, codes[:, :3],
                            ["1", "2", "NA"])
     assert run_cli(["glm", prefix2]) == 1
+
+
+# -- Firth fallback (plink2 --glm firth-fallback semantics) ------------------
+
+
+def _firth_oracle(g, yv, cv, tol=1e-12):
+    """Independent penalized-likelihood oracle: explicit design-matrix
+    Firth IRLS (Firth 1993; logistf's algorithm) with the hat diagonal
+    computed from the full X and W matrices — no shared code with the
+    blocked masked-moment implementation under test."""
+    n = len(yv)
+    x = np.column_stack([np.ones(n), cv, g])
+    b = np.zeros(x.shape[1])
+    xtwx = None
+    for _ in range(500):
+        eta = np.clip(x @ b, -30, 30)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1.0 - mu)
+        xtwx = x.T @ (w[:, None] * x)
+        a = np.linalg.inv(xtwx)
+        h = np.einsum("si,ij,sj->s", x, a, x) * w
+        step = a @ (x.T @ (yv - mu + h * (0.5 - mu)))
+        sc = np.abs(step).max()
+        if sc > 5:
+            step *= 5.0 / sc
+        b += step
+        if sc < tol:
+            break
+    se = np.sqrt(np.linalg.inv(xtwx)[-1, -1])
+    return b[-1], se
+
+
+@pytest.mark.parametrize("k", [0, 2])
+def test_firth_fallback_rescues_separation(k, tmp_path):
+    """A dosage that perfectly separates case status makes vanilla IRLS
+    diverge (plink2 NA's it under no-firth); firth-fallback must fit it
+    and match the independent penalized-likelihood oracle."""
+    from pgen_tpu.ops.logistic import glm_logistic
+
+    rng = np.random.default_rng(7)
+    nv, ns = 6, 120
+    codes = rng.binomial(2, 0.4, size=(nv, ns)).astype(np.uint8)
+    y = (codes[2] >= 1).astype(float)  # variant 2: complete separation
+    covars = rng.normal(size=(ns, k))
+    packed = _pack(codes, tmp_path)
+
+    off = glm_logistic(packed, ns, y, covars, firth="none")
+    assert np.isnan(off.beta[2]), "vanilla IRLS should fail the separated site"
+    assert not off.firth.any()
+
+    res = glm_logistic(packed, ns, y, covars)  # default firth-fallback
+    b, se = _firth_oracle(codes[2].astype(float), y, covars)
+    np.testing.assert_allclose(res.beta[2], b, rtol=1e-6)
+    np.testing.assert_allclose(res.se[2], se, rtol=1e-4)
+    assert res.firth[2] and np.isfinite(res.p[2])
+    # non-separated sites keep their vanilla ML fits (no silent refit)
+    for v in (0, 1, 3):
+        if np.isfinite(off.beta[v]):
+            np.testing.assert_allclose(res.beta[v], off.beta[v], rtol=1e-12)
+            assert not res.firth[v]
+
+
+def test_firth_always_matches_oracle(tmp_path):
+    """firth='always' (plink2 --glm firth) must fit EVERY estimable site
+    with the penalized likelihood, including well-behaved ones."""
+    from pgen_tpu.ops.logistic import glm_logistic
+
+    rng = np.random.default_rng(11)
+    nv, ns = 8, 150
+    codes = rng.binomial(2, 0.35, size=(nv, ns)).astype(np.uint8)
+    codes[rng.random((nv, ns)) < 0.05] = 3
+    logit = -0.3 + 0.6 * np.where(codes[4] == 3, 0, codes[4])
+    y = (rng.random(ns) < 1.0 / (1.0 + np.exp(-logit))).astype(float)
+    covars = rng.normal(size=(ns, 1))
+    packed = _pack(codes, tmp_path)
+    res = glm_logistic(packed, ns, y, covars, firth="always")
+    for v in range(nv):
+        cal = codes[v] != 3
+        g = codes[v][cal].astype(float)
+        yv = y[cal]
+        if np.var(g) == 0 or yv.sum() in (0, cal.sum()):
+            assert np.isnan(res.beta[v])
+            continue
+        b, se = _firth_oracle(g, yv, covars[cal])
+        np.testing.assert_allclose(res.beta[v], b, rtol=1e-5, atol=1e-9)
+        np.testing.assert_allclose(res.se[v], se, rtol=1e-4)
+        assert res.firth[v]
+
+
+def test_cli_glm_firth_flags(tmp_path):
+    """--no-firth NA's the separated site; the default rescues it."""
+    rng = np.random.default_rng(23)
+    nv, ns = 6, 100
+    codes = rng.binomial(2, 0.4, size=(nv, ns)).astype(np.uint8)
+    case = codes[2] >= 1  # complete separation at variant 2
+    pheno = ["2" if c else "1" for c in case]
+    prefix = _glm_fileset(tmp_path, codes, pheno)
+    out1 = tmp_path / "nofirth.glm"
+    assert run_cli(["glm", prefix, "-o", str(out1), "--no-firth"]) == 0
+    row = out1.read_text().splitlines()[3].split("\t")
+    assert row[8] == "NA" and row[11] == "NA"
+    out2 = tmp_path / "firth.glm"
+    assert run_cli(["glm", prefix, "-o", str(out2)]) == 0
+    row = out2.read_text().splitlines()[3].split("\t")
+    b, se = _firth_oracle(
+        codes[2].astype(float), case.astype(float), np.zeros((ns, 0))
+    )
+    np.testing.assert_allclose(float(row[8]), np.exp(b), rtol=1e-4)
+    np.testing.assert_allclose(float(row[9]), se, rtol=1e-4)
