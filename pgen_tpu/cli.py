@@ -391,6 +391,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     pc.add_argument("--block-variants", type=int, default=None,
                     help="Variant block height per GRM accumulation step.")
+    pc.add_argument("--approx", action="store_true",
+                    help="Randomized subspace iteration (plink2 --pca "
+                         "approx analog): streams tall-skinny matmuls "
+                         "instead of materializing the S x S GRM — use "
+                         "for biobank-scale cohorts (S >> 10^4).")
+    pc.add_argument("--approx-iters", dest="approx_iters", type=int,
+                    default=10,
+                    help="Power-iteration count for --approx (default 10).")
+    pc.add_argument("--seed", type=int, default=1,
+                    help="RNG seed for --approx's start subspace.")
     pc.add_argument("--stats", action="store_true",
                     help="Print per-stage timing/bandwidth to stderr.")
 
@@ -1036,6 +1046,9 @@ def main(argv=None) -> int:
                 provider=args.provider,
                 block_variants=args.block_variants,
                 make_rel=args.make_rel,
+                approx=args.approx,
+                approx_iters=args.approx_iters,
+                seed=args.seed,
             )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)

@@ -221,6 +221,233 @@ def pca_from_grm(grm_sum: np.ndarray, m_used: int, k: int):
     return vals, vecs * flip
 
 
+def _standardize_block_numpy(codes: np.ndarray):
+    """f64 standardized dosage block (same formula as grm_numpy's in-place
+    path): missing mean-imputed to 0, monomorphic rows zeroed."""
+    cal = codes != 3
+    z = codes.astype(np.float64) * cal
+    n_called = cal.sum(axis=1)
+    ac = z.sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = np.where(n_called > 0, ac / np.maximum(2.0 * n_called, 1.0), 0.0)
+    var = 2.0 * p * (1.0 - p)
+    used = var > 0
+    inv_sd = np.where(used, 1.0 / np.sqrt(np.maximum(var, 1e-300)), 0.0)
+    z -= (2.0 * p)[:, None]
+    z *= inv_sd[:, None]
+    z *= cal
+    return z, used
+
+
+class PcaApproxResult(NamedTuple):
+    eigenvalues: np.ndarray  # (k,) Rayleigh-Ritz estimates, descending
+    eigenvectors: np.ndarray  # (S, k) unit-norm, sign-fixed
+    m_used: int
+
+
+def pca_approx(
+    packed,
+    num_samples: int,
+    k: int,
+    provider: str = "numpy",
+    block_variants: int | None = None,
+    sample_idx=None,
+    iters: int = 10,
+    oversample: int = 8,
+    seed: int = 1,
+) -> PcaApproxResult:
+    """Randomized top-k PCA WITHOUT materializing the S x S GRM.
+
+    Blocked subspace (power) iteration on the standardized dosage matrix Z
+    (M x S) — the FastPCA/plink2 `--pca approx` family (Galinsky 2016):
+
+        Q_0 = orth(Gaussian (S, L)),  L = k + oversample
+        Q_{t+1} = orth( Z^T (Z Q_t) / M )      x iters
+        C = Q^T (Z^T Z Q / M)  (L x L Rayleigh-Ritz),  eigh(C) -> (lam, W)
+        V = Q W[:, :k]
+
+    Every data touch is a tall-skinny matmul pair per variant block —
+    z_b @ Q (bv x L) then z_b^T @ that (S x L accumulate) — MXU-shaped on
+    the device provider, dgemm on host; the only O(S) state is the (S, L)
+    subspace, so S ~ 10^5+ cohorts run in bounded memory where the exact
+    S x S Gram (plink2's default small-cohort path, grm()) cannot.
+    Host-side QR between passes is (S, L) — milliseconds.
+
+    Deterministic for a fixed seed across providers up to f32 Gram noise.
+    """
+    packed = np.asarray(packed, dtype=np.uint8)
+    ns = num_samples if sample_idx is None else len(sample_idx)
+    if k < 1:
+        raise ValueError("pca approx: k must be >= 1")
+    L = min(ns, k + max(0, oversample))
+    if L < k:
+        raise ValueError(f"pca approx: k={k} exceeds {ns} samples")
+    rng = np.random.default_rng(seed)
+    q = np.linalg.qr(rng.standard_normal((ns, L)))[0]
+
+    if provider == "device":
+        pass_fn = _make_approx_pass_device(
+            packed, num_samples, sample_idx, block_variants
+        )
+    else:
+        pass_fn = _make_approx_pass_numpy(
+            packed, num_samples, sample_idx, block_variants
+        )
+
+    m_used = 0
+    y = None
+    for _ in range(max(1, iters)):
+        y, m_used = pass_fn(q)
+        if m_used <= 0:
+            raise ValueError("pca: no polymorphic variants after filtering")
+        y /= float(m_used)
+        q = np.linalg.qr(y)[0]
+    # Rayleigh-Ritz on the converged subspace: one more data pass
+    y, m_used = pass_fn(q)
+    y /= float(m_used)
+    c = q.T @ y
+    c = (c + c.T) / 2.0
+    vals, w = np.linalg.eigh(c)
+    order = np.argsort(vals)[::-1][:k]
+    vals = vals[order]
+    vecs = q @ w[:, order]
+    vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
+    flip = np.sign(vecs[np.argmax(np.abs(vecs), axis=0), np.arange(vecs.shape[1])])
+    flip = np.where(flip == 0, 1.0, flip)
+    return PcaApproxResult(vals, vecs * flip, int(m_used))
+
+
+def _make_approx_pass_numpy(packed, num_samples, sample_idx, block_variants):
+    from pgen_tpu.ops.unpack import unpack_codes_numpy
+
+    nvar = packed.shape[0]
+    bv = min(block_variants or (1 << 13), max(nvar, 1))
+
+    def pass_fn(q):
+        ns = q.shape[0]
+        y = np.zeros((ns, q.shape[1]), dtype=np.float64)
+        m_used = 0
+        for lo in range(0, nvar, bv):
+            codes = unpack_codes_numpy(packed[lo : lo + bv], num_samples)
+            if sample_idx is not None:
+                codes = codes[:, sample_idx]
+            z, used = _standardize_block_numpy(codes)
+            y += z.T @ (z @ q)
+            m_used += int(used.sum())
+        return y, m_used
+
+    return pass_fn
+
+
+def _make_approx_pass_device(packed, num_samples, sample_idx, block_variants):
+    """One jitted blocked scan per pass: unpack -> standardize -> the two
+    tall-skinny f32 matmuls, accumulated on device. Multi-device meshes
+    shard the variant axis and psum the (S, L) partial — the same
+    collective shape as the mesh GRM step, but L-wide instead of S-wide."""
+    import jax.numpy as jnp
+
+    from pgen_tpu.pipeline.device import is_interpret_backend
+
+    interpret = is_interpret_backend()
+    sel = None if sample_idx is None else np.asarray(sample_idx, np.int32)
+    nvar = int(packed.shape[0])
+    bv = min(block_variants or (1 << 14), max(nvar, 1))
+    ndev = len(jax.devices())
+    use_mesh = ndev > 1
+
+    if use_mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pgen_tpu.parallel.mesh import VARIANT_AXIS, make_mesh, pad_to_multiple
+
+        mesh = make_mesh()
+        padded = pad_to_multiple(np.asarray(packed, dtype=np.uint8), ndev)
+        if padded.shape[0] != nvar:
+            padded[nvar:] = 0xFF  # all-missing pad rows: z = 0, not counted
+
+        def step(packed_g, q):
+            def inner(packed_l, q_l):
+                y, m = _approx_pass_jit(packed_l, q_l, sel, num_samples, bv, interpret)
+                return (
+                    jax.lax.psum(y, VARIANT_AXIS),
+                    jax.lax.psum(m, VARIANT_AXIS),
+                )
+
+            return jax.shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=(P(VARIANT_AXIS, None), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(packed_g, q)
+
+        jitted = jax.jit(
+            step,
+            in_shardings=(
+                NamedSharding(mesh, P(VARIANT_AXIS, None)),
+                NamedSharding(mesh, P()),
+            ),
+        )
+
+        def pass_fn(q):
+            y, m = jitted(padded, q.astype(np.float32))
+            return np.asarray(y, dtype=np.float64), int(m)
+
+        return pass_fn
+
+    packed_a = np.asarray(packed, dtype=np.uint8)
+
+    def pass_fn(q):
+        y, m = _approx_pass_jit(
+            packed_a, q.astype(np.float32), sel, num_samples, bv, interpret
+        )
+        return np.asarray(y, dtype=np.float64), int(m)
+
+    return pass_fn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "block_variants", "interpret")
+)
+def _approx_pass_jit(packed, q, sel, num_samples, block_variants, interpret):
+    """y = sum_blocks z_b^T (z_b q), m = polymorphic count (f32 HIGHEST)."""
+    import jax.numpy as jnp
+
+    from pgen_tpu.ops.unpack import unpack_codes
+
+    nvar = packed.shape[0]
+    nblk = max(1, -(-nvar // block_variants))
+    pad = nblk * block_variants - nvar
+    packed = jnp.pad(packed, ((0, pad), (0, 0)), constant_values=0xFF)
+    ns = num_samples if sel is None else sel.shape[0]
+
+    def body(carry, blk):
+        acc, m = carry
+        codes = unpack_codes(blk, num_samples, interpret=interpret)
+        if sel is not None:
+            codes = jnp.take(codes, sel, axis=1)
+        z, used = _standardize_block_jnp(codes)
+        zq = jnp.matmul(
+            z, q,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc = acc + jnp.matmul(
+            z.T, zq,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return (acc, m + jnp.sum(used.astype(jnp.int32))), None
+
+    init = (
+        jnp.zeros((ns, q.shape[1]), dtype=jnp.float32),
+        jnp.zeros((), jnp.int32),
+    )
+    blocks = packed.reshape(nblk, block_variants, packed.shape[1])
+    (acc, m), _ = jax.lax.scan(body, init, blocks)
+    return acc, m
+
+
 def build_grm_mesh_step(
     mesh, num_samples: int, block_variants: int = 1 << 14, sample_idx=None
 ):

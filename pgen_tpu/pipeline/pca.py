@@ -51,11 +51,19 @@ def pca(
     block_variants: int | None = None,
     write: bool = True,
     make_rel: str | None = None,
+    approx: bool = False,
+    approx_iters: int = 10,
+    seed: int = 1,
 ) -> PcaResult:
     if make_rel not in (None, "bin", "text"):
         raise ValueError(f"--make-rel must be 'bin' or 'text', got {make_rel!r}")
     if k == 0 and make_rel is None:
         raise ValueError("pca: -k 0 only makes sense with --make-rel")
+    if approx and make_rel is not None:
+        raise ValueError(
+            "--make-rel materializes the exact S x S GRM, which --approx "
+            "exists to avoid; drop one of the two"
+        )
     provider = _resolve_provider(provider)
     if provider == "native":
         provider = "numpy"  # BLAS is the host gemm engine (ops/pca.py)
@@ -84,21 +92,33 @@ def pca(
     with timer.stage("gather", len(var_idx) * rec):
         kept = _gather_rows(records, var_idx)
 
-    from pgen_tpu.ops.pca import grm, pca_from_grm
+    from pgen_tpu.ops.pca import grm, pca_approx, pca_from_grm
 
     subset = (
         None if n_sam == header.num_samples else sam_idx.astype(np.int32)
     )
     kw = {"block_variants": int(block_variants)} if block_variants else {}
-    with timer.stage("grm", kept.shape[0] * rec):
-        res = grm(kept, header.num_samples, provider=provider,
-                  sample_idx=subset, **kw)
-    if k > 0:
-        with timer.stage("eigh"):
-            vals, vecs = pca_from_grm(res.grm_sum, res.m_used, k)
+    if approx:
+        # randomized subspace iteration: never materializes the S x S GRM
+        # (plink2 --pca approx analog; right for S >> 10^4 cohorts)
+        with timer.stage("pca_approx", kept.shape[0] * rec):
+            ares = pca_approx(
+                kept, header.num_samples, k, provider=provider,
+                sample_idx=subset, iters=approx_iters, seed=seed, **kw,
+            )
+        vals, vecs = ares.eigenvalues, ares.eigenvectors
+        m_used = ares.m_used
     else:
-        vals = np.zeros(0)
-        vecs = np.zeros((n_sam, 0))
+        with timer.stage("grm", kept.shape[0] * rec):
+            res = grm(kept, header.num_samples, provider=provider,
+                      sample_idx=subset, **kw)
+        m_used = res.m_used
+        if k > 0:
+            with timer.stage("eigh"):
+                vals, vecs = pca_from_grm(res.grm_sum, res.m_used, k)
+        else:
+            vals = np.zeros(0)
+            vecs = np.zeros((n_sam, 0))
 
     out = out_prefix or f"{pfile_prefix}.pca"
     iids = psam.get_column_strs("IID")
@@ -116,9 +136,9 @@ def pca(
             with open(f"{out}.eigenval", "w") as fh:
                 fh.writelines(f"{v:.10g}\n" for v in vals)
     if write and make_rel is not None:
-        if res.m_used <= 0:
+        if m_used <= 0:
             raise ValueError("pca: no polymorphic variants after filtering")
-        rel = res.grm_sum / float(res.m_used)
+        rel = res.grm_sum / float(m_used)
         with timer.stage("emit_rel", rel.nbytes):
             with open(f"{out}.rel.id", "w") as fh:
                 fh.writelines(f"{iid}\n" for iid in iids)
@@ -130,7 +150,7 @@ def pca(
                         fh.write("\t".join(f"{v:.10g}" for v in row) + "\n")
     return PcaResult(
         num_variants=len(var_idx),
-        num_used=res.m_used,
+        num_used=m_used,
         num_samples=n_sam,
         eigenvalues=vals,
         eigenvectors=vecs,

@@ -203,3 +203,107 @@ def test_pca_k0_without_rel_errors(tmp_path):
     codes = rng.integers(0, 3, size=(10, 4), dtype=np.uint8)
     prefix = _pca_fileset(tmp_path, codes)
     assert run_cli(["pca", prefix, "-k", "0"]) == 1
+
+
+# -- randomized PCA (--approx, plink2 --pca approx analog) -------------------
+
+
+def _structured_codes(rng, nv, ns, ngroups=3):
+    """Genotypes with planted population structure: ngroups subpopulations
+    with distinct allele frequencies give ngroups-1 dominant PCs."""
+    group = np.arange(ns) % ngroups
+    base = rng.uniform(0.15, 0.85, size=nv)
+    shift = rng.uniform(-0.3, 0.3, size=(ngroups, nv))
+    codes = np.empty((nv, ns), dtype=np.uint8)
+    for s in range(ns):
+        p = np.clip(base + shift[group[s]], 0.02, 0.98)
+        codes[:, s] = rng.binomial(2, p)
+    return codes
+
+
+def test_pca_approx_matches_exact(tmp_path):
+    """Randomized subspace iteration vs the exact GRM + eigh path at
+    basic1-like scale: leading eigenpairs to rtol 1e-3 (VERDICT item 7)."""
+    from pgen_tpu.ops.pca import grm_numpy, pca_approx, pca_from_grm
+
+    rng = np.random.default_rng(42)
+    nv, ns = 800, 180
+    codes = _structured_codes(rng, nv, ns)
+    packed = _pack(codes, tmp_path)
+    ref = grm_numpy(packed, ns)
+    vals_e, vecs_e = pca_from_grm(ref.grm_sum, ref.m_used, 4)
+    got = pca_approx(packed, ns, k=4, iters=10, seed=1)
+    assert got.m_used == ref.m_used
+    # the structured components (ngroups=3 plants 2) must match to 1e-3;
+    # PC3+ sit in the noise bulk where the eigengap is ~0 — individual
+    # components there are not identifiable by ANY method (exact included:
+    # they rotate freely within the near-degenerate subspace), so only
+    # their eigenvalue MAGNITUDE is checked, loosely.
+    np.testing.assert_allclose(got.eigenvalues[:2], vals_e[:2], rtol=1e-3)
+    np.testing.assert_allclose(got.eigenvalues[2:], vals_e[2:], rtol=0.05)
+    for c in range(2):
+        dot = abs(float(got.eigenvectors[:, c] @ vecs_e[:, c]))
+        assert dot > 1 - 1e-3, f"PC{c + 1} alignment {dot}"
+
+
+def test_pca_approx_device_matches_numpy(tmp_path):
+    """The device pass (variant-sharded psum over the virtual mesh) must
+    agree with the host pass up to f32 Gram noise."""
+    from pgen_tpu.ops.pca import pca_approx
+
+    rng = np.random.default_rng(43)
+    nv, ns = 160, 24
+    codes = _structured_codes(rng, nv, ns, ngroups=2)
+    codes[rng.random((nv, ns)) < 0.05] = 3  # missingness
+    packed = _pack(codes, tmp_path)
+    host = pca_approx(packed, ns, k=2, iters=8, seed=3)
+    dev = pca_approx(
+        packed, ns, k=2, iters=8, seed=3, provider="device",
+        block_variants=32,
+    )
+    assert host.m_used == dev.m_used
+    np.testing.assert_allclose(dev.eigenvalues, host.eigenvalues, rtol=1e-3)
+    for c in range(2):
+        dot = abs(float(dev.eigenvectors[:, c] @ host.eigenvectors[:, c]))
+        assert dot > 1 - 1e-4
+
+
+def test_pca_approx_bounded_memory_100k_samples(tmp_path):
+    """S = 100k: the exact path's Gram would be 80 GB — approx must run in
+    bounded memory (its only O(S) state is the (S, k+8) subspace)."""
+    from pgen_tpu.ops.pca import pca_approx
+
+    rng = np.random.default_rng(5)
+    nv, ns = 24, 100_000
+    codes = _structured_codes(rng, nv, ns, ngroups=2)
+    packed = _pack(codes, tmp_path)
+    got = pca_approx(packed, ns, k=2, iters=4, seed=1, block_variants=8)
+    assert got.eigenvectors.shape == (ns, 2)
+    assert np.isfinite(got.eigenvalues).all() and got.eigenvalues[0] > 0
+    np.testing.assert_allclose(
+        np.linalg.norm(got.eigenvectors, axis=0), 1.0, rtol=1e-9
+    )
+    # the two planted groups separate on PC1 (24 variants -> noisy PCs;
+    # demand clear but not perfect separation)
+    pc1 = got.eigenvectors[:, 0]
+    g0, g1 = pc1[0::2], pc1[1::2]
+    assert abs(g0.mean() - g1.mean()) > 1.0 * (g0.std() + g1.std())
+
+
+def test_cli_pca_approx(tmp_path):
+    rng = np.random.default_rng(17)
+    codes = _structured_codes(rng, 300, 30, ngroups=2)
+    prefix = _pca_fileset(tmp_path, codes)
+    out = str(tmp_path / "ap")
+    assert run_cli(["pca", prefix, "-k", "2", "-o", out, "--approx"]) == 0
+    vec_lines = (tmp_path / "ap.eigenvec").read_text().splitlines()
+    assert vec_lines[0] == "#IID\tPC1\tPC2"
+    mat = np.array([[float(x) for x in l.split("\t")[1:]] for l in vec_lines[1:]])
+    acc, m = _grm_oracle(codes)
+    _, vecs = pca_from_grm(acc, m, k=2)
+    for c in range(2):
+        assert abs(float(mat[:, c] @ vecs[:, c])) > 1 - 1e-3
+    # --approx + --make-rel contradict
+    assert run_cli([
+        "pca", prefix, "-k", "2", "-o", out, "--approx", "--make-rel",
+    ]) == 1
