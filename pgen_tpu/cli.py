@@ -652,26 +652,37 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
     ic = sub.add_parser(
         "isec",
-        help="Variant set operations between two filesets.",
+        help="Variant set operations between filesets.",
         description=(
-            "bcftools-isec analog: intersects two filesets by variant key "
-            "(CHROM:POS:REF:ALT, or CHROM:POS with --key pos) and writes "
-            "up to four filesets: {out}.a_only, {out}.b_only, {out}.both_a "
-            "(intersection, A's genotypes), {out}.both_b. Genotypes are "
-            "gathered, never re-coded."
+            "bcftools-isec analog: intersects filesets by variant key "
+            "(CHROM:POS:REF:ALT, or CHROM:POS with --key pos). Two-fileset "
+            "default writes up to four filesets: {out}.a_only, "
+            "{out}.b_only, {out}.both_a (intersection, A's genotypes), "
+            "{out}.both_b. With -n/--nfiles (any N >= 2 inputs, bcftools "
+            "semantics: =k exactly, +k at least, -k at most, ~1010 exact "
+            "file pattern) writes one fileset per input ({out}.0000, ...) "
+            "holding its rows whose key's file-count passes, plus "
+            "{out}.sites.txt. Genotypes are gathered, never re-coded."
         ),
     )
-    ic.add_argument("prefix_a", help="First fileset prefix (side A).")
-    ic.add_argument("prefix_b", help="Second fileset prefix (side B).")
+    ic.add_argument("prefixes", nargs="+",
+                    help="Fileset prefixes (two, or N >= 2 with -n).")
     ic.add_argument("-o", "--out", dest="out_prefix", required=True,
-                    help="Output prefix ({out}.a_only etc.).")
+                    help="Output prefix ({out}.a_only etc., or "
+                         "{out}.0000... with -n).")
     ic.add_argument("--key", choices=("full", "pos"), default="full",
                     help="Match key: full = CHROM:POS:REF:ALT (default), "
                          "pos = CHROM:POS.")
     ic.add_argument(
+        "-n", "--nfiles", dest="nfiles", default=None, metavar="SPEC",
+        help="Multi-file mode (bcftools -n): [=+-]INT or ~BITMAP over the "
+             "per-key file count, e.g. -n=2 (exactly two inputs), -n +2, "
+             "-n ~110.",
+    )
+    ic.add_argument(
         "--write", dest="write", default=None, metavar="LIST",
-        help="Comma list of outputs to write (default all four): "
-             "a_only,b_only,both_a,both_b.",
+        help="Two-fileset mode: comma list of outputs to write (default "
+             "all four): a_only,b_only,both_a,both_b.",
     )
     ic.add_argument("--stats", action="store_true",
                     help="Print per-stage timing to stderr.")
@@ -723,6 +734,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
              "+fill-tags analog): comma list from AC,AN,AF,MAF,NS,"
              "F_MISSING,HWE or 'all'. Existing instances are replaced; "
              "##INFO declarations added when missing.",
+    )
+    an.add_argument(
+        "-a", "--annotations", dest="annotations", default=None,
+        metavar="PREFIX",
+        help="Transfer annotations from another fileset (bcftools "
+             "annotate -a analog): rows matched on CHROM:POS:REF:ALT; "
+             "pick what to copy with --columns.",
+    )
+    an.add_argument(
+        "-c", "--columns", dest="columns", default="ID", metavar="LIST",
+        help="What --annotations copies (comma list, default ID): ID, "
+             "INFO (whole column), INFO/TAG (one tag spliced into the "
+             "existing INFO). ##INFO declarations follow.",
     )
     an.add_argument("--include-sam", dest="sam_query", default=None,
                     help="Cohort restriction for --fill-info counts.")
@@ -1236,15 +1260,28 @@ def main(argv=None) -> int:
             )
             return 0
         if args.command == "isec":
-            from pgen_tpu.pipeline.isec import isec_pgen
+            from pgen_tpu.pipeline.isec import isec_pgen, isec_pgen_multi
 
-            result = isec_pgen(
-                args.prefix_a,
-                args.prefix_b,
-                args.out_prefix,
-                key=args.key,
-                write=args.write,
-            )
+            if args.nfiles is not None:
+                result = isec_pgen_multi(
+                    args.prefixes,
+                    args.out_prefix,
+                    key=args.key,
+                    nfiles=args.nfiles,
+                )
+            else:
+                if len(args.prefixes) != 2:
+                    raise ValueError(
+                        "isec takes exactly two filesets unless -n/--nfiles "
+                        "selects the multi-file mode"
+                    )
+                result = isec_pgen(
+                    args.prefixes[0],
+                    args.prefixes[1],
+                    args.out_prefix,
+                    key=args.key,
+                    write=args.write,
+                )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)
             summary = "  ".join(
@@ -1252,7 +1289,8 @@ def main(argv=None) -> int:
             )
             print(f"isec: {summary}", file=sys.stderr)
             for name, dest in result.out_prefixes.items():
-                print(f"wrote {dest}.pgen", file=sys.stderr)
+                suffix = "" if name == "sites" else ".pgen"
+                print(f"wrote {dest}{suffix}", file=sys.stderr)
             return 0
         if args.command == "sort":
             from pgen_tpu.pipeline.sort import sort_pgen
@@ -1291,6 +1329,8 @@ def main(argv=None) -> int:
                     args.sam_query, args.samples, args.samples_file
                 ),
                 provider=_resolve_provider(args.provider),
+                annotations=args.annotations,
+                columns=args.columns,
             )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)

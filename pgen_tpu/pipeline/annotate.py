@@ -307,6 +307,95 @@ def fill_info_column(pvar, psam, records, header, tags, sam_query=None,
     return new_info, comments
 
 
+def _match_annotation_rows(pvar, src_pvar):
+    """Row matching on CHROM:POS:REF:ALT (bcftools annotate -a keying).
+
+    Returns (matched (V,) bool, src_row (V,) i64 — the FIRST source row
+    holding each target key, valid only where matched)."""
+    from pgen_tpu.pipeline.isec import _variant_keys
+
+    tkeys = _variant_keys(pvar, "full")
+    skeys = _variant_keys(src_pvar, "full")
+    if len(skeys) == 0 or len(tkeys) == 0:
+        return np.zeros(len(tkeys), dtype=bool), np.zeros(len(tkeys), np.int64)
+    order = np.argsort(skeys, kind="stable")
+    skeys_sorted = skeys[order]
+    uniq_mask = np.ones(len(skeys_sorted), dtype=bool)
+    uniq_mask[1:] = skeys_sorted[1:] != skeys_sorted[:-1]
+    s_uniq = skeys_sorted[uniq_mask]
+    s_first = order[uniq_mask]  # stable argsort -> first occurrence
+    pos = np.searchsorted(s_uniq, tkeys)
+    pos_c = np.minimum(pos, len(s_uniq) - 1)
+    matched = s_uniq[pos_c] == tkeys
+    return matched, s_first[pos_c]
+
+
+def _extract_info_field(info: bytes, tag: str):
+    """The full 'TAG=val' (or flag 'TAG') field from one INFO, or None."""
+    for f in info.split(b";"):
+        if f.partition(b"=")[0].decode("latin-1") == tag:
+            return f
+    return None
+
+
+def _transfer_one(pvar, src_pvar, spec: str, comments: str):
+    """One --columns entry -> (column_name, new values, comments).
+
+    ID / INFO replace the whole column on matched rows; INFO/TAG splices
+    the source's TAG field into the target INFO (replacing any existing
+    instance), leaving other fields intact. Unmatched rows, and matched
+    rows whose source lacks the tag, keep their current value. Matching
+    ##INFO declarations are copied from the source header when absent."""
+    matched, src_row = _match_annotation_rows(pvar, src_pvar)
+    if spec == "ID":
+        old = pvar.get_column_bytes("ID")
+        src = src_pvar.get_column_bytes("ID")
+        width = max(old.dtype.itemsize, src.dtype.itemsize)
+        new = old.astype(f"S{width}")
+        new[matched] = src[src_row[matched]]
+        return "ID", new, comments
+    if spec == "INFO":
+        old = pvar.get_column_bytes("INFO")
+        src = src_pvar.get_column_bytes("INFO")
+        width = max(old.dtype.itemsize, src.dtype.itemsize)
+        new = old.astype(f"S{width}")
+        new[matched] = src[src_row[matched]]
+        for line in src_pvar.comments.splitlines(keepends=True):
+            if line.startswith("##INFO=<ID=") and line not in comments:
+                comments += line
+        return "INFO", new, comments
+    if spec.startswith("INFO/"):
+        tag = spec[5:]
+        if not tag:
+            raise ValueError("--columns: empty INFO/ tag")
+        old = pvar.get_column_bytes("INFO").astype(object)
+        src = src_pvar.get_column_bytes("INFO")
+        tagset = {tag}
+        changed = np.zeros(len(old), dtype=bool)
+        for i in np.flatnonzero(matched):
+            field = _extract_info_field(src[src_row[i]], tag)
+            if field is None:
+                continue
+            base = _strip_tags_py(old[i], tagset)
+            if base in (b"", b"."):
+                old[i] = field
+            else:
+                old[i] = base + b";" + field
+            changed[i] = True
+        width = max(max((len(v) for v in old), default=1), 1)
+        new = np.array(list(old), dtype=f"S{width}")
+        decl_prefix = f"##INFO=<ID={tag},"
+        if decl_prefix not in comments:
+            for line in src_pvar.comments.splitlines(keepends=True):
+                if line.startswith(decl_prefix):
+                    comments += line
+                    break
+        return "INFO", new, comments
+    raise ValueError(
+        f"--columns: unknown entry {spec!r} (supported: ID, INFO, INFO/TAG)"
+    )
+
+
 def annotate_pgen(
     pfile_prefix: str,
     out_prefix: str | None = None,
@@ -316,16 +405,19 @@ def annotate_pgen(
     fill_info: str | None = None,
     sam_query: str | None = None,
     provider: str = "native",
+    annotations: str | None = None,
+    columns: str = "ID",
 ) -> AnnotateResult:
     if (
         set_id is None
         and rename_chrs is None
         and rename_samples is None
         and fill_info is None
+        and annotations is None
     ):
         raise ValueError(
             "annotate: pass at least one of --set-id / --rename-chrs / "
-            "--rename-samples / --fill-info"
+            "--rename-samples / --fill-info / --annotations"
         )
     if sam_query is not None and fill_info is None:
         raise ValueError(
@@ -355,11 +447,30 @@ def annotate_pgen(
                 pvar, "CHROM", _remap(pvar.get_column_bytes("CHROM"), mapping)
             )
             comments = _remap_contig_comments(comments, mapping)
-            if set_id is not None or fill_info is not None:
+            if set_id is not None or fill_info is not None or annotations is not None:
                 # later steps see the REMAPPED contig names (bcftools order:
                 # rename first, then expressions) — reparse the spliced rows
                 pvar = _table_from_rows(pvar, comments, rows)
                 rows = None
+        if annotations is not None:
+            # bcftools annotate -a analog: copy ID/INFO (or single INFO
+            # tags) from another fileset, matched on CHROM:POS:REF:ALT
+            src_pvar = read_metadata(f"{annotations}.pvar")
+            specs = [c.strip() for c in str(columns).split(",") if c.strip()]
+            if not specs:
+                raise ValueError("--columns: no entries")
+            for j, spec in enumerate(specs):
+                col, new_vals, comments = _transfer_one(
+                    pvar, src_pvar, spec, comments
+                )
+                rows = replace_column_bytes(pvar, col, new_vals)
+                if (
+                    j < len(specs) - 1
+                    or set_id is not None
+                    or fill_info is not None
+                ):
+                    pvar = _table_from_rows(pvar, comments, rows)
+                    rows = None
         if fill_info is not None:
             tags = _parse_fill_tags(fill_info)
             rec = header.record_size

@@ -15,6 +15,16 @@ string work. Up to four output filesets:
 Each output carries its source side's samples/psam verbatim; genotype
 records are gathered, never re-coded (fixed-width geometry, SURVEY.md C9).
 Duplicate keys within a side participate in membership like any other row.
+
+Multi-file mode (`isec_pgen_multi`, CLI `-n/--nfiles`) follows bcftools'
+`-n [=+-]INT | ~BITMAP` semantics over N >= 2 filesets: a variant key's
+FILE COUNT (how many inputs contain it, presence not multiplicity) is
+tested against the spec — `=k` exactly k, `+k` at least k, `-k` at most
+k, `~1010` exactly the flagged files (first character = first input).
+Outputs: one fileset per input ({out}.0000, {out}.0001, ...) holding that
+input's rows whose key passes, plus {out}.sites.txt listing each passing
+key once with its presence string ("110" = in inputs 1-2, not 3), in
+byte-lexicographic key order.
 """
 
 from __future__ import annotations
@@ -116,4 +126,95 @@ def isec_pgen(
             _write_meta_subset(pvar, idx, f"{dest}.pvar")
             shutil.copyfile(f"{src_prefix}.psam", f"{dest}.psam")
         outs[name] = dest
+    return IsecResult(out_prefixes=outs, counts=counts, timer=timer)
+
+
+def _parse_nfiles(spec: str, n_inputs: int):
+    """bcftools -n spec -> predicate over (counts, presence) arrays.
+
+    counts: (U,) int file-counts per union key; presence: (U, N) bool."""
+    s = spec.strip()
+    if s.startswith("~"):
+        bits = s[1:]
+        if len(bits) != n_inputs or set(bits) - {"0", "1"}:
+            raise ValueError(
+                f"-n ~BITMAP needs one 0/1 per input ({n_inputs}), got {spec!r}"
+            )
+        want = np.array([b == "1" for b in bits])
+        return lambda counts, presence: (presence == want).all(axis=1)
+    mode = "="
+    if s and s[0] in "=+-":
+        mode, s = s[0], s[1:]
+    try:
+        k = int(s)
+    except ValueError:
+        raise ValueError(
+            f"-n expects [=+-]INT or ~BITMAP (bcftools isec), got {spec!r}"
+        ) from None
+    if not 0 <= k <= n_inputs:
+        raise ValueError(f"-n {spec!r}: count must be in [0, {n_inputs}]")
+    if mode == "+":
+        return lambda counts, presence: counts >= k
+    if mode == "-":
+        return lambda counts, presence: counts <= k
+    return lambda counts, presence: counts == k
+
+
+def isec_pgen_multi(
+    prefixes,
+    out_prefix: str,
+    key: str = "full",
+    nfiles: str = "+1",
+    block_variants: int = DEFAULT_BLOCK,
+) -> IsecResult:
+    """bcftools `isec -n` over N filesets (see module docstring)."""
+    if key not in ("full", "pos"):
+        raise ValueError(f"--key must be 'full' or 'pos', got {key!r}")
+    prefixes = list(prefixes)
+    if len(prefixes) < 2:
+        raise ValueError("isec -n needs at least two filesets")
+    pred = _parse_nfiles(nfiles, len(prefixes))
+    timer = StageTimer()
+    with timer.stage("metadata_load"):
+        sides = [_load_side(p) for p in prefixes]
+    with timer.stage("keys"):
+        keys = [_variant_keys(pvar, key) for _, pvar, _ in sides]
+        union = np.unique(np.concatenate([np.unique(ks) for ks in keys]))
+        presence = np.zeros((len(union), len(prefixes)), dtype=bool)
+        for i, ks in enumerate(keys):
+            presence[:, i] = np.isin(union, ks)
+        sel_union = pred(presence.sum(axis=1), presence)
+    import shutil
+
+    outs = {}
+    counts = {}
+    for i, (header, pvar, records) in enumerate(sides):
+        # every row key is in the union by construction: searchsorted is exact
+        rowsel = sel_union[np.searchsorted(union, keys[i])]
+        idx = np.flatnonzero(rowsel)
+        name = f"{i:04d}"
+        counts[name] = len(idx)
+        dest = f"{out_prefix}.{name}"
+        with timer.stage("write_pgen"):
+            _write_subset_pgen(
+                f"{dest}.pgen", records, idx, header.num_samples,
+                contiguous=False, block=block_variants,
+            )
+        with timer.stage("write_meta"):
+            _write_meta_subset(pvar, idx, f"{dest}.pvar")
+            shutil.copyfile(f"{prefixes[i]}.psam", f"{dest}.psam")
+        outs[name] = dest
+    with timer.stage("write_sites"):
+        sites_path = f"{out_prefix}.sites.txt"
+        sel_idx = np.flatnonzero(sel_union)
+        with open(sites_path, "wb") as fh:
+            for u in sel_idx:
+                fields = union[u].split(b":")
+                mask = b"".join(
+                    b"1" if presence[u, i] else b"0"
+                    for i in range(len(prefixes))
+                )
+                fh.write(b"\t".join(fields) + b"\t" + mask + b"\n")
+        outs["sites"] = sites_path
+        counts["sites"] = len(sel_idx)
     return IsecResult(out_prefixes=outs, counts=counts, timer=timer)

@@ -259,3 +259,113 @@ def test_fill_info_errors(tmp_path):
     with pytest.raises(ValueError, match="sample selections"):
         annotate_pgen(prefix, str(tmp_path / "y"), set_id="ID",
                       sam_query='IID=="s0"')
+
+
+# -- --annotations transfer (bcftools annotate -a analog) --------------------
+
+
+def _src_fileset(tmp_path):
+    """Annotation source: overlaps the _fileset keys at rows 1, 3, 4
+    (1:101:C:T, 2:103:G:C, X:104:T:A) plus a non-matching extra."""
+    rng = np.random.default_rng(9)
+    rows = [
+        "1\t101\tSRC1\tC\tT\t.\t.\tDB=1;CAF=0.25",
+        "2\t103\tSRC3\tG\tC\t.\t.\tCAF=0.5",
+        "X\t104\tSRC4\tT\tA\t.\t.\tDB=7",
+        "9\t999\tSRCX\tA\tG\t.\t.\tCAF=0.9",
+    ]
+    codes = rng.integers(0, 4, size=(4, 2), dtype=np.uint8)
+    return build_fileset(
+        tmp_path, "src", codes, rows, ["t0\tM", "t1\tF"],
+        pvar_comments=(
+            "##fileformat=VCFv4.2\n"
+            '##INFO=<ID=CAF,Number=1,Type=Float,Description="x">\n'
+            '##INFO=<ID=DB,Number=0,Type=Flag,Description="y">\n'
+        ),
+    )
+
+
+def test_annotations_transfer_id(tmp_path):
+    from pgen_tpu.formats.metadata import read_metadata
+    from pgen_tpu.pipeline.annotate import annotate_pgen
+
+    prefix, _ = _fileset(tmp_path)
+    src = _src_fileset(tmp_path)
+    res = annotate_pgen(prefix, str(tmp_path / "o"), annotations=src)
+    ids = read_metadata(f"{res.out_prefix}.pvar").get_column_strs("ID")
+    # matched rows take the source ID; others keep theirs
+    assert ids == ["rs0", "SRC1", "rs2", "SRC3", "SRC4", "rs5"]
+
+
+def test_annotations_transfer_whole_info(tmp_path):
+    from pgen_tpu.formats.metadata import read_metadata
+    from pgen_tpu.pipeline.annotate import annotate_pgen
+
+    prefix, _ = _fileset(tmp_path)
+    src = _src_fileset(tmp_path)
+    res = annotate_pgen(
+        prefix, str(tmp_path / "o"), annotations=src, columns="INFO"
+    )
+    pv = read_metadata(f"{res.out_prefix}.pvar")
+    infos = pv.get_column_strs("INFO")
+    assert infos[1] == "DB=1;CAF=0.25"
+    assert infos[3] == "CAF=0.5"
+    assert infos[0] == "AF=0.0"  # unmatched: untouched
+    # source ##INFO declarations copied into the header
+    assert "##INFO=<ID=CAF," in pv.comments
+    assert "##INFO=<ID=DB," in pv.comments
+
+
+def test_annotations_transfer_single_tag(tmp_path):
+    from pgen_tpu.formats.metadata import read_metadata
+    from pgen_tpu.pipeline.annotate import annotate_pgen
+
+    prefix, _ = _fileset(tmp_path)
+    src = _src_fileset(tmp_path)
+    res = annotate_pgen(
+        prefix, str(tmp_path / "o"), annotations=src, columns="INFO/CAF"
+    )
+    pv = read_metadata(f"{res.out_prefix}.pvar")
+    infos = pv.get_column_strs("INFO")
+    # tag SPLICED into the existing INFO, other fields intact
+    assert infos[1] == "AF=0.1;CAF=0.25"
+    assert infos[3] == "AF=0.3;CAF=0.5"
+    assert infos[4] == "AF=0.4"  # matched but source lacks CAF: untouched
+    assert infos[0] == "AF=0.0"
+    assert "##INFO=<ID=CAF," in pv.comments
+    assert "##INFO=<ID=DB," not in pv.comments  # only the asked tag's decl
+
+
+def test_annotations_combined_columns_and_set_id(tmp_path):
+    """ID+INFO/CAF in one run, then --set-id sees the transferred data."""
+    from pgen_tpu.formats.metadata import read_metadata
+    from pgen_tpu.pipeline.annotate import annotate_pgen
+
+    prefix, _ = _fileset(tmp_path)
+    src = _src_fileset(tmp_path)
+    res = annotate_pgen(
+        prefix, str(tmp_path / "o"), annotations=src,
+        columns="ID,INFO/CAF", set_id='ID + "|" + CHROM',
+    )
+    pv = read_metadata(f"{res.out_prefix}.pvar")
+    assert pv.get_column_strs("ID")[1] == "SRC1|1"
+    assert pv.get_column_strs("INFO")[1] == "AF=0.1;CAF=0.25"
+
+
+def test_annotations_cli(tmp_path):
+    from cli_helpers import run_cli
+    from pgen_tpu.formats.metadata import read_metadata
+
+    prefix, _ = _fileset(tmp_path)
+    src = _src_fileset(tmp_path)
+    out = str(tmp_path / "c")
+    assert run_cli([
+        "annotate", prefix, "-o", out, "-a", src, "-c", "ID,INFO/DB",
+    ]) == 0
+    pv = read_metadata(out + ".pvar")
+    assert pv.get_column_strs("ID")[4] == "SRC4"
+    assert pv.get_column_strs("INFO")[4] == "AF=0.4;DB=7"
+    # bad column spec errors
+    assert run_cli([
+        "annotate", prefix, "-o", out, "-a", src, "-c", "QUAL",
+    ]) == 1

@@ -102,3 +102,81 @@ def test_isec_errors(two_filesets, tmp_path):
         isec_pgen(pa, pb, str(tmp_path / "e"), write="nope")
     with pytest.raises(ValueError, match="--key"):
         isec_pgen(pa, pb, str(tmp_path / "e"), key="fuzzy")
+
+
+# -- multi-file -n/--nfiles mode (bcftools isec -n semantics) ----------------
+
+
+@pytest.fixture()
+def three_filesets(tmp_path):
+    """Keys: k1 in A only, k2 in A+B, k3 in A+B+C, k4 in B+C, k5 in C."""
+    rng = np.random.default_rng(2)
+    rows = {
+        "k1": "1\t100\tv1\tA\tG\t.\t.\t.",
+        "k2": "1\t200\tv2\tC\tT\t.\t.\t.",
+        "k3": "2\t300\tv3\tG\tA\t.\t.\t.",
+        "k4": "2\t400\tv4\tT\tC\t.\t.\t.",
+        "k5": "3\t500\tv5\tA\tC\t.\t.\t.",
+    }
+    members = {"A": ["k1", "k2", "k3"], "B": ["k2", "k3", "k4"],
+               "C": ["k3", "k4", "k5"]}
+    prefixes, codes = [], {}
+    for name, ks in members.items():
+        c = rng.integers(0, 4, size=(len(ks), 4), dtype=np.uint8)
+        codes[name] = c
+        prefixes.append(
+            _fileset(tmp_path, name, [rows[k] for k in ks], c, 4)
+        )
+    return prefixes, codes
+
+
+def test_isec_nfiles_exact(three_filesets, tmp_path):
+    """-n=2: keys present in exactly two inputs (k2, k4)."""
+    from pgen_tpu.pipeline.isec import isec_pgen_multi
+
+    prefixes, codes = three_filesets
+    res = isec_pgen_multi(prefixes, str(tmp_path / "o"), nfiles="=2")
+    assert res.counts["0000"] == 1  # A: k2
+    assert res.counts["0001"] == 2  # B: k2, k4
+    assert res.counts["0002"] == 1  # C: k4
+    ids_b = read_metadata(f"{res.out_prefixes['0001']}.pvar").get_column_strs("ID")
+    assert ids_b == ["v2", "v4"]
+    # genotypes gathered, never re-coded
+    got = _codes_of(res.out_prefixes["0001"])
+    np.testing.assert_array_equal(got, codes["B"][[0, 2]])
+    sites = (tmp_path / "o.sites.txt").read_text().splitlines()
+    assert sorted(sites) == sorted(
+        ["1\t200\tC\tT\t110", "2\t400\tT\tC\t011"]
+    )
+
+
+def test_isec_nfiles_plus_minus_bitmap(three_filesets, tmp_path):
+    from pgen_tpu.pipeline.isec import isec_pgen_multi
+
+    prefixes, _ = three_filesets
+    # +3: present in all three -> only k3
+    res = isec_pgen_multi(prefixes, str(tmp_path / "p"), nfiles="+3")
+    assert [res.counts[f"{i:04d}"] for i in range(3)] == [1, 1, 1]
+    sites = (tmp_path / "p.sites.txt").read_text().splitlines()
+    assert sites == ["2\t300\tG\tA\t111"]
+    # -1: private keys only -> k1 (A), k5 (C)
+    res = isec_pgen_multi(prefixes, str(tmp_path / "m"), nfiles="-1")
+    assert [res.counts[f"{i:04d}"] for i in range(3)] == [1, 0, 1]
+    # ~110: exactly A and B, not C -> k2
+    res = isec_pgen_multi(prefixes, str(tmp_path / "b"), nfiles="~110")
+    assert [res.counts[f"{i:04d}"] for i in range(3)] == [1, 1, 0]
+    sites = (tmp_path / "b.sites.txt").read_text().splitlines()
+    assert sites == ["1\t200\tC\tT\t110"]
+
+
+def test_isec_nfiles_cli(three_filesets, tmp_path):
+    prefixes, _ = three_filesets
+    out = str(tmp_path / "c")
+    assert run_cli(["isec", *prefixes, "-o", out, "-n", "=2"]) == 0
+    assert (tmp_path / "c.sites.txt").exists()
+    assert (tmp_path / "c.0002.pgen").exists()
+    # two-file mode still demands exactly two prefixes without -n
+    assert run_cli(["isec", *prefixes, "-o", out]) == 1
+    # bad specs error
+    assert run_cli(["isec", *prefixes, "-o", out, "-n", "~10"]) == 1
+    assert run_cli(["isec", *prefixes, "-o", out, "-n", "x"]) == 1
