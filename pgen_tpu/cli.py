@@ -306,6 +306,55 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--provider", choices=["auto", "native", "device", "numpy"], default="auto"
     )
 
+    # plink2 report-file family: freq/missing/hardy/het share one flag set
+    _REPORTS = {
+        "freq": (
+            "Per-variant ALT allele frequencies (plink2 --freq).",
+            "plink2 --freq analog: one {out}.afreq row per kept variant "
+            "(#CHROM ID REF ALT ALT_FREQS OBS_CT) from a single "
+            "genotype-count pass over the packed matrix.",
+        ),
+        "missing": (
+            "Missingness reports per variant and per sample (plink2 --missing).",
+            "plink2 --missing analog: writes {out}.vmiss (per-variant "
+            "MISSING_CT/OBS_CT/F_MISS) and {out}.smiss (per-sample) in one "
+            "pass over the packed matrix.",
+        ),
+        "hardy": (
+            "Hardy-Weinberg equilibrium table (plink2 --hardy).",
+            "plink2 --hardy analog: one {out}.hardy row per kept variant "
+            "with genotype counts, observed/expected het frequency, and the "
+            "exact SNPHWE P (A1 = ALT).",
+        ),
+        "het": (
+            "Per-sample heterozygosity / inbreeding F (plink2 --het).",
+            "plink2 --het analog: {out}.het with per-sample O(HOM), the "
+            "method-of-moments E(HOM) over each sample's called variants "
+            "(a masked matvec), OBS_CT, and F.",
+        ),
+    }
+    for name, (hlp, desc) in _REPORTS.items():
+        rp = sub.add_parser(name, help=hlp, description=desc)
+        rp.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+        rp.add_argument("-o", "--out", dest="out_file", default=None,
+                        help="Output path (default {prefix}.<ext>; '-' "
+                             "stdout for freq/hardy/het; missing takes a "
+                             "PREFIX for .vmiss/.smiss).")
+        rp.add_argument("--include-var", dest="var_query", default=None)
+        rp.add_argument("--include-sam", dest="sam_query", default=None)
+        rp.add_argument("--exclude-var", dest="var_exclude", default=None)
+        rp.add_argument("--exclude-sam", dest="sam_exclude", default=None)
+        rp.add_argument("-r", "--regions", dest="regions", default=None)
+        rp.add_argument("-R", "--regions-file", dest="regions_file", default=None)
+        rp.add_argument("--samples", dest="samples", default=None)
+        rp.add_argument("--samples-file", dest="samples_file", default=None)
+        rp.add_argument(
+            "--provider", choices=["auto", "native", "device", "numpy"],
+            default="auto",
+        )
+        rp.add_argument("--stats", action="store_true",
+                        help="Print per-stage timing to stderr.")
+
     kg = sub.add_parser(
         "king",
         help="Pairwise KING-robust kinship table (MXU matmul workload).",
@@ -1007,6 +1056,45 @@ def main(argv=None) -> int:
                 ),
                 provider=args.provider,
                 per_sample=args.per_sample,
+            )
+            return 0
+        if args.command in ("freq", "missing", "hardy", "het"):
+            from pgen_tpu.pipeline import reports
+            from pgen_tpu.query.exclude import apply_exclude
+            from pgen_tpu.query.regions import apply_regions
+            from pgen_tpu.query.samples import apply_samples
+
+            fn = {
+                "freq": reports.report_freq,
+                "missing": reports.report_missing,
+                "hardy": reports.report_hardy,
+                "het": reports.report_het,
+            }[args.command]
+            kwargs = (
+                {"out_prefix": args.out_file}
+                if args.command == "missing"
+                else {"out_file": args.out_file}
+            )
+            result = fn(
+                args.pfile_prefix,
+                var_query=apply_exclude(
+                    apply_regions(args.var_query, args.regions, args.regions_file),
+                    args.var_exclude,
+                ),
+                sam_query=apply_exclude(
+                    apply_samples(args.sam_query, args.samples, args.samples_file),
+                    args.sam_exclude,
+                ),
+                provider=args.provider,
+                **kwargs,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            dest = ", ".join(result.out_paths) or "stdout"
+            print(
+                f"{result.kind}: {result.num_variants} variants x "
+                f"{result.num_samples} samples -> {dest}",
+                file=sys.stderr,
             )
             return 0
         if args.command == "king":
