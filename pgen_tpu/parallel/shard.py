@@ -469,6 +469,8 @@ def filter_to_vcf_sharded(
                 )
                 _write_all(fd, memoryview(comp))
                 written += len(comp)
+            scratch = None  # reused across blocks: fresh per-block buffers
+            # would pay first-touch page backing for the WHOLE output
             for si in my_shards:
                 lo, hi = shards[si]
                 for blo in range(lo, hi, block_variants):
@@ -480,7 +482,8 @@ def filter_to_vcf_sharded(
                         int(prefix_sizes[bhi] - prefix_sizes[blo])
                         + len(idx_blk) * row_fixed
                     )
-                    scratch = np.empty(cap, dtype=np.uint8)
+                    if scratch is None or scratch.nbytes < cap:
+                        scratch = np.empty(cap, dtype=np.uint8)
                     with timer.stage("emit", nbytes=cap):
                         n = _emit_block_meta(
                             provider,
@@ -530,6 +533,7 @@ def filter_to_vcf_sharded(
         if emits_header:
             _pwrite_all(fd, header_bytes, 0)
         written = 0
+        scratch = None  # reused across blocks (first-touch backing, see gz path)
         for si in my_shards:
             lo, hi = shards[si]
             pos = shard_byte_start(lo) - base
@@ -539,7 +543,8 @@ def filter_to_vcf_sharded(
                 with timer.stage("gather", nbytes=int(len(idx_blk) * rec)):
                     packed_blk = _gather_rows(records, idx_blk)
                 cap = int(prefix_sizes[bhi] - prefix_sizes[blo]) + len(idx_blk) * row_fixed
-                scratch = np.empty(cap, dtype=np.uint8)
+                if scratch is None or scratch.nbytes < cap:
+                    scratch = np.empty(cap, dtype=np.uint8)
                 with timer.stage("emit", nbytes=cap):
                     n = _emit_block_meta(
                         provider,
