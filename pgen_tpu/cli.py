@@ -575,6 +575,44 @@ def build_arg_parser() -> argparse.ArgumentParser:
     gl.add_argument("--stats", action="store_true",
                     help="Print per-stage timing/bandwidth to stderr.")
 
+    cl = sub.add_parser(
+        "clump",
+        help="LD-aware clumping of association results (plink --clump).",
+        description=(
+            "plink --clump analog: reads an association report (e.g. a "
+            "glm output; any TSV with ID and P columns), picks index "
+            "variants (P <= p1) best-first, and assigns unassigned "
+            "variants within --clump-kb kilobases at r^2 >= --clump-r2 "
+            "to that clump. Writes {out} (default {prefix}.clumps): "
+            "#CHROM POS ID P TOTAL NONSIG S0.05 S0.01 S0.001 S0.0001 SP2."
+        ),
+    )
+    cl.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    cl.add_argument("--clump", dest="clump_file", required=True,
+                    metavar="FILE", help="Association report TSV.")
+    cl.add_argument("-o", "--out", dest="out_file", default=None,
+                    help="Output path (default {prefix}.clumps, '-' stdout).")
+    cl.add_argument("--clump-p1", dest="p1", type=float, default=1e-4,
+                    help="Index-variant significance ceiling (default 1e-4).")
+    cl.add_argument("--clump-p2", dest="p2", type=float, default=1e-2,
+                    help="SP2-listing significance ceiling (default 0.01).")
+    cl.add_argument("--clump-r2", dest="r2", type=float, default=0.5,
+                    help="LD r^2 membership threshold (default 0.5).")
+    cl.add_argument("--clump-kb", dest="kb", type=float, default=250.0,
+                    help="Clump radius in kilobases (default 250).")
+    cl.add_argument("--clump-id-field", dest="id_field", default="ID",
+                    help="Report ID column name (default ID).")
+    cl.add_argument("--clump-p-field", dest="p_field", default="P",
+                    help="Report P column name (default P).")
+    cl.add_argument("--include-var", dest="var_query", default=None)
+    cl.add_argument("--include-sam", dest="sam_query", default=None)
+    cl.add_argument("--exclude-var", dest="var_exclude", default=None)
+    cl.add_argument("--exclude-sam", dest="sam_exclude", default=None)
+    cl.add_argument("--samples", dest="samples", default=None)
+    cl.add_argument("--samples-file", dest="samples_file", default=None)
+    cl.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing to stderr.")
+
     im = sub.add_parser(
         "import",
         help="Import a VCF (.vcf/.vcf.gz) or PLINK1 .bed fileset into .pgen.",
@@ -1252,6 +1290,36 @@ def main(argv=None) -> int:
                 + (f" + {len(covars)} covar(s)" if covars else "")
                 + f" over {result.num_variants} variants x "
                 f"{result.num_samples} samples -> {dest}",
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "clump":
+            from pgen_tpu.pipeline.clump import clump_pfile
+            from pgen_tpu.query.exclude import apply_exclude
+            from pgen_tpu.query.samples import apply_samples
+
+            result = clump_pfile(
+                args.pfile_prefix,
+                args.clump_file,
+                out_file=args.out_file,
+                p1=args.p1,
+                p2=args.p2,
+                r2=args.r2,
+                kb=args.kb,
+                id_field=args.id_field,
+                p_field=args.p_field,
+                var_query=apply_exclude(args.var_query, args.var_exclude),
+                sam_query=apply_exclude(
+                    apply_samples(args.sam_query, args.samples, args.samples_file),
+                    args.sam_exclude,
+                ),
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            print(
+                f"clump: {result.num_clumps} clump(s) absorbing "
+                f"{result.num_assigned} of {result.num_candidates} matched "
+                f"variants -> {result.out_path or 'stdout'}",
                 file=sys.stderr,
             )
             return 0
