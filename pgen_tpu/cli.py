@@ -179,6 +179,32 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default=None,
         help="Like --samples, one IID per line (blank/# lines skipped).",
     )
+    # plink2 QC sugar: desugars onto the GT_* expression machinery
+    f.add_argument(
+        "--maf", dest="maf", type=float, default=None, metavar="X",
+        help="Keep variants with minor-allele frequency >= X over the "
+             "kept cohort (plink2 --maf; sugar for GT_MAF >= X).",
+    )
+    f.add_argument(
+        "--max-maf", dest="max_maf", type=float, default=None, metavar="X",
+        help="Keep variants with MAF <= X (plink2 --max-maf).",
+    )
+    f.add_argument(
+        "--geno", dest="geno", type=float, default=None, metavar="X",
+        help="Drop variants with missing-call rate > X over the kept "
+             "cohort (plink2 --geno; sugar for GT_MISSING_RATE <= X).",
+    )
+    f.add_argument(
+        "--hwe", dest="hwe", type=float, default=None, metavar="X",
+        help="Drop variants with Hardy-Weinberg exact p < X (plink2 "
+             "--hwe; sugar for GT_HWE_P >= X).",
+    )
+    f.add_argument(
+        "--mind", dest="mind", type=float, default=None, metavar="X",
+        help="Drop samples with missing-genotype rate > X over ALL "
+             "variants (plink2 --mind; sugar for the sample-axis "
+             "GT_MISSING_RATE <= X).",
+    )
     f.add_argument(
         "-o",
         "--out",
@@ -951,6 +977,29 @@ def main(argv=None) -> int:
                 apply_samples(args.sam_query, args.samples, args.samples_file),
                 args.sam_exclude,
             )
+
+            # plink2 QC sugar -> GT_* conditions AND-ed into the queries
+            def _and_cond(query, cond):
+                return cond if query is None else f"({query}) && ({cond})"
+
+            if args.maf is not None:
+                args.var_query = _and_cond(args.var_query, f"GT_MAF >= {args.maf!r}")
+            if args.max_maf is not None:
+                args.var_query = _and_cond(
+                    args.var_query, f"GT_MAF <= {args.max_maf!r}"
+                )
+            if args.geno is not None:
+                args.var_query = _and_cond(
+                    args.var_query, f"GT_MISSING_RATE <= {args.geno!r}"
+                )
+            if args.hwe is not None:
+                args.var_query = _and_cond(
+                    args.var_query, f"GT_HWE_P >= {args.hwe!r}"
+                )
+            if args.mind is not None:
+                args.sam_query = _and_cond(
+                    args.sam_query, f"GT_MISSING_RATE <= {args.mind!r}"
+                )
             if args.out_file == "-":
                 # stdout streaming rides the pipe sink of the single-process
                 # VCF writer; every other path pwrites at computed offsets

@@ -66,27 +66,55 @@ def _resolve_provider(provider: str) -> str:
 
 def compute_masks(var_query, sam_query, pvar, psam, header, records, provider):
     """Evaluate both include-predicates, supporting GT_* genotype-stat
-    variables in the variant query (an extension over the reference —
-    README.md:259-264 lists genotype-valued queries as unsupported there).
+    variables on BOTH axes (an extension over the reference —
+    README.md:259-264 lists genotype-valued queries as unsupported there):
+    in the variant query they bind per-variant code histograms; in the
+    sample query, per-sample ones (GT_MISSING_RATE etc. over ALL variants
+    — the plink2 --mind convention: sample QC sees the whole fileset).
 
     Without GT_* variables the evaluation order matches the reference
     (variants first, pfile.rs:127-128). With them, the sample mask comes
-    first so the stats are cohort-aware (counts cover kept samples only).
+    first so the variant stats are cohort-aware (counts cover kept
+    samples only).
     """
     from pgen_tpu.ops.gt_stats import GT_VARIABLE_NAMES, maybe_gt_extra
     from pgen_tpu.query.ast import variables
     from pgen_tpu.query.parser import parse
 
     var_node = parse(var_query) if isinstance(var_query, str) else var_query
+    sam_node = parse(sam_query) if isinstance(sam_query, str) else sam_query
     uses_gt = var_node is not None and bool(
         variables(var_node) & set(GT_VARIABLE_NAMES)
     )
-    if not uses_gt:
+    sam_uses_gt = sam_node is not None and bool(
+        variables(sam_node) & set(GT_VARIABLE_NAMES)
+    )
+    if not uses_gt and not sam_uses_gt:
         return (
             compile_predicate(var_node, pvar),
-            compile_predicate(sam_query, psam),
+            compile_predicate(sam_node, psam),
         )
-    sam_mask = compile_predicate(sam_query, psam)
+    if sam_uses_gt:
+        from pgen_tpu.ops.gt_stats import gt_variables, sample_counts
+
+        if psam.num_rows > header.num_samples:
+            raise ValueError(
+                f"{psam.path} has {psam.num_rows} rows but the pgen holds "
+                f"{header.num_samples} samples (GT_* stats require "
+                f"matching counts)"
+            )
+        stats_provider = (
+            provider if provider in ("native", "device", "numpy") else "native"
+        )
+        used = variables(sam_node) & set(GT_VARIABLE_NAMES)
+        sc = sample_counts(records, header.num_samples, stats_provider)
+        sam_extra = gt_variables(sc, header.num_variants, used)
+        sam_extra = {k: v[: psam.num_rows] for k, v in sam_extra.items()}
+        sam_mask = compile_predicate(sam_node, psam, sam_extra)
+    else:
+        sam_mask = compile_predicate(sam_node, psam)
+    if not uses_gt:
+        return compile_predicate(var_node, pvar), sam_mask
     sam_idx = np.flatnonzero(sam_mask)
     subset = None if len(sam_idx) == header.num_samples else sam_idx.astype(np.int32)
     stats_provider = provider if provider in ("native", "device", "numpy") else "native"

@@ -148,6 +148,15 @@ def filter_to_vcf_mesh(
     # single-chip path; the kept-sample gather happens on device.
     with timer.stage("predicates"):
         cols = _device_expr_columns(var_node, pvar)
+        # a sample query with GT_* variables (e.g. --mind sugar) needs the
+        # per-sample histogram binding compute_masks provides: host masks
+        if isinstance(sam_query, str) and cols is not None:
+            from pgen_tpu.ops.gt_stats import GT_VARIABLE_NAMES
+            from pgen_tpu.query.ast import variables as _variables
+
+            sam_node_probe = parse(sam_query)
+            if _variables(sam_node_probe) & set(GT_VARIABLE_NAMES):
+                cols = None
         host_var_mask = None
         if cols is None:
             # outside the device expression subset (or no query): compute
