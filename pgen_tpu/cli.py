@@ -179,6 +179,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default=None,
         help="Like --samples, one IID per line (blank/# lines skipped).",
     )
+    f.add_argument(
+        "--extract", dest="extract", default=None, metavar="FILE",
+        help="Keep only variants whose IDs are listed in FILE, one per "
+             "line (plink2 --extract; compiles to one vectorized "
+             "membership sweep).",
+    )
+    f.add_argument(
+        "--exclude-ids", dest="exclude_ids", default=None, metavar="FILE",
+        help="Drop variants whose IDs are listed in FILE (plink2 "
+             "--exclude; named --exclude-ids here because --exclude-var "
+             "takes an expression).",
+    )
     # plink2 QC sugar: desugars onto the GT_* expression machinery
     f.add_argument(
         "--maf", dest="maf", type=float, default=None, metavar="X",
@@ -969,9 +981,15 @@ def main(argv=None) -> int:
             from pgen_tpu.query.regions import apply_regions
             from pgen_tpu.query.samples import apply_samples
 
-            args.var_query = apply_exclude(
-                apply_regions(args.var_query, args.regions, args.regions_file),
-                args.var_exclude,
+            from pgen_tpu.query.idlist import apply_id_lists
+
+            args.var_query = apply_id_lists(
+                apply_exclude(
+                    apply_regions(args.var_query, args.regions, args.regions_file),
+                    args.var_exclude,
+                ),
+                args.extract,
+                args.exclude_ids,
             )
             args.sam_query = apply_exclude(
                 apply_samples(args.sam_query, args.samples, args.samples_file),

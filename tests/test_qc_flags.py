@@ -122,3 +122,45 @@ def test_mind_on_device_mesh_path(fileset, tmp_path):
         "--provider", "device", "-o", str(b),
     ]) == 0
     assert a.read_bytes() == b.read_bytes()
+
+
+# -- --extract / --exclude-ids (plink2 variant-ID lists) ---------------------
+
+
+def test_extract_and_exclude_ids(fileset, tmp_path):
+    prefix, _ = fileset
+    idfile = tmp_path / "ids.txt"
+    idfile.write_text("# picked\nrs3\nrs7\nrs11\n\n")
+    out = tmp_path / "x.vcf"
+    assert run_cli([
+        "filter", prefix, "--extract", str(idfile), "-o", str(out),
+    ]) == 0
+    assert [ln.split("\t")[2] for ln in _body(out)] == ["rs3", "rs7", "rs11"]
+    # --exclude-ids drops exactly those
+    out2 = tmp_path / "e.vcf"
+    assert run_cli([
+        "filter", prefix, "--exclude-ids", str(idfile), "-o", str(out2),
+    ]) == 0
+    kept = [ln.split("\t")[2] for ln in _body(out2)]
+    assert "rs3" not in kept and "rs7" not in kept and len(kept) == 57
+    # composes with --include-var
+    out3 = tmp_path / "c.vcf"
+    assert run_cli([
+        "filter", prefix, "--extract", str(idfile),
+        "--include-var", 'POS >= "107"', "-o", str(out3),
+    ]) == 0
+    assert [ln.split("\t")[2] for ln in _body(out3)] == ["rs7", "rs11"]
+    # empty list errors
+    empty = tmp_path / "empty.txt"
+    empty.write_text("# nothing\n")
+    assert run_cli([
+        "filter", prefix, "--extract", str(empty), "-o", str(out),
+    ]) == 1
+
+
+def test_extract_comma_id_regex_fallback(tmp_path):
+    from pgen_tpu.query.idlist import ids_to_expr
+
+    assert ids_to_expr(["rs1", "rs2"], False) == 'in_list(ID, "rs1,rs2")'
+    expr = ids_to_expr(["a,b", "rs2"], False)
+    assert expr.startswith("str::regex_matches(ID,")
