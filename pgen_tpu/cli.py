@@ -566,9 +566,27 @@ def build_arg_parser() -> argparse.ArgumentParser:
     gl.add_argument("--pheno-name", dest="pheno_name", default="PHENO1",
                     help="psam phenotype column (default PHENO1); NA/./-9 "
                          "mark missing samples.")
+    gl.add_argument("--pheno", dest="pheno_file", default=None,
+                    metavar="FILE",
+                    help="External phenotype TSV joined on IID (plink2 "
+                         "--pheno); --pheno-name selects its column; "
+                         "unlisted samples are missing.")
     gl.add_argument("--covar-name", dest="covar_name", default=None,
                     help="Comma-separated psam covariate columns "
                          "(numeric; M/F accepted as 1/2).")
+    gl.add_argument("--covar", dest="covar_file", default=None,
+                    metavar="FILE",
+                    help="External covariate TSV joined on IID (plink2 "
+                         "--covar); --covar-name selects its columns.")
+    gl.add_argument("--condition", dest="condition", default=None,
+                    metavar="IDS",
+                    help="Comma-separated variant IDs whose alt dosage "
+                         "joins the covariates (plink2 --condition; "
+                         "missing calls mean-impute over the cohort).")
+    gl.add_argument("--condition-list", dest="condition_list", default=None,
+                    metavar="FILE",
+                    help="Like --condition, one variant ID per line "
+                         "(plink2 --condition-list).")
     gm = gl.add_mutually_exclusive_group()
     gm.add_argument("--linear", dest="model", action="store_const",
                     const="linear", default="auto",
@@ -1330,6 +1348,16 @@ def main(argv=None) -> int:
                 c.strip() for c in (args.covar_name or "").split(",")
                 if c.strip()
             ]
+            condition = [
+                c.strip() for c in (args.condition or "").split(",")
+                if c.strip()
+            ]
+            if args.condition_list:
+                with open(args.condition_list) as fh:
+                    condition += [
+                        ln.strip() for ln in fh
+                        if ln.strip() and not ln.strip().startswith("#")
+                    ]
             result = glm_pfile(
                 args.pfile_prefix,
                 pheno_name=args.pheno_name,
@@ -1348,6 +1376,9 @@ def main(argv=None) -> int:
                 provider=args.provider,
                 block_variants=args.block_variants,
                 firth=args.firth,
+                pheno_file=args.pheno_file,
+                covar_file=args.covar_file,
+                condition=condition,
             )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)

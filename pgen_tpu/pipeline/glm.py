@@ -116,6 +116,42 @@ def parse_numeric_column(values, colname: str) -> np.ndarray:
     return out
 
 
+def _external_column(path: str, colname: str, psam_iids) -> np.ndarray:
+    """plink2 --pheno/--covar file join: a TSV with an IID column (header
+    `#IID`/`IID`, or `#FID IID ...`) joined onto the psam's sample order.
+    Samples absent from the file get NaN (missing). Duplicate IIDs in the
+    file error (ambiguous join)."""
+    with open(path) as fh:
+        header = fh.readline()
+        if not header:
+            raise ValueError(f"glm: {path} is empty")
+        cols = header.lstrip("#").rstrip("\n").split("\t")
+        if "IID" not in cols:
+            raise ValueError(
+                f"glm: {path} header needs an IID column (has: "
+                f"{', '.join(cols)})"
+            )
+        iid_j = cols.index("IID")
+        try:
+            col_j = cols.index(colname)
+        except ValueError:
+            raise ValueError(
+                f"glm: {path} has no column {colname!r} (has: "
+                f"{', '.join(cols)})"
+            ) from None
+        vals = {}
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) <= max(iid_j, col_j):
+                continue
+            iid = parts[iid_j]
+            if iid in vals:
+                raise ValueError(f"glm: {path} lists IID {iid!r} twice")
+            vals[iid] = parts[col_j]
+    raw = [vals.get(iid, "NA") for iid in psam_iids]
+    return parse_numeric_column(raw, f"{path}:{colname}")
+
+
 def glm_pfile(
     pfile_prefix: str,
     pheno_name: str = "PHENO1",
@@ -127,9 +163,23 @@ def glm_pfile(
     block_variants: int | None = None,
     model: str = "auto",
     firth: str = "fallback",
+    pheno_file: str | None = None,
+    covar_file: str | None = None,
+    condition=(),
     write: bool = True,
     out=None,
 ) -> GlmRunResult:
+    """See the module docstring. Additional plink2 surfaces:
+
+    pheno_file / covar_file: external TSVs joined on IID (plink2 --pheno
+    / --covar); the named columns come from there instead of the psam,
+    and unlisted samples are missing.
+    condition: variant IDs whose alt dosage joins the covariates (plink2
+    --condition/--condition-list); missing calls mean-impute over the
+    analysis cohort (pinned spec — plink2 dosage semantics differ by
+    input format). The conditioned variants still get tested; their own
+    rows come back NA (self-collinearity), like plink2.
+    """
     provider = _resolve_provider(provider)
     if provider == "native":
         provider = "numpy"  # BLAS is the host gemm engine (ops/glm.py)
@@ -152,13 +202,23 @@ def glm_pfile(
         var_idx = np.flatnonzero(var_mask)
 
     with timer.stage("phenotypes"):
-        y_all = parse_numeric_column(
-            psam.get_column_strs(pheno_name), pheno_name
-        )
-        cov_all = [
-            parse_numeric_column(psam.get_column_strs(c), c)
-            for c in covar_names
-        ]
+        psam_iids = psam.get_column_strs("IID")
+        if pheno_file is not None:
+            y_all = _external_column(pheno_file, pheno_name, psam_iids)
+        else:
+            y_all = parse_numeric_column(
+                psam.get_column_strs(pheno_name), pheno_name
+            )
+        if covar_file is not None:
+            cov_all = [
+                _external_column(covar_file, c, psam_iids)
+                for c in covar_names
+            ]
+        else:
+            cov_all = [
+                parse_numeric_column(psam.get_column_strs(c), c)
+                for c in covar_names
+            ]
         complete = ~np.isnan(y_all)
         for c in cov_all:
             complete &= ~np.isnan(c)
@@ -204,6 +264,41 @@ def glm_pfile(
         np.stack([c[sam_idx] for c in cov_all], axis=1)
         if k else np.zeros((n_sam, 0))
     )
+    covar_labels = list(covar_names)
+    condition = [c for c in (condition or ()) if c]
+    if condition:
+        # --condition dosage covariates: alt dosage of the named variants
+        # over the analysis cohort, missing calls mean-imputed
+        from pgen_tpu.ops.unpack import unpack_codes_numpy
+
+        ids_all = pvar.get_column_strs("ID")
+        row_of = {}
+        for row, vid in enumerate(ids_all):
+            if vid not in row_of:
+                row_of[vid] = row
+        cond_rows = []
+        for vid in condition:
+            row = row_of.get(vid)
+            if row is None:
+                raise ValueError(f"glm: --condition variant {vid!r} not found")
+            cond_rows.append(row)
+        codes = unpack_codes_numpy(
+            records[np.asarray(cond_rows)], header.num_samples
+        )[:, sam_idx]
+        cal = codes != 3
+        g = codes.astype(np.float64) * cal
+        nc = cal.sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            means = np.where(nc > 0, g.sum(axis=1) / np.maximum(nc, 1), 0.0)
+        dos = np.where(cal, g, means[:, None]).T  # (S_kept, n_cond)
+        covars = np.concatenate([covars, dos], axis=1)
+        covar_labels += [f"dosage({v})" for v in condition]
+        k = covars.shape[1]
+        if n_sam < k + 3:
+            raise ValueError(
+                f"glm: {n_sam} analyzable samples is too few for {k} "
+                f"covariate(s) incl. --condition (need >= {k + 3})"
+            )
     if np.nanstd(y) == 0:
         raise ValueError(f"glm: phenotype {pheno_name} is constant")
     model, y = detect_model(y, model)
@@ -214,7 +309,7 @@ def glm_pfile(
         if np.linalg.matrix_rank(x0) < x0.shape[1]:
             raise ValueError(
                 "glm: covariates are collinear with the intercept over the "
-                f"analysis cohort (constant column among {list(covar_names)}?)"
+                f"analysis cohort (constant column among {covar_labels}?)"
             )
 
     with timer.stage("gather", len(var_idx) * rec):

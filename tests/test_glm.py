@@ -548,3 +548,107 @@ def test_cli_glm_firth_flags(tmp_path):
     )
     np.testing.assert_allclose(float(row[8]), np.exp(b), rtol=1e-4)
     np.testing.assert_allclose(float(row[9]), se, rtol=1e-4)
+
+
+# -- external --pheno/--covar files and --condition (plink2 surfaces) --------
+
+
+def test_glm_external_pheno_file(tmp_path):
+    """--pheno FILE joined on IID must equal the same values in the psam;
+    unlisted samples become missing (dropped)."""
+    from pgen_tpu.pipeline.glm import glm_pfile
+
+    rng = np.random.default_rng(51)
+    nv, ns = 12, 50
+    codes = rng.binomial(2, 0.4, size=(nv, ns)).astype(np.uint8)
+    y = rng.normal(size=ns)
+    pheno = [f"{v:.8g}" for v in y]
+    prefix = _glm_fileset(tmp_path, codes, pheno)
+    # external file: same values under a new name, SHUFFLED row order
+    order = rng.permutation(ns)
+    ext = tmp_path / "pheno.tsv"
+    ext.write_text(
+        "#IID\tBMI\n" + "".join(f"s{i}\t{pheno[i]}\n" for i in order)
+    )
+    a = glm_pfile(prefix, out_file=str(tmp_path / "a"), write=False)
+    b = glm_pfile(
+        prefix, pheno_name="BMI", pheno_file=str(ext),
+        out_file=str(tmp_path / "b"), write=False,
+    )
+    np.testing.assert_allclose(b.beta, a.beta, rtol=1e-12, equal_nan=True)
+    # a file listing only half the cohort drops the rest
+    half = tmp_path / "half.tsv"
+    half.write_text(
+        "#IID\tBMI\n" + "".join(f"s{i}\t{pheno[i]}\n" for i in range(25))
+    )
+    c = glm_pfile(
+        prefix, pheno_name="BMI", pheno_file=str(half),
+        out_file=str(tmp_path / "c"), write=False,
+    )
+    assert c.num_samples == 25 and c.num_dropped == 25
+    # duplicate IID errors
+    dup = tmp_path / "dup.tsv"
+    dup.write_text("#IID\tBMI\ns0\t1\ns0\t2\n")
+    with pytest.raises(ValueError, match="twice"):
+        glm_pfile(prefix, pheno_name="BMI", pheno_file=str(dup), write=False)
+
+
+def test_glm_external_covar_file_and_condition(tmp_path):
+    """--covar FILE + --condition: conditioning on a variant's own dosage
+    must NA that variant (self-collinearity) and change others' betas
+    exactly as appending the dosage column by hand."""
+    from pgen_tpu.pipeline.glm import glm_pfile
+
+    rng = np.random.default_rng(52)
+    nv, ns = 10, 60
+    codes = rng.binomial(2, 0.4, size=(nv, ns)).astype(np.uint8)
+    codes[2, :5] = 3  # some missing calls in the conditioned variant
+    y = 0.5 * codes[2].clip(0, 2) + rng.normal(size=ns)
+    prefix = _glm_fileset(tmp_path, codes, [f"{v:.8g}" for v in y])
+    cov = rng.normal(size=ns)
+    ext = tmp_path / "covar.tsv"
+    ext.write_text(
+        "#IID\tPC1\n" + "".join(f"s{i}\t{cov[i]:.8g}\n" for i in range(ns))
+    )
+    res = glm_pfile(
+        prefix, covar_names=["PC1"], covar_file=str(ext),
+        condition=["rs2"], write=False,
+    )
+    assert np.isnan(res.beta[2])  # conditioned on itself -> collinear -> NA
+    # oracle: hand-append the mean-imputed rs2 dosage as a covariate
+    # (per-variant call: running it ON rs2 itself is singular by design)
+    cal = codes[2] != 3
+    g = codes[2].astype(float)
+    g[~cal] = g[cal].mean()
+    xcov = np.column_stack([cov, g])
+    for v in range(nv):
+        if v == 2:
+            continue
+        n, b, se, t, p = _glm_oracle(codes[v : v + 1], y, xcov)[0]
+        if np.isnan(b):
+            assert np.isnan(res.beta[v])
+        else:
+            np.testing.assert_allclose(res.beta[v], b, rtol=1e-6)
+
+
+def test_cli_glm_condition_list(tmp_path):
+    rng = np.random.default_rng(53)
+    nv, ns = 8, 40
+    codes = rng.binomial(2, 0.4, size=(nv, ns)).astype(np.uint8)
+    y = rng.normal(size=ns)
+    prefix = _glm_fileset(tmp_path, codes, [f"{v:.8g}" for v in y])
+    clist = tmp_path / "cond.txt"
+    clist.write_text("rs1\nrs4\n")
+    out = tmp_path / "o.glm"
+    assert run_cli([
+        "glm", prefix, "--condition-list", str(clist), "-o", str(out),
+    ]) == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) == nv + 1
+    # conditioned variants NA'd by self-collinearity
+    assert lines[2].split("\t")[8] == "NA"  # rs1
+    assert lines[5].split("\t")[8] == "NA"  # rs4
+    # unknown condition ID errors
+    assert run_cli([
+        "glm", prefix, "--condition", "nosuch", "-o", str(out),
+    ]) == 1
