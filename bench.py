@@ -653,6 +653,17 @@ def _mxu_bench() -> dict:
     grm_dt = _slope(grm, 12)
     grm_tflops = 2 * V * S * S / grm_dt / 1e12
 
+    # randomized-PCA pass (tall-skinny: z @ Q then z.T @ that, L = 20) —
+    # far less arithmetic than the S x S Gram per data byte, so it runs
+    # closer to the memory roofline than the MXU one
+    from pgen_tpu.ops.pca import _approx_pass_jit
+
+    L = 20
+    q = jnp.asarray(rng.standard_normal((S, L)).astype(np.float32))
+    approx = _chain(lambda a: _approx_pass_jit(a, q, None, S, V, False)[:1])
+    approx_dt = _slope(approx, 12)
+    approx_tflops = 2 * 2 * V * S * L / approx_dt / 1e12  # two matmuls
+
     return {
         "king_tflops": round(king_tflops, 1),
         "king_pct_bf16_peak": round(100 * king_tflops / V5E_MXU_BF16_TFLOPS, 1),
@@ -660,6 +671,8 @@ def _mxu_bench() -> dict:
         "grm_tflops": round(grm_tflops, 1),
         "grm_note": "true-f32 (Precision.HIGHEST, multi-pass bf16 MXU "
         "decomposition); king's 0/1 Grams are exact in single-pass bf16",
+        "pca_approx_mvar_s": round(V / approx_dt / 1e6, 2),
+        "pca_approx_tflops": round(approx_tflops, 2),
         "variants": V,
         "samples": S,
         "backend": jax.default_backend(),
