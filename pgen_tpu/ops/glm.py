@@ -100,7 +100,7 @@ def glm_moments_numpy(
 ) -> GlmMoments:
     """Host provider: f64 masked-moment dgemms per block, in-place block
     buffers (first-touch tax — see ROADMAP.md Host IO)."""
-    from pgen_tpu.ops.unpack import unpack_codes_numpy
+    from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     packed = np.asarray(packed, dtype=np.uint8)
     nvar = packed.shape[0]

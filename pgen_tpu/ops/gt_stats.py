@@ -26,7 +26,7 @@ import numpy as np
 
 def gt_counts_reference(packed: np.ndarray, num_samples: int) -> np.ndarray:
     """Numpy oracle: (V, rec) u8 -> (V, 4) int64 code histogram."""
-    from pgen_tpu.ops.unpack import unpack_codes_reference
+    from pgen_tpu.ops.unpack_host import unpack_codes_reference
 
     codes = unpack_codes_reference(packed, num_samples)
     out = np.zeros((packed.shape[0], 4), dtype=np.int64)
@@ -188,7 +188,7 @@ def _byte_count_lut() -> np.ndarray:
 
 def sample_counts_reference(packed: np.ndarray, num_samples: int) -> np.ndarray:
     """Numpy oracle: (V, rec) u8 -> (S, 4) int64 per-sample code histogram."""
-    from pgen_tpu.ops.unpack import unpack_codes_reference
+    from pgen_tpu.ops.unpack_host import unpack_codes_reference
 
     codes = unpack_codes_reference(packed, num_samples)
     out = np.zeros((num_samples, 4), dtype=np.int64)

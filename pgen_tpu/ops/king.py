@@ -100,7 +100,7 @@ def king_counts_numpy(
     numpy temporaries pay a ~0.25 GB/s first-touch tax on hypervisors with
     lazy page backing (ROADMAP.md Host IO), several times the sgemm cost.
     """
-    from pgen_tpu.ops.unpack import unpack_codes_numpy
+    from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     packed = np.asarray(packed, dtype=np.uint8)
     nvar = packed.shape[0]

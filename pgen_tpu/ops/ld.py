@@ -69,7 +69,7 @@ def banded_r2_numpy(
     packed: np.ndarray, num_samples: int, band: int, sample_idx=None
 ) -> np.ndarray:
     """Tiled-gemm band: tile rows x their 2*band-row slice, f64."""
-    from pgen_tpu.ops.unpack import unpack_codes_numpy
+    from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     packed = np.asarray(packed, dtype=np.uint8)
     nvar = packed.shape[0]

@@ -346,7 +346,7 @@ def glm_logistic_numpy(
     fits every estimable site with Firth; "none" (`--glm no-firth`)
     reports non-converged sites as NA.
     """
-    from pgen_tpu.ops.unpack import unpack_codes_numpy
+    from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     if firth not in ("fallback", "always", "none"):
         raise ValueError(f"logistic: unknown firth mode {firth!r}")

@@ -54,7 +54,7 @@ def grm_numpy(
     pays a ~0.25 GB/s first-touch tax (see ROADMAP.md Host IO), which
     would otherwise cost several times the dgemm itself.
     """
-    from pgen_tpu.ops.unpack import unpack_codes_numpy
+    from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     packed = np.asarray(packed, dtype=np.uint8)
     nvar = packed.shape[0]
@@ -318,7 +318,7 @@ def pca_approx(
 
 
 def _make_approx_pass_numpy(packed, num_samples, sample_idx, block_variants):
-    from pgen_tpu.ops.unpack import unpack_codes_numpy
+    from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     nvar = packed.shape[0]
     bv = min(block_variants or (1 << 13), max(nvar, 1))

@@ -54,7 +54,7 @@ def score_numpy(
 ) -> ScoreResult:
     """Host provider: f64 dosage + dgemm per block, in-place block buffers
     (fresh temporaries pay the first-touch tax — see ROADMAP.md Host IO)."""
-    from pgen_tpu.ops.unpack import unpack_codes_numpy
+    from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     packed = np.asarray(packed, dtype=np.uint8)
     weights = np.asarray(weights, dtype=np.float64)

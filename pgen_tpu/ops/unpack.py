@@ -32,24 +32,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def unpack_codes_reference(packed: np.ndarray, num_samples: int) -> np.ndarray:
-    """Scalar-style numpy oracle for tests: (V, R) u8 -> (V, S) u8 codes."""
-    packed = np.asarray(packed, dtype=np.uint8)
-    out = np.empty((packed.shape[0], num_samples), dtype=np.uint8)
-    for s in range(num_samples):
-        out[:, s] = (packed[:, s // 4] >> ((s % 4) * 2)) & 0b11
-    return out
-
-
-def unpack_codes_numpy(packed: np.ndarray, num_samples: int) -> np.ndarray:
-    """Vectorized numpy unpack: (V, R) u8 -> (V, S) u8 codes.
-
-    Same LSB-first extraction as the oracle, materialized as one broadcast
-    shift over the 4 bit positions (byte j -> columns 4j..4j+3)."""
-    packed = np.asarray(packed, dtype=np.uint8)
-    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
-    codes = (packed[:, :, None] >> shifts) & np.uint8(3)  # (V, R, 4)
-    return codes.reshape(packed.shape[0], -1)[:, :num_samples]
+# host implementations live in the jax-free unpack_host module (so host
+# pipelines can import them without paying the jax/pallas import);
+# re-exported here for compatibility
+from pgen_tpu.ops.unpack_host import (  # noqa: F401
+    unpack_codes_numpy,
+    unpack_codes_reference,
+)
 
 
 def _unpack_words(x: jnp.ndarray) -> jnp.ndarray:

@@ -169,7 +169,7 @@ def clump_pfile(
         by_chrom[c] = k[order]
 
     from pgen_tpu.ops.ld import centered_dosage_np
-    from pgen_tpu.ops.unpack import unpack_codes_numpy
+    from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     window = int(round(kb * 1000))
     assigned = np.zeros(len(rows), dtype=bool)

@@ -269,7 +269,7 @@ def glm_pfile(
     if condition:
         # --condition dosage covariates: alt dosage of the named variants
         # over the analysis cohort, missing calls mean-imputed
-        from pgen_tpu.ops.unpack import unpack_codes_numpy
+        from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
         ids_all = pvar.get_column_strs("ID")
         row_of = {}

@@ -59,7 +59,7 @@ def _codecs():
     if HAVE_NATIVE:
         return native.unpack_codes, native.pack_codes
     from pgen_tpu.formats.writer import pack_codes
-    from pgen_tpu.ops.unpack import unpack_codes_reference
+    from pgen_tpu.ops.unpack_host import unpack_codes_reference
 
     return unpack_codes_reference, pack_codes
 

@@ -63,7 +63,7 @@ def _subset_block(packed_blk, sam_idx, n_total_samples, provider):
         codes = native.unpack_codes(packed_blk, n_total_samples)
         return native.pack_codes(np.ascontiguousarray(codes[:, sam_idx]))
     from pgen_tpu.formats.writer import pack_codes
-    from pgen_tpu.ops.unpack import unpack_codes_reference
+    from pgen_tpu.ops.unpack_host import unpack_codes_reference
 
     codes = unpack_codes_reference(packed_blk, n_total_samples)
     return pack_codes(codes[:, sam_idx])

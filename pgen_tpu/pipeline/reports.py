@@ -253,7 +253,7 @@ def het_expected_hom(
     from cohort allele counts. Computed as one (V,) x (V, S_kept) masked
     matvec per block (dgemv on host).
     """
-    from pgen_tpu.ops.unpack import unpack_codes_numpy
+    from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     nvar = kept.shape[0]
     n_sam = len(sam_idx)

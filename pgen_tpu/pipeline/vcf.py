@@ -51,7 +51,7 @@ def emit_rows_numpy(
     Behavior-identical to pgen_native.pgen_emit_vcf_rows_buf; used in tests
     as an independent oracle and as the no-toolchain fallback.
     """
-    from pgen_tpu.ops.unpack import unpack_codes_reference
+    from pgen_tpu.ops.unpack_host import unpack_codes_reference
 
     n_var = len(prefix_off) - 1
     if n_var == 0:
