@@ -438,6 +438,46 @@ def build_arg_parser() -> argparse.ArgumentParser:
     kg.add_argument("--stats", action="store_true",
                     help="Print per-stage timing/bandwidth to stderr.")
 
+    gn = sub.add_parser(
+        "genome",
+        help="Pairwise IBD-sharing table (plink --genome analog; MXU "
+             "matmul workload).",
+        description=(
+            "plink 1.9 --genome analog: estimates pairwise IBD sharing "
+            "from the 2-bit hard calls — observed IBS0/IBS1/IBS2 pair "
+            "counts via indicator Gram matmuls, then Z0/Z1/Z2/PI_HAT by "
+            "the method of moments from the kept cohort's allele "
+            "frequencies (Purcell 2007). Output is a .genome-flavored "
+            "TSV: IID1 IID2 NSNP IBS0 IBS1 IBS2 DST Z0 Z1 Z2 PI_HAT. "
+            "Accepts the same predicates/regions/sample lists as filter."
+        ),
+    )
+    gn.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    gn.add_argument("-o", "--out", dest="out_file", default=None,
+                    help="Output table path (default {prefix}.genome, "
+                         "'-' stdout).")
+    gn.add_argument("--include-var", dest="var_query", default=None)
+    gn.add_argument("--include-sam", dest="sam_query", default=None)
+    gn.add_argument("--exclude-var", dest="var_exclude", default=None)
+    gn.add_argument("--exclude-sam", dest="sam_exclude", default=None)
+    gn.add_argument("-r", "--regions", dest="regions", default=None)
+    gn.add_argument("-R", "--regions-file", dest="regions_file", default=None)
+    gn.add_argument("--samples", dest="samples", default=None)
+    gn.add_argument("--samples-file", dest="samples_file", default=None)
+    gn.add_argument(
+        "--min-pi-hat", dest="min_pi_hat", type=float, default=None,
+        help="Only write pairs with PI_HAT >= this (plink --min analog).",
+    )
+    gn.add_argument(
+        "--provider", choices=["auto", "native", "device", "numpy"],
+        default="auto",
+        help="Gram-matmul engine: device = TPU MXU, native/numpy = BLAS.",
+    )
+    gn.add_argument("--block-variants", type=int, default=None,
+                    help="Variant block height per Gram accumulation step.")
+    gn.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing/bandwidth to stderr.")
+
     pc = sub.add_parser(
         "pca",
         help="Top-K principal components via the GRM (MXU matmul workload).",
@@ -1257,6 +1297,38 @@ def main(argv=None) -> int:
             print(
                 f"king: {result.num_pairs} pairs over {result.num_samples} "
                 f"samples x {result.num_variants} variants -> {dest}",
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "genome":
+            from pgen_tpu.pipeline.genome import genome_table
+            from pgen_tpu.query.exclude import apply_exclude
+            from pgen_tpu.query.regions import apply_regions
+            from pgen_tpu.query.samples import apply_samples
+
+            result = genome_table(
+                args.pfile_prefix,
+                var_query=apply_exclude(
+                    apply_regions(args.var_query, args.regions, args.regions_file),
+                    args.var_exclude,
+                ),
+                sam_query=apply_exclude(
+                    apply_samples(args.sam_query, args.samples, args.samples_file),
+                    args.sam_exclude,
+                ),
+                out_file=None if args.out_file == "-" else args.out_file,
+                out=sys.stdout if args.out_file == "-" else None,
+                provider=args.provider,
+                min_pi_hat=args.min_pi_hat,
+                block_variants=args.block_variants,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            dest = "stdout" if args.out_file == "-" else result.out_path
+            print(
+                f"genome: {result.num_pairs} pairs over "
+                f"{result.num_samples} samples x {result.num_variants} "
+                f"variants -> {dest}",
                 file=sys.stderr,
             )
             return 0
