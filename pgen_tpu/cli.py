@@ -709,6 +709,42 @@ def build_arg_parser() -> argparse.ArgumentParser:
     cl.add_argument("--stats", action="store_true",
                     help="Print per-stage timing to stderr.")
 
+    ex = sub.add_parser(
+        "export",
+        help="Export a sample-major additive dosage matrix (.raw; plink2 "
+             "--export A / AD).",
+        description=(
+            "plink2 --export A / AD analog: writes the tab-delimited "
+            ".raw layout (FID IID PAT MAT SEX PHENOTYPE then one ALT-"
+            "count column per variant, named ID_ALT; AD adds an ID_HET "
+            "dominant-deviation column). Missing calls are NA. Accepts "
+            "the same predicates/regions/sample lists as filter."
+        ),
+    )
+    ex.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    ex.add_argument("fmt", nargs="?", default="A", choices=("A", "AD"),
+                    help="Export format: A = additive dosage (default), "
+                         "AD = additive + het-indicator columns.")
+    ex.add_argument("-o", "--out", dest="out_file", default=None,
+                    help="Output path (default {prefix}.raw, '-' stdout).")
+    ex.add_argument("--include-var", dest="var_query", default=None)
+    ex.add_argument("--include-sam", dest="sam_query", default=None)
+    ex.add_argument("--exclude-var", dest="var_exclude", default=None)
+    ex.add_argument("--exclude-sam", dest="sam_exclude", default=None)
+    ex.add_argument("-r", "--regions", dest="regions", default=None)
+    ex.add_argument("-R", "--regions-file", dest="regions_file", default=None)
+    ex.add_argument("--samples", dest="samples", default=None)
+    ex.add_argument("--samples-file", dest="samples_file", default=None)
+    ex.add_argument(
+        "--provider", choices=["auto", "native", "device", "numpy"],
+        default="auto",
+        help="Predicate/stat engine for GT_* expressions (decode is host).",
+    )
+    ex.add_argument("--block-variants", type=int, default=1 << 13,
+                    help="Variant block height per decode step.")
+    ex.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing/bandwidth to stderr.")
+
     im = sub.add_parser(
         "import",
         help="Import a VCF (.vcf/.vcf.gz) or PLINK1 .bed fileset into .pgen.",
@@ -1490,6 +1526,37 @@ def main(argv=None) -> int:
                 f"clump: {result.num_clumps} clump(s) absorbing "
                 f"{result.num_assigned} of {result.num_candidates} matched "
                 f"variants -> {result.out_path or 'stdout'}",
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "export":
+            from pgen_tpu.pipeline.export_raw import export_raw
+            from pgen_tpu.query.exclude import apply_exclude
+            from pgen_tpu.query.regions import apply_regions
+            from pgen_tpu.query.samples import apply_samples
+
+            result = export_raw(
+                args.pfile_prefix,
+                fmt=args.fmt,
+                out_file=None if args.out_file == "-" else args.out_file,
+                out=sys.stdout.buffer if args.out_file == "-" else None,
+                var_query=apply_exclude(
+                    apply_regions(args.var_query, args.regions, args.regions_file),
+                    args.var_exclude,
+                ),
+                sam_query=apply_exclude(
+                    apply_samples(args.sam_query, args.samples, args.samples_file),
+                    args.sam_exclude,
+                ),
+                provider=args.provider,
+                block_variants=args.block_variants,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            dest = "stdout" if args.out_file == "-" else result.out_path
+            print(
+                f"export {result.fmt}: {result.num_samples} samples x "
+                f"{result.num_variants} variants -> {dest}",
                 file=sys.stderr,
             )
             return 0
