@@ -1039,6 +1039,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
         ),
     )
     d.add_argument("pgen_file", help="Path to a .pgen file.")
+
+    # plink2 --keep / --remove sample-ID files, registered uniformly on
+    # every subcommand that takes sample lists; folded into the
+    # include-sam expression once, centrally, in main()
+    for sp in sub.choices.values():
+        if any(a.dest == "samples_file" for a in sp._actions):
+            sp.add_argument(
+                "--keep", dest="keep", default=None, metavar="FILE",
+                help="Keep only samples listed in FILE (plink2 --keep; "
+                     "bare IID or FID IID per line).",
+            )
+            sp.add_argument(
+                "--remove", dest="remove", default=None, metavar="FILE",
+                help="Drop samples listed in FILE (plink2 --remove).",
+            )
     return p
 
 
@@ -1050,6 +1065,12 @@ def _version() -> str:
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
+    if getattr(args, "keep", None) or getattr(args, "remove", None):
+        from pgen_tpu.query.samples import apply_keep_remove
+
+        args.sam_query = apply_keep_remove(
+            getattr(args, "sam_query", None), args.keep, args.remove
+        )
     try:
         if args.command == "query":
             from pgen_tpu.pipeline.query import query_metadata

@@ -67,6 +67,37 @@ def samples_file_to_expr(path: str) -> str:
     return _to_expr(names, negate)
 
 
+def keep_remove_file_to_names(path: str) -> list:
+    """plink2 --keep/--remove file: one sample per line, either a bare
+    IID or plink's FID IID pair (whitespace-separated; the IID is the
+    SECOND field when two or more are present). Blank/# lines skipped."""
+    names = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            fields = line.split()
+            names.append(fields[1] if len(fields) >= 2 else fields[0])
+    if not names:
+        raise SampleListError(f"{path}: no sample names found")
+    return names
+
+
+def apply_keep_remove(
+    sam_query: str | None, keep: str | None, remove: str | None
+) -> str | None:
+    """Fold plink2 --keep/--remove ID files into an include-sam expr.
+
+    Both may be given: keep ∧ ¬remove, AND-ed with any existing query."""
+    for path, negate in ((keep, False), (remove, True)):
+        if not path:
+            continue
+        expr = _to_expr(keep_remove_file_to_names(path), negate)
+        sam_query = expr if sam_query is None else f"({expr}) && ({sam_query})"
+    return sam_query
+
+
 def apply_samples(
     sam_query: str | None, samples: str | None, samples_file: str | None
 ) -> str | None:
