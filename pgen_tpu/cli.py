@@ -709,6 +709,60 @@ def build_arg_parser() -> argparse.ArgumentParser:
     cl.add_argument("--stats", action="store_true",
                     help="Print per-stage timing to stderr.")
 
+    rh = sub.add_parser(
+        "roh",
+        help="Runs of homozygosity (plink --homozyg analog).",
+        description=(
+            "plink --homozyg analog: calls runs of homozygosity per "
+            "sample with the windowed scan (acceptable-window fraction "
+            "per SNP, candidate runs trimmed/split/filtered), vectorized "
+            "across all samples. Writes {out}.hom (one row per segment) "
+            "and {out}.hom.indiv (per-sample totals). Variants must be "
+            "grouped by chromosome with ascending POS (see sort). "
+            "Accepts the same predicates/regions/sample lists as filter."
+        ),
+    )
+    rh.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    rh.add_argument("-o", "--out", dest="out_prefix", default=None,
+                    help="Output prefix (default {prefix} -> "
+                         "{prefix}.hom / .hom.indiv).")
+    rh.add_argument("--window-snp", type=int, default=50,
+                    help="Scanning window size in SNPs (default 50).")
+    rh.add_argument("--window-het", type=int, default=1,
+                    help="Max het calls per acceptable window (default 1).")
+    rh.add_argument("--window-missing", type=int, default=5,
+                    help="Max missing calls per acceptable window "
+                         "(default 5).")
+    rh.add_argument("--window-threshold", type=float, default=0.05,
+                    help="Min acceptable-window fraction for a SNP to be "
+                         "in the homozygous state (default 0.05).")
+    rh.add_argument("--min-snp", dest="min_snp", type=int, default=100,
+                    help="Min SNPs per reported segment (default 100).")
+    rh.add_argument("--min-kb", dest="min_kb", type=float, default=1000.0,
+                    help="Min segment span in kb (default 1000).")
+    rh.add_argument("--density", type=float, default=50.0,
+                    help="Max average kb per SNP in a segment (default 50).")
+    rh.add_argument("--gap", type=float, default=1000.0,
+                    help="Split candidate runs at inter-SNP gaps larger "
+                         "than this many kb (default 1000).")
+    rh.add_argument("--include-var", dest="var_query", default=None)
+    rh.add_argument("--include-sam", dest="sam_query", default=None)
+    rh.add_argument("--exclude-var", dest="var_exclude", default=None)
+    rh.add_argument("--exclude-sam", dest="sam_exclude", default=None)
+    rh.add_argument("-r", "--regions", dest="regions", default=None)
+    rh.add_argument("-R", "--regions-file", dest="regions_file", default=None)
+    rh.add_argument("--samples", dest="samples", default=None)
+    rh.add_argument("--samples-file", dest="samples_file", default=None)
+    rh.add_argument(
+        "--provider", choices=["auto", "native", "device", "numpy"],
+        default="auto",
+        help="Predicate/stat engine for GT_* expressions (scan is host).",
+    )
+    rh.add_argument("--block-variants", type=int, default=1 << 13,
+                    help="Variant block height per decode step.")
+    rh.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing/bandwidth to stderr.")
+
     ex = sub.add_parser(
         "export",
         help="Export a sample-major additive dosage matrix (.raw; plink2 "
@@ -1547,6 +1601,46 @@ def main(argv=None) -> int:
                 f"clump: {result.num_clumps} clump(s) absorbing "
                 f"{result.num_assigned} of {result.num_candidates} matched "
                 f"variants -> {result.out_path or 'stdout'}",
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "roh":
+            from pgen_tpu.ops.roh import RohParams
+            from pgen_tpu.pipeline.roh import roh_report
+            from pgen_tpu.query.exclude import apply_exclude
+            from pgen_tpu.query.regions import apply_regions
+            from pgen_tpu.query.samples import apply_samples
+
+            result = roh_report(
+                args.pfile_prefix,
+                out_prefix=args.out_prefix,
+                var_query=apply_exclude(
+                    apply_regions(args.var_query, args.regions, args.regions_file),
+                    args.var_exclude,
+                ),
+                sam_query=apply_exclude(
+                    apply_samples(args.sam_query, args.samples, args.samples_file),
+                    args.sam_exclude,
+                ),
+                provider=args.provider,
+                params=RohParams(
+                    window_snp=args.window_snp,
+                    window_het=args.window_het,
+                    window_missing=args.window_missing,
+                    window_threshold=args.window_threshold,
+                    min_snp=args.min_snp,
+                    min_kb=args.min_kb,
+                    density=args.density,
+                    gap=args.gap,
+                ),
+                block_variants=args.block_variants,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            print(
+                f"roh: {result.num_segments} segments over "
+                f"{result.num_samples} samples x {result.num_variants} "
+                f"variants -> {result.out_paths[0]}",
                 file=sys.stderr,
             )
             return 0
