@@ -213,7 +213,9 @@ def main():
                 ),
                 sruns, warmups=1,
             )
-            halves.append(statistics.median(ts))
+            # min = best steady-state observation (host_variance_note):
+            # a single contended run must not skew the projection
+            halves.append(min(ts))
             os.unlink(part)
         m1, m2 = statistics.median(w1), statistics.median(w2)
         scaling_row = {
@@ -224,15 +226,16 @@ def main():
             "scaling_2worker_efficiency": round(m1 / (2 * m2), 3),
             "scaling_half_shard_s": [round(t, 3) for t in halves],
             "scaling_2host_projected_efficiency": round(
-                m1 / (2 * max(halves)), 3
+                min(w1) / (2 * max(halves)), 3
             ),
             "scaling_note": "2worker = 2 processes sharing this VM's ONE "
             "memory bus, which a single worker already saturates (emit at "
             "DRAM speed) — it measures the VM, not the design. 2host "
             "projection = each half-shard timed with the machine to "
             "itself (own bus per host, zero inter-worker communication: "
-            "output offsets are arithmetic), efficiency = t1/(2*max "
-            "half).",
+            "output offsets are arithmetic), efficiency = "
+            "min(t1)/(2*max(min half)) — steady-state vs steady-state so "
+            "one contended run cannot skew it.",
         }
         os.sync()
 
