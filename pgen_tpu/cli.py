@@ -370,9 +370,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
             "method-of-moments E(HOM) over each sample's called variants "
             "(a masked matvec), OBS_CT, and F.",
         ),
+        "gcount": (
+            "Per-variant genotype-class counts (plink2 --geno-counts).",
+            "plink2 --geno-counts analog: one {out}.gcount row per kept "
+            "variant with HOM_REF/HET/HOM_ALT/MISSING counts (no haploid "
+            "columns — mode-0x02 stores diploid hard calls only).",
+        ),
     }
     for name, (hlp, desc) in _REPORTS.items():
         rp = sub.add_parser(name, help=hlp, description=desc)
+        if name == "freq":
+            rp.add_argument(
+                "--counts", action="store_true",
+                help="Write allele COUNTS instead of frequencies "
+                     "(plink2 --freq counts): {out}.acount with "
+                     "ALT_CTS/OBS_CT.",
+            )
         rp.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
         rp.add_argument("-o", "--out", dest="out_file", default=None,
                         help="Output path (default {prefix}.<ext>; '-' "
@@ -1332,7 +1345,7 @@ def main(argv=None) -> int:
                 per_sample=args.per_sample,
             )
             return 0
-        if args.command in ("freq", "missing", "hardy", "het"):
+        if args.command in ("freq", "missing", "hardy", "het", "gcount"):
             from pgen_tpu.pipeline import reports
             from pgen_tpu.query.exclude import apply_exclude
             from pgen_tpu.query.regions import apply_regions
@@ -1343,12 +1356,15 @@ def main(argv=None) -> int:
                 "missing": reports.report_missing,
                 "hardy": reports.report_hardy,
                 "het": reports.report_het,
+                "gcount": reports.report_gcount,
             }[args.command]
             kwargs = (
                 {"out_prefix": args.out_file}
                 if args.command == "missing"
                 else {"out_file": args.out_file}
             )
+            if args.command == "freq":
+                kwargs["counts"] = args.counts
             result = fn(
                 args.pfile_prefix,
                 var_query=apply_exclude(

@@ -90,8 +90,12 @@ def report_freq(
     var_query: str | None = None,
     sam_query: str | None = None,
     provider: str = "auto",
+    counts: bool = False,
 ) -> ReportResult:
-    """plink2 --freq: per-variant ALT frequency table ({out}.afreq)."""
+    """plink2 --freq: per-variant ALT frequency table ({out}.afreq).
+
+    counts=True switches to plink2's `--freq counts` layout: integer
+    ALT_CTS instead of ALT_FREQS, written to {out}.acount."""
     provider = _resolve_provider(provider)
     timer = StageTimer()
     header, pvar, psam, kept, var_idx, sam_idx = _load(
@@ -103,7 +107,8 @@ def report_freq(
     an = 2 * (c[:, 0] + c[:, 1] + c[:, 2])
     with np.errstate(divide="ignore", invalid="ignore"):
         af = np.where(an > 0, ac / np.maximum(an, 1), np.nan)
-    out = out_file or f"{pfile_prefix}.afreq"
+    ext = ".acount" if counts else ".afreq"
+    out = out_file or f"{pfile_prefix}{ext}"
     chroms = pvar.get_column_strs("CHROM")
     ids = pvar.get_column_strs("ID")
     refs = pvar.get_column_strs("REF")
@@ -111,19 +116,67 @@ def report_freq(
     with timer.stage("emit"):
         fh = _open_out(out)
         try:
-            fh.write("#CHROM\tID\tREF\tALT\tALT_FREQS\tOBS_CT\n")
+            val_col = "ALT_CTS" if counts else "ALT_FREQS"
+            fh.write(f"#CHROM\tID\tREF\tALT\t{val_col}\tOBS_CT\n")
             for r, v in enumerate(var_idx):
                 v = int(v)
-                freq = "NA" if np.isnan(af[r]) else f"{af[r]:.6g}"
+                if counts:
+                    val = str(int(ac[r]))
+                else:
+                    val = "NA" if np.isnan(af[r]) else f"{af[r]:.6g}"
                 fh.write(
                     f"{chroms[v]}\t{ids[v]}\t{refs[v]}\t{alts[v]}\t"
-                    f"{freq}\t{int(an[r])}\n"
+                    f"{val}\t{int(an[r])}\n"
                 )
         finally:
             if fh is not sys.stdout:
                 fh.close()
     return ReportResult(
         "freq", len(var_idx), len(sam_idx),
+        [] if out_file == "-" else [out], timer,
+    )
+
+
+def report_gcount(
+    pfile_prefix: str,
+    out_file: str | None = None,
+    var_query: str | None = None,
+    sam_query: str | None = None,
+    provider: str = "auto",
+) -> ReportResult:
+    """plink2 --geno-counts: per-variant genotype-class counts
+    ({out}.gcount). Diploid columns only — mode-0x02 has no haploid
+    calls, so plink2's HAP_REF_CT/HAP_ALT_CT columns are omitted
+    (documented deviation)."""
+    provider = _resolve_provider(provider)
+    timer = StageTimer()
+    header, pvar, psam, kept, var_idx, sam_idx = _load(
+        pfile_prefix, var_query, sam_query, provider, timer
+    )
+    with timer.stage("counts", kept.nbytes):
+        c = _counts(kept, header, sam_idx, provider)
+    out = out_file or f"{pfile_prefix}.gcount"
+    chroms = pvar.get_column_strs("CHROM")
+    ids = pvar.get_column_strs("ID")
+    refs = pvar.get_column_strs("REF")
+    alts = pvar.get_column_strs("ALT")
+    with timer.stage("emit"):
+        fh = _open_out(out)
+        try:
+            fh.write("#CHROM\tID\tREF\tALT\tHOM_REF_CT\t"
+                     "HET_REF_ALT_CTS\tTWO_ALT_GENO_CTS\tMISSING_CT\n")
+            for r, v in enumerate(var_idx):
+                v = int(v)
+                fh.write(
+                    f"{chroms[v]}\t{ids[v]}\t{refs[v]}\t{alts[v]}\t"
+                    f"{int(c[r, 0])}\t{int(c[r, 1])}\t{int(c[r, 2])}\t"
+                    f"{int(c[r, 3])}\n"
+                )
+        finally:
+            if fh is not sys.stdout:
+                fh.close()
+    return ReportResult(
+        "gcount", len(var_idx), len(sam_idx),
         [] if out_file == "-" else [out], timer,
     )
 

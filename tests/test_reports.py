@@ -174,3 +174,44 @@ def test_report_default_out_paths(fileset, tmp_path):
     assert (tmp_path / "rep.hardy").exists()
     assert run_cli(["het", prefix]) == 0
     assert (tmp_path / "rep.het").exists()
+
+
+def test_freq_counts_mode(fileset, tmp_path):
+    prefix, codes = fileset
+    out = tmp_path / "f.acount"
+    assert run_cli(["freq", prefix, "--counts", "-o", str(out)]) == 0
+    header, rows = _read_table(out)
+    assert header == ["CHROM", "ID", "REF", "ALT", "ALT_CTS", "OBS_CT"]
+    for v, row in enumerate(rows):
+        cal = codes[v] != 3
+        assert int(row["ALT_CTS"]) == int(codes[v][cal].sum())
+        assert int(row["OBS_CT"]) == 2 * int(cal.sum())
+    # default out path gets the .acount extension
+    assert run_cli(["freq", prefix, "--counts"]) == 0
+    assert (tmp_path / "rep.acount").exists()
+
+
+def test_gcount_matches_oracle(fileset, tmp_path):
+    prefix, codes = fileset
+    out = tmp_path / "g.gcount"
+    assert run_cli(["gcount", prefix, "-o", str(out)]) == 0
+    header, rows = _read_table(out)
+    assert header == ["CHROM", "ID", "REF", "ALT", "HOM_REF_CT",
+                      "HET_REF_ALT_CTS", "TWO_ALT_GENO_CTS", "MISSING_CT"]
+    assert len(rows) == codes.shape[0]
+    for v, row in enumerate(rows):
+        for col, code in (("HOM_REF_CT", 0), ("HET_REF_ALT_CTS", 1),
+                          ("TWO_ALT_GENO_CTS", 2), ("MISSING_CT", 3)):
+            assert int(row[col]) == int((codes[v] == code).sum())
+
+
+def test_gcount_respects_cohort(fileset, tmp_path):
+    prefix, codes = fileset
+    out = tmp_path / "g2.gcount"
+    assert run_cli([
+        "gcount", prefix, "-o", str(out), "--samples", "s0,s1,s2",
+    ]) == 0
+    _, rows = _read_table(out)
+    sub = codes[:, :3]
+    for v, row in enumerate(rows):
+        assert int(row["MISSING_CT"]) == int((sub[v] == 3).sum())
