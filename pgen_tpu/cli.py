@@ -973,6 +973,34 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ic.add_argument("--stats", action="store_true",
                     help="Print per-stage timing to stderr.")
 
+    df = sub.add_parser(
+        "diff",
+        help="Genotype concordance between two filesets (plink2 "
+             "--pgen-diff).",
+        description=(
+            "plink2 --pgen-diff analog: matches variants on "
+            "CHROM:POS:REF:ALT (--key pos for CHROM:POS) and samples on "
+            "shared IIDs, compares every matched call blockwise, and "
+            "writes the discordant calls as a .pdiff-flavored TSV "
+            "(#CHROM POS ID IID GT1 GT2) plus a summary on stderr."
+        ),
+    )
+    df.add_argument("prefix_a", help="First fileset prefix (columns come "
+                                     "from this side's pvar).")
+    df.add_argument("prefix_b", help="Second fileset prefix.")
+    df.add_argument("-o", "--out", dest="out_file", default=None,
+                    help="Output path (default {prefix_a}.pdiff, '-' "
+                         "stdout).")
+    df.add_argument("--key", choices=("full", "pos"), default="full",
+                    help="Variant matching key (default full = "
+                         "CHROM:POS:REF:ALT).")
+    df.add_argument("--ignore-missing", action="store_true",
+                    help="Do not count pairs where either side is "
+                         "missing as discordant.")
+    df.add_argument("--block-variants", type=int, default=1 << 13)
+    df.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing to stderr.")
+
     so = sub.add_parser(
         "sort",
         help="Sort a fileset's variants chromosomally (CHROM, POS).",
@@ -1815,6 +1843,28 @@ def main(argv=None) -> int:
             for name, dest in result.out_prefixes.items():
                 suffix = "" if name == "sites" else ".pgen"
                 print(f"wrote {dest}{suffix}", file=sys.stderr)
+            return 0
+        if args.command == "diff":
+            from pgen_tpu.pipeline.diff import diff_pgen
+
+            result = diff_pgen(
+                args.prefix_a,
+                args.prefix_b,
+                out_file=None if args.out_file == "-" else args.out_file,
+                out=sys.stdout if args.out_file == "-" else None,
+                key=args.key,
+                ignore_missing=args.ignore_missing,
+                block_variants=args.block_variants,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            dest = "stdout" if args.out_file == "-" else result.out_path
+            print(
+                f"diff: {result.num_discordant} discordant of "
+                f"{result.num_cells} calls ({result.num_variants} matched "
+                f"variants x {result.num_samples} shared samples) -> {dest}",
+                file=sys.stderr,
+            )
             return 0
         if args.command == "sort":
             from pgen_tpu.pipeline.sort import sort_pgen
