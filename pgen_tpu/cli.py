@@ -997,6 +997,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     df.add_argument("--ignore-missing", action="store_true",
                     help="Do not count pairs where either side is "
                          "missing as discordant.")
+    df.add_argument("--per-sample", action="store_true",
+                    help="Also write {out}.sdiff: per shared sample "
+                         "DIFF_CT / CMP_CT / CONCORDANCE (plink2 "
+                         "--sample-diff counts analog).")
     df.add_argument("--block-variants", type=int, default=1 << 13)
     df.add_argument("--stats", action="store_true",
                     help="Print per-stage timing to stderr.")
@@ -1855,6 +1859,7 @@ def main(argv=None) -> int:
                 key=args.key,
                 ignore_missing=args.ignore_missing,
                 block_variants=args.block_variants,
+                per_sample=args.per_sample,
             )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)

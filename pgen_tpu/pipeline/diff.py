@@ -71,7 +71,12 @@ def diff_pgen(
     ignore_missing: bool = False,
     block_variants: int = 1 << 13,
     out=None,
+    per_sample: bool = False,
 ) -> DiffResult:
+    """per_sample=True additionally writes {out}.sdiff — per shared
+    sample: DIFF_CT, CMP_CT (compared cells; excludes both-missing and,
+    under --ignore-missing, half-missing pairs), CONCORDANCE — the
+    plink2 --sample-diff counts analog."""
     if key not in ("full", "pos"):
         raise ValueError(f"--key must be 'full' or 'pos', got {key!r}")
     timer = StageTimer()
@@ -110,6 +115,8 @@ def diff_pgen(
 
     n_disc = 0
     nv, ns = len(aidx), len(sa)
+    s_diff = np.zeros(ns, dtype=np.int64)
+    s_cmp = np.zeros(ns, dtype=np.int64)
 
     def emit(fh):
         nonlocal n_disc
@@ -121,8 +128,10 @@ def diff_pgen(
             ca = unpack_codes_numpy(_gather_rows(ra, ab), ha.num_samples)[:, sa]
             cb = unpack_codes_numpy(_gather_rows(rb, bb), hb.num_samples)[:, sb]
             neq = ca != cb
+            called = (ca != 3) | (cb != 3)  # both-missing never compares
             if ignore_missing:
-                neq &= (ca != 3) & (cb != 3)
+                called = (ca != 3) & (cb != 3)
+                neq &= called
             for r, c in zip(*np.nonzero(neq)):
                 v = int(ab[r])
                 fh.write(
@@ -130,6 +139,8 @@ def diff_pgen(
                     f"{_GT[ca[r, c]]}\t{_GT[cb[r, c]]}\n"
                 )
             n_disc += int(neq.sum())
+            s_diff[:] += neq.sum(axis=0)
+            s_cmp[:] += called.sum(axis=0)
 
     with timer.stage("compare", nv * (ha.record_size + hb.record_size)):
         if out is not None:
@@ -139,6 +150,16 @@ def diff_pgen(
             out_path = out_file or f"{prefix_a}.pdiff"
             with open(out_path, "w") as fh:
                 emit(fh)
+    if per_sample:
+        sdiff_path = f"{out_path or prefix_a}.sdiff"
+        with timer.stage("sdiff_emit"), open(sdiff_path, "w") as fh:
+            fh.write("#IID\tDIFF_CT\tCMP_CT\tCONCORDANCE\n")
+            for c in range(ns):
+                conc = (
+                    f"{1.0 - s_diff[c] / s_cmp[c]:.6g}" if s_cmp[c] else "NA"
+                )
+                fh.write(f"{shared_iids[c]}\t{s_diff[c]}\t{s_cmp[c]}\t"
+                         f"{conc}\n")
     return DiffResult(
         num_variants=nv,
         num_samples=ns,

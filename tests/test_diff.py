@@ -81,3 +81,19 @@ def test_duplicate_keys_first_occurrence(tmp_path):
     rows = [l.split("\t") for l in out.read_text().splitlines()[1:]]
     assert len(rows) == 1
     assert rows[0][4:] == ["0/0", "1/1"]
+
+
+def test_per_sample_summary(tmp_path):
+    codes_a = np.array([[0, 1], [1, 1], [2, 3], [3, 3]], dtype=np.uint8)
+    codes_b = np.array([[0, 2], [1, 1], [2, 0], [3, 3]], dtype=np.uint8)
+    a = _fileset(tmp_path, "a", codes_a)
+    b = _fileset(tmp_path, "b", codes_b)
+    out = tmp_path / "d.pdiff"
+    assert run_cli(["diff", a, b, "-o", str(out), "--per-sample"]) == 0
+    rows = [l.split("\t") for l in
+            (tmp_path / "d.pdiff.sdiff").read_text().splitlines()]
+    assert rows[0] == ["#IID", "DIFF_CT", "CMP_CT", "CONCORDANCE"]
+    # s0: rows 0-2 compared (row 3 both-missing), 0 diffs
+    assert rows[1] == ["s0", "0", "3", "1"]
+    # s1: row 0 diff (1/1 vs 2), row 2 half-missing diff, row 3 both-missing
+    assert rows[2][0] == "s1" and rows[2][1] == "2" and rows[2][2] == "3"
