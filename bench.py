@@ -667,10 +667,20 @@ def _mxu_bench() -> dict:
     approx_dt = _slope(approx, 12)
     approx_tflops = 2 * 2 * V * S * L / approx_dt / 1e12  # two matmuls
 
+    # genome's IBD Grams: five S x S products per block (ops/ibd.py) —
+    # same bf16-exact indicator pattern as king, 25% more arithmetic
+    from pgen_tpu.ops.ibd import _ibd_counts_device_jit
+
+    ibd = _chain(lambda a: _ibd_counts_device_jit(a, S, V, False))
+    ibd_dt = _slope(ibd, 12)
+    ibd_tflops = 2 * 5 * V * S * S / ibd_dt / 1e12  # 5 Grams, 2 flop/MAC
+
     return {
         "king_tflops": round(king_tflops, 1),
         "king_pct_bf16_peak": round(100 * king_tflops / V5E_MXU_BF16_TFLOPS, 1),
         "king_mvar_s": round(V / king_dt / 1e6, 2),
+        "ibd_tflops": round(ibd_tflops, 1),
+        "ibd_pct_bf16_peak": round(100 * ibd_tflops / V5E_MXU_BF16_TFLOPS, 1),
         "grm_tflops": round(grm_tflops, 1),
         "grm_note": "true-f32 (Precision.HIGHEST, multi-pass bf16 MXU "
         "decomposition); king's 0/1 Grams are exact in single-pass bf16",
