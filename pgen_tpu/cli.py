@@ -212,6 +212,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
              "--hwe; sugar for GT_HWE_P >= X).",
     )
     f.add_argument(
+        "--hwe-midp", dest="hwe_midp", action="store_true",
+        help="Use the mid-p adjusted HWE test for --hwe (plink2 "
+             "'--hwe X midp'; sugar for GT_HWE_MIDP >= X).",
+    )
+    f.add_argument(
         "--mind", dest="mind", type=float, default=None, metavar="X",
         help="Drop samples with missing-genotype rate > X over ALL "
              "variants (plink2 --mind; sugar for the sample-axis "
@@ -385,6 +390,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                 help="Write allele COUNTS instead of frequencies "
                      "(plink2 --freq counts): {out}.acount with "
                      "ALT_CTS/OBS_CT.",
+            )
+        if name == "hardy":
+            rp.add_argument(
+                "--midp", action="store_true",
+                help="Mid-p adjusted exact test (plink2 --hardy midp): "
+                     "P minus half the observed configuration's "
+                     "probability.",
             )
         rp.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
         rp.add_argument("-o", "--out", dest="out_file", default=None,
@@ -1225,8 +1237,9 @@ def main(argv=None) -> int:
                     args.var_query, f"GT_MISSING_RATE <= {args.geno!r}"
                 )
             if args.hwe is not None:
+                hwe_var = "GT_HWE_MIDP" if args.hwe_midp else "GT_HWE_P"
                 args.var_query = _and_cond(
-                    args.var_query, f"GT_HWE_P >= {args.hwe!r}"
+                    args.var_query, f"{hwe_var} >= {args.hwe!r}"
                 )
             if args.mind is not None:
                 args.sam_query = _and_cond(
@@ -1397,6 +1410,8 @@ def main(argv=None) -> int:
             )
             if args.command == "freq":
                 kwargs["counts"] = args.counts
+            if args.command == "hardy":
+                kwargs["midp"] = args.midp
             result = fn(
                 args.pfile_prefix,
                 var_query=apply_exclude(

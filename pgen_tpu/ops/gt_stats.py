@@ -262,6 +262,7 @@ GT_VARIABLE_NAMES = (
     "GT_MISSING_RATE",
     "GT_HET_RATE",
     "GT_HWE_P",
+    "GT_HWE_MIDP",
 )
 
 
@@ -311,4 +312,8 @@ def gt_variables(counts: np.ndarray, num_samples: int, used=None) -> dict:
         from pgen_tpu.ops.hwe import hwe_exact_p
 
         out["GT_HWE_P"] = hwe_exact_p(counts)
+    if want("GT_HWE_MIDP"):
+        from pgen_tpu.ops.hwe import hwe_exact_p
+
+        out["GT_HWE_MIDP"] = hwe_exact_p(counts, midp=True)
     return out

@@ -60,9 +60,15 @@ def _het_prob_dist(rare: int, genotypes: int) -> np.ndarray:
     return probs
 
 
-def hwe_exact_p(counts: np.ndarray) -> np.ndarray:
+def hwe_exact_p(counts: np.ndarray, midp: bool = False) -> np.ndarray:
     """Exact HWE p-value per row of a (V, 4) genotype-count matrix
-    (columns: hom-ref, het, hom-alt, missing; missing is ignored)."""
+    (columns: hom-ref, het, hom-alt, missing; missing is ignored).
+
+    midp=True applies the mid-p adjustment (plink2's `midp` modifier):
+    subtract HALF the observed het configuration's probability —
+    Lancaster's mid-p, less conservative for discrete tests. Rows that
+    short-circuit (rare < 2: single-point distributions) report 0.5
+    under mid-p (1 - 0.5 * 1), matching the adjustment's definition."""
     counts = np.asarray(counts, dtype=np.int64)
     het = counts[:, 1]
     hom1 = counts[:, 0]
@@ -70,7 +76,7 @@ def hwe_exact_p(counts: np.ndarray) -> np.ndarray:
     genotypes = hom1 + het + hom2
     rare = 2 * np.minimum(hom1, hom2) + het
 
-    p = np.ones(len(counts), dtype=np.float64)
+    p = np.full(len(counts), 0.5 if midp else 1.0, dtype=np.float64)
     todo = np.flatnonzero((rare >= 2) & (genotypes > 0))
     if len(todo) == 0:
         return p
@@ -90,5 +96,7 @@ def hwe_exact_p(counts: np.ndarray) -> np.ndarray:
         # p = mass of all het counts at most as probable as the observed
         thresh = dist[obs_k] * _TIE_TOL
         pv = (dist[None, :] <= thresh[:, None]) @ dist
+        if midp:
+            pv = pv - 0.5 * dist[obs_k]
         p[rows] = np.minimum(pv, 1.0)
     return p

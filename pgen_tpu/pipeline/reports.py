@@ -236,8 +236,10 @@ def report_hardy(
     var_query: str | None = None,
     sam_query: str | None = None,
     provider: str = "auto",
+    midp: bool = False,
 ) -> ReportResult:
-    """plink2 --hardy: per-variant HWE table with the exact SNPHWE P."""
+    """plink2 --hardy: per-variant HWE table with the exact SNPHWE P.
+    midp=True applies the mid-p adjustment (plink2 `--hardy midp`)."""
     from pgen_tpu.ops.hwe import hwe_exact_p
 
     provider = _resolve_provider(provider)
@@ -259,7 +261,7 @@ def report_hardy(
         # small-sample-corrected expected het FREQUENCY: 2*A*B/(T*(T-1))
         e_het = np.where(t > 1, 2.0 * a1 * ax / np.maximum(t * (t - 1), 1), np.nan)
     with timer.stage("hwe"):
-        p = np.where(nobs > 0, hwe_exact_p(c), np.nan)  # no data -> NA
+        p = np.where(nobs > 0, hwe_exact_p(c, midp=midp), np.nan)  # no data -> NA
     out = out_file or f"{pfile_prefix}.hardy"
     chroms = pvar.get_column_strs("CHROM")
     ids = pvar.get_column_strs("ID")

@@ -196,3 +196,78 @@ def test_gt_hwe_p_exclude_surface(tmp_path, capsys):
     out = capsys.readouterr().out
     keep = np.flatnonzero(~(want["GT_HWE_P"] < 0.05))
     assert out.splitlines() == [f"rs{i}" for i in keep]
+
+
+def hwe_midp_oracle(homref: int, het: int, homalt: int) -> float:
+    """Mid-p oracle: exact p minus half the observed config's mass."""
+    n = homref + het + homalt
+    rare = 2 * min(homref, homalt) + het
+    if n == 0 or rare < 2:
+        return 0.5
+    weights = {}
+    for h in range(rare % 2, rare + 1, 2):
+        hr = (rare - h) // 2
+        hc = n - h - hr
+        if hr < 0 or hc < 0:
+            continue
+        w = Fraction(
+            math.factorial(n),
+            math.factorial(hr) * math.factorial(h) * math.factorial(hc),
+        ) * (2**h)
+        weights[h] = w
+    total = sum(weights.values())
+    obs = weights[het]
+    p = sum(w for w in weights.values() if w <= obs) / total
+    return float(min(p - Fraction(obs, total) / 2, Fraction(1)))
+
+
+def test_hwe_midp_matches_oracle_randomized():
+    rng = np.random.default_rng(31)
+    rows = rng.integers(0, 12, size=(60, 3))
+    got = hwe_exact_p(_counts(rows), midp=True)
+    for k, (hr, he, ha) in enumerate(rows):
+        exp = hwe_midp_oracle(int(hr), int(he), int(ha))
+        assert abs(got[k] - exp) < 1e-10, (hr, he, ha)
+
+
+def test_hwe_midp_monomorphic_is_half():
+    c = _counts([(5, 0, 0), (0, 0, 7), (0, 1, 3)])
+    got = hwe_exact_p(c, midp=True)
+    assert got[0] == 0.5 and got[1] == 0.5 and got[2] == 0.5
+
+
+def test_hwe_midp_below_exact_p():
+    rng = np.random.default_rng(7)
+    rows = rng.integers(1, 15, size=(40, 3))
+    c = _counts(rows)
+    assert np.all(hwe_exact_p(c, midp=True) < hwe_exact_p(c))
+
+
+def test_gt_hwe_midp_variable_and_cli(tmp_path):
+    from tests.cli_helpers import run_cli
+
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 3, size=(30, 20), dtype=np.uint8)
+    codes[0] = 1  # all-het: strong HWE violation
+    pvar_rows = [f"1\t{100+i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(30)]
+    psam_rows = [f"s{i}\tM" for i in range(20)]
+    prefix = build_fileset(tmp_path, "mp", codes, pvar_rows, psam_rows)
+    # rs0 (all-het, 20 samples): exact p = 8.95e-6, mid-p = 5.14e-6 — a
+    # threshold between the two shows the flag switching the test
+    out = tmp_path / "h.vcf"
+    assert run_cli(["filter", prefix, "--hwe", "7e-6", "-o", str(out)]) == 0
+    body = [l for l in out.read_text().splitlines() if not l.startswith("#")]
+    assert any(l.split("\t")[2] == "rs0" for l in body)
+    assert run_cli([
+        "filter", prefix, "--hwe", "7e-6", "--hwe-midp", "-o", str(out),
+    ]) == 0
+    body = [l for l in out.read_text().splitlines() if not l.startswith("#")]
+    assert not any(l.split("\t")[2] == "rs0" for l in body)
+    # hardy --midp column strictly below the exact table's P
+    h1 = tmp_path / "a.hardy"
+    h2 = tmp_path / "b.hardy"
+    assert run_cli(["hardy", prefix, "-o", str(h1)]) == 0
+    assert run_cli(["hardy", prefix, "--midp", "-o", str(h2)]) == 0
+    p1 = [float(l.split("\t")[-1]) for l in h1.read_text().splitlines()[1:]]
+    p2 = [float(l.split("\t")[-1]) for l in h2.read_text().splitlines()[1:]]
+    assert all(b < a for a, b in zip(p1, p2))
