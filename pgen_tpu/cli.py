@@ -948,6 +948,49 @@ def build_arg_parser() -> argparse.ArgumentParser:
     pr.add_argument("--stats", action="store_true",
                     help="Print per-stage timing/bandwidth to stderr.")
 
+    ldp = sub.add_parser(
+        "ld",
+        help="Pairwise LD r2 table (plink --r2 analog).",
+        description=(
+            "plink --r2 analog: reports r2 for variant pairs within the "
+            "index/kb windows, computed from mean-imputed centered "
+            "dosages via the banded Gram machinery (one gemm per band "
+            "tile; MXU on the device provider). Output is a .ld-flavored "
+            "TSV: CHR_A BP_A SNP_A CHR_B BP_B SNP_B R2. Pairs never "
+            "span chromosomes. Accepts the same predicates/regions/"
+            "sample lists as filter."
+        ),
+    )
+    ldp.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    ldp.add_argument("-o", "--out", dest="out_file", default=None,
+                     help="Output table path (default {prefix}.ld, "
+                          "'-' stdout).")
+    ldp.add_argument("--ld-window", dest="ld_window", type=int, default=10,
+                     help="Max index distance: report pairs with "
+                          "j - i < N (default 10).")
+    ldp.add_argument("--ld-window-kb", dest="ld_window_kb", type=float,
+                     default=1000.0,
+                     help="Max basepair distance in kb (default 1000).")
+    ldp.add_argument("--ld-window-r2", dest="ld_window_r2", type=float,
+                     default=0.2,
+                     help="Min r2 to report (default 0.2; 0 reports "
+                          "every in-window pair).")
+    ldp.add_argument("--include-var", dest="var_query", default=None)
+    ldp.add_argument("--include-sam", dest="sam_query", default=None)
+    ldp.add_argument("--exclude-var", dest="var_exclude", default=None)
+    ldp.add_argument("--exclude-sam", dest="sam_exclude", default=None)
+    ldp.add_argument("-r", "--regions", dest="regions", default=None)
+    ldp.add_argument("-R", "--regions-file", dest="regions_file", default=None)
+    ldp.add_argument("--samples", dest="samples", default=None)
+    ldp.add_argument("--samples-file", dest="samples_file", default=None)
+    ldp.add_argument(
+        "--provider", choices=["auto", "native", "device", "numpy"],
+        default="auto",
+        help="Band-gemm engine: device = TPU MXU, native/numpy = BLAS.",
+    )
+    ldp.add_argument("--stats", action="store_true",
+                     help="Print per-stage timing/bandwidth to stderr.")
+
     ic = sub.add_parser(
         "isec",
         help="Variant set operations between filesets.",
@@ -1827,6 +1870,38 @@ def main(argv=None) -> int:
                 f"prune: kept {result.num_kept}, removed "
                 f"{result.num_removed} of {result.num_considered} variants "
                 f"-> {result.out_prefix}.prune.in/.prune.out",
+                file=sys.stderr,
+            )
+            return 0
+        if args.command == "ld":
+            from pgen_tpu.pipeline.ld_report import ld_report
+            from pgen_tpu.query.exclude import apply_exclude
+            from pgen_tpu.query.regions import apply_regions
+            from pgen_tpu.query.samples import apply_samples
+
+            result = ld_report(
+                args.pfile_prefix,
+                out_file=None if args.out_file == "-" else args.out_file,
+                out=sys.stdout if args.out_file == "-" else None,
+                var_query=apply_exclude(
+                    apply_regions(args.var_query, args.regions, args.regions_file),
+                    args.var_exclude,
+                ),
+                sam_query=apply_exclude(
+                    apply_samples(args.sam_query, args.samples, args.samples_file),
+                    args.sam_exclude,
+                ),
+                provider=args.provider,
+                ld_window=args.ld_window,
+                ld_window_kb=args.ld_window_kb,
+                ld_window_r2=args.ld_window_r2,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            dest = "stdout" if args.out_file == "-" else result.out_path
+            print(
+                f"ld: {result.num_pairs} pairs over {result.num_variants} "
+                f"variants x {result.num_samples} samples -> {dest}",
                 file=sys.stderr,
             )
             return 0
