@@ -693,6 +693,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     const="none",
                     help="Report non-converged logistic sites as NA "
                          "(plink2 --glm no-firth).")
+    gl.add_argument(
+        "--interaction", action="store_true",
+        help="plink2 '--glm interaction' (linear only): add dosage x "
+             "covariate terms to the design and report each (ADD plus "
+             "ADDxCOVAR rows in the TEST column).",
+    )
     gl.add_argument("--stats", action="store_true",
                     help="Print per-stage timing/bandwidth to stderr.")
 
@@ -1668,6 +1674,7 @@ def main(argv=None) -> int:
                 pheno_file=args.pheno_file,
                 covar_file=args.covar_file,
                 condition=condition,
+                interaction=args.interaction,
             )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)

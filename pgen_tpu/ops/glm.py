@@ -403,6 +403,297 @@ def glm_linear(
     return glm_solve(m, covars.shape[1])
 
 
+# ---- interaction model: [1, C, g, g*C] (plink2 --glm interaction) ----
+
+
+class GlmIntMoments(NamedTuple):
+    """Per-variant complete-case moments for the interaction design.
+
+    Three (V, P) masked-moment blocks over the SAME column set P =
+    _moment_columns(y, covars) = [1, c, y, y^2, y*c, c_i*c_j]:
+      mp  = M  @ P   (mask-weighted sums)
+      gp  = G  @ P   (dosage-weighted)
+      g2p = G^2 @ P  (dosage^2-weighted)
+    Together these hold every entry of the (2k+2)-dim normal equations —
+    one extra gemm per block vs the plain model."""
+
+    n: np.ndarray
+    mp: np.ndarray
+    gp: np.ndarray
+    g2p: np.ndarray
+
+
+class GlmIntResult(NamedTuple):
+    """Per-variant, per-test arrays; test axis = [ADD, ADDxC1..ADDxCk]."""
+
+    n_obs: np.ndarray   # (V,) i64
+    beta: np.ndarray    # (V, 1+k) f64, NaN where unestimable
+    se: np.ndarray      # (V, 1+k)
+    t_stat: np.ndarray  # (V, 1+k)
+    p: np.ndarray       # (V, 1+k)
+
+
+def glm_int_moments_numpy(
+    packed: np.ndarray,
+    num_samples: int,
+    y: np.ndarray,
+    covars: np.ndarray,
+    block_variants: int = 1 << 13,
+    sample_idx=None,
+) -> GlmIntMoments:
+    """Host provider: three f64 dgemms per block (M/G/G^2 @ P)."""
+    from pgen_tpu.ops.unpack_host import unpack_codes_numpy
+
+    packed = np.asarray(packed, dtype=np.uint8)
+    nvar = packed.shape[0]
+    ns = num_samples if sample_idx is None else len(sample_idx)
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    y, covars = _centered(y, covars)
+    pcols = _moment_columns(y, covars)  # (S, P)
+    np_ = pcols.shape[1]
+    n = np.empty(nvar, dtype=np.float64)
+    mp = np.empty((nvar, np_), dtype=np.float64)
+    gp = np.empty((nvar, np_), dtype=np.float64)
+    g2p = np.empty((nvar, np_), dtype=np.float64)
+    bv = min(block_variants, max(nvar, 1))
+    m = np.empty((bv, ns), dtype=np.float64)
+    g = np.empty((bv, ns), dtype=np.float64)
+    for lo in range(0, nvar, bv):
+        codes = unpack_codes_numpy(packed[lo : lo + bv], num_samples)
+        if sample_idx is not None:
+            codes = codes[:, sample_idx]
+        nb = codes.shape[0]
+        mb, gb = m[:nb], g[:nb]
+        cal = codes != 3
+        np.copyto(mb, cal, casting="unsafe")
+        np.copyto(gb, codes, casting="unsafe")
+        gb *= cal
+        sl = slice(lo, lo + nb)
+        n[sl] = mb.sum(axis=1)
+        mp[sl] = mb @ pcols
+        gp[sl] = gb @ pcols
+        gb *= gb
+        g2p[sl] = gb @ pcols
+    return GlmIntMoments(n, mp, gp, g2p)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "block_variants", "interpret")
+)
+def _glm_int_moments_device_jit(
+    packed, pcols, sel, num_samples, block_variants, interpret
+):
+    """Blocked scan: unpack -> three f32 moment matmuls (M/G/G^2 @ P).
+    Pad rows must be 0xFF (all-missing): every moment is 0."""
+    import jax.numpy as jnp
+
+    from pgen_tpu.ops.unpack import unpack_codes
+
+    nvar = packed.shape[0]
+    nblk = max(1, -(-nvar // block_variants))
+    pad = nblk * block_variants - nvar
+    packed = jnp.pad(packed, ((0, pad), (0, 0)), constant_values=0xFF)
+
+    def body(_, blk):
+        codes = unpack_codes(blk, num_samples, interpret=interpret)
+        if sel is not None:
+            codes = jnp.take(codes, sel, axis=1)
+        cal = codes != 3
+        mf = cal.astype(jnp.float32)
+        g = codes.astype(jnp.float32) * mf
+        hi = jax.lax.Precision.HIGHEST
+        mm = functools.partial(
+            jnp.matmul, preferred_element_type=jnp.float32, precision=hi
+        )
+        out = (
+            jnp.sum(mf, axis=1),
+            mm(mf, pcols),
+            mm(g, pcols),
+            mm(g * g, pcols),
+        )
+        return None, out
+
+    blocks = packed.reshape(nblk, block_variants, packed.shape[1])
+    _, outs = jax.lax.scan(body, None, blocks)
+    return tuple(o.reshape(-1, *o.shape[2:])[:nvar] for o in outs)
+
+
+def glm_int_moments(
+    packed, num_samples: int, y, covars, provider: str = "numpy",
+    block_variants: int = 1 << 14, sample_idx=None,
+) -> GlmIntMoments:
+    """Provider dispatch (`native` -> numpy; `device` = single-device
+    scan — per-variant outputs are embarrassingly parallel, so chunk
+    externally for pod-scale fan-out)."""
+    if provider == "device":
+        from pgen_tpu.pipeline.device import is_interpret_backend
+
+        y64 = np.asarray(y, dtype=np.float64)
+        c64 = np.asarray(covars, dtype=np.float64)
+        yc, cc = _centered(y64, c64)
+        pcols = _moment_columns(yc, cc).astype(np.float32)
+        if packed.shape[0] == 0:
+            z = np.zeros(0)
+            zp = np.zeros((0, pcols.shape[1]))
+            return GlmIntMoments(z, zp, zp.copy(), zp.copy())
+        sel = None if sample_idx is None else np.asarray(sample_idx, np.int32)
+        outs = _glm_int_moments_device_jit(
+            np.asarray(packed, np.uint8), pcols, sel, num_samples,
+            int(block_variants), is_interpret_backend(),
+        )
+        return GlmIntMoments(*(np.asarray(o, np.float64) for o in outs))
+    return glm_int_moments_numpy(
+        packed, num_samples, y, covars,
+        block_variants=int(block_variants), sample_idx=sample_idx,
+    )
+
+
+def glm_solve_interaction(
+    moments: GlmIntMoments, num_covars: int, covar_means=None
+) -> GlmIntResult:
+    """Assemble and solve the per-variant (2k+2)-dim normal equations
+    for the design [1, c_1..c_k, g, g*c_1..g*c_k]; report each dosage
+    term (ADD and every ADDxC_i) with its own SE / t / p.
+
+    covar_means: the cohort means subtracted by _centered() before the
+    moments were built. Centering c changes the ADD coefficient's
+    MEANING (g*(c - m) = g*c - m*g, and g is in the design, so the fit
+    is identical but beta_g shifts by sum_i m_i * beta_gci); plink2
+    reports the RAW parameterization, so ADD's beta and SE are
+    recovered through the linear map w = e_g - sum_i m_i e_gci using
+    the already-solved A^-1 unit columns (interaction coefficients and
+    their SEs are invariant to the shift). Pass None when the moments
+    were built from already-raw covariates."""
+    k = num_covars
+    n = moments.n
+    nvar = n.shape[0]
+    d = 2 * k + 2
+    ntest = k + 1
+
+    # P-column index helpers (layout of _moment_columns)
+    def ic(i):
+        return 1 + i
+
+    iy = k + 1
+    iyy = k + 2
+
+    def iyc(i):
+        return k + 3 + i
+
+    def icc(i, j):
+        if i > j:
+            i, j = j, i
+        return 2 * k + 3 + i * k - i * (i - 1) // 2 + (j - i)
+
+    mp, gp, g2p = moments.mp, moments.gp, moments.g2p
+    a = np.zeros((nvar, d, d), dtype=np.float64)
+    rhs = np.zeros((nvar, d, 1 + ntest), dtype=np.float64)
+    a[:, 0, 0] = n
+    a[:, 0, k + 1] = gp[:, 0]
+    a[:, k + 1, k + 1] = g2p[:, 0]
+    rhs[:, 0, 0] = mp[:, iy]
+    rhs[:, k + 1, 0] = gp[:, iy]
+    for i in range(k):
+        a[:, 0, 1 + i] = mp[:, ic(i)]
+        a[:, 0, k + 2 + i] = gp[:, ic(i)]
+        a[:, 1 + i, k + 1] = gp[:, ic(i)]
+        a[:, k + 1, k + 2 + i] = g2p[:, ic(i)]
+        rhs[:, 1 + i, 0] = mp[:, iyc(i)]
+        rhs[:, k + 2 + i, 0] = gp[:, iyc(i)]
+        for j in range(k):
+            if j >= i:
+                a[:, 1 + i, 1 + j] = mp[:, icc(i, j)]
+                a[:, k + 2 + i, k + 2 + j] = g2p[:, icc(i, j)]
+            a[:, 1 + i, k + 2 + j] = gp[:, icc(i, j)]
+    # symmetrize: only the upper triangle + diagonal were filled, so add
+    # the transpose with its diagonal zeroed (entries can be negative —
+    # covariates are centered — so an elementwise max would be wrong)
+    at = np.transpose(a, (0, 2, 1)).copy()
+    di = np.arange(d)
+    at[:, di, di] = 0.0
+    a = a + at
+    # unit columns select the tested coefficients' (A^-1)_jj
+    for t in range(ntest):
+        rhs[:, k + 1 + t, 1 + t] = 1.0
+
+    df = n - d
+    sg, sg2 = gp[:, 0], g2p[:, 0]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        gvar = sg2 - np.where(n > 0, sg * sg / np.maximum(n, 1), 0.0)
+    ok = (df >= 1) & (gvar > 1e-9 * np.maximum(n, 1))
+    beta = np.full((nvar, ntest), np.nan)
+    se = np.full((nvar, ntest), np.nan)
+    tt_out = np.full((nvar, ntest), np.nan)
+    p = np.full((nvar, ntest), np.nan)
+    idx = np.flatnonzero(ok)
+    if idx.size:
+        try:
+            sol = np.linalg.solve(a[idx], rhs[idx])
+        except np.linalg.LinAlgError:
+            sol = np.full((idx.size, d, 1 + ntest), np.nan)
+            for r, v in enumerate(idx):
+                try:
+                    sol[r] = np.linalg.solve(a[v], rhs[v])
+                except np.linalg.LinAlgError:
+                    ok[v] = False
+        coefs = sol[..., 0]
+        rss = mp[idx, iyy] - np.einsum("vi,vi->v", coefs, rhs[idx, :, 0])
+        rss = np.maximum(rss, 0.0)
+        means = (
+            np.zeros(k) if covar_means is None
+            else np.asarray(covar_means, dtype=np.float64)
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sigma2 = rss / df[idx]
+            for t in range(ntest):
+                j = k + 1 + t
+                if t == 0 and means.any():
+                    # raw-parameterization ADD: beta_raw = w' beta,
+                    # var = sigma^2 * w' A^-1 w with
+                    # w = e_g - sum_i m_i e_gci
+                    acol = sol[:, :, 1].copy()  # A^-1 e_g
+                    for i in range(k):
+                        acol -= means[i] * sol[:, :, 2 + i]
+                    zjj = acol[:, k + 1].copy()
+                    b = coefs[:, k + 1].copy()
+                    for i in range(k):
+                        zjj -= means[i] * acol[:, k + 2 + i]
+                        b -= means[i] * coefs[:, k + 2 + i]
+                else:
+                    zjj = sol[:, j, 1 + t]
+                    b = coefs[:, j]
+                s = np.sqrt(sigma2 * zjj)
+                tv = b / s
+                pv = t_sf2(tv, df[idx])
+                good = ok[idx] & np.isfinite(s) & (s > 0) & (zjj > 0)
+                beta[idx, t] = np.where(good, b, np.nan)
+                se[idx, t] = np.where(good, s, np.nan)
+                tt_out[idx, t] = np.where(good, tv, np.nan)
+                p[idx, t] = np.where(good, pv, np.nan)
+    return GlmIntResult(n.astype(np.int64), beta, se, tt_out, p)
+
+
+def glm_linear_interaction(
+    packed, num_samples: int, y, covars, provider: str = "numpy", **kw
+) -> GlmIntResult:
+    """Full per-variant interaction OLS (plink2 --glm interaction,
+    linear): moments on the chosen provider, batched f64 solves."""
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    if covars.ndim != 2 or covars.shape[0] != y.shape[0]:
+        raise ValueError(f"glm: covars must be (S, k), got {covars.shape}")
+    if covars.shape[1] == 0:
+        raise ValueError(
+            "glm --interaction needs at least one covariate (the "
+            "interaction terms are dosage x covariate)"
+        )
+    m = glm_int_moments(packed, num_samples, y, covars, provider=provider, **kw)
+    return glm_solve_interaction(
+        m, covars.shape[1], covar_means=covars.mean(axis=0)
+    )
+
+
 # ---- Student-t survival function (exact, f64, no scipy dependency) ----
 
 # Lanczos g=7, n=9 coefficients (Boost/GSL-standard; ~1e-15 relative)

@@ -168,6 +168,7 @@ def glm_pfile(
     condition=(),
     write: bool = True,
     out=None,
+    interaction: bool = False,
 ) -> GlmRunResult:
     """See the module docstring. Additional plink2 surfaces:
 
@@ -317,7 +318,47 @@ def glm_pfile(
 
     subset = None if n_sam == header.num_samples else sam_idx.astype(np.int32)
     kw = {"block_variants": int(block_variants)} if block_variants else {}
-    if model == "logistic":
+    int_res = None
+    if interaction:
+        # plink2 `--glm interaction` (linear only here): the design grows
+        # to [1, C, g, g*C]; each dosage term (ADD + every ADDxC_i) is
+        # reported as its own TEST row
+        if model == "logistic":
+            raise ValueError(
+                "glm: --interaction supports the linear model only "
+                "(force --linear, or use a quantitative phenotype)"
+            )
+        if k == 0:
+            raise ValueError(
+                "glm: --interaction needs at least one covariate"
+            )
+        if n_sam < 2 * k + 3:
+            raise ValueError(
+                f"glm: {n_sam} analyzable samples is too few for the "
+                f"interaction design (need >= {2 * k + 3})"
+            )
+        from pgen_tpu.ops.glm import glm_int_moments, glm_solve_interaction
+
+        with timer.stage("moments", kept.shape[0] * rec):
+            im = glm_int_moments(
+                kept, header.num_samples, y, covars, provider=provider,
+                sample_idx=subset, **kw,
+            )
+        with timer.stage("solve"):
+            int_res = glm_solve_interaction(
+                im, k, covar_means=covars.mean(axis=0)
+            )
+
+        class _AddView:  # ADD column drives the scalar result surface
+            n_obs = int_res.n_obs
+            beta = int_res.beta[:, 0]
+            se = int_res.se[:, 0]
+            t_stat = int_res.t_stat[:, 0]
+            p = int_res.p[:, 0]
+
+        res = _AddView()
+        stat = res.t_stat
+    elif model == "logistic":
         from pgen_tpu.ops.logistic import glm_logistic
 
         with timer.stage("irls", kept.shape[0] * rec):
@@ -363,29 +404,43 @@ def glm_pfile(
                 cols = "OR\tLOG(OR)_SE\tZ_STAT\tP"
             else:
                 cols = "BETA\tSE\tT_STAT\tP"
+            tests = (
+                ["ADD"] + [f"ADDx{lab}" for lab in covar_labels]
+                if interaction else ["ADD"]
+            )
             with cm as fh:
                 fh.write(
                     f"#CHROM\tPOS\tID\tREF\tALT\tA1\tTEST\tOBS_CT\t{cols}\n"
                 )
                 for r, v in enumerate(var_idx):
                     v = int(v)
-                    if np.isnan(res.beta[r]):
-                        tail = "NA\tNA\tNA\tNA"
-                    elif model == "logistic":
-                        tail = (
-                            f"{np.exp(res.beta[r]):.6g}\t{res.se[r]:.6g}\t"
-                            f"{stat[r]:.6g}\t{res.p[r]:.6g}"
-                        )
-                    else:
-                        tail = (
-                            f"{res.beta[r]:.6g}\t{res.se[r]:.6g}\t"
-                            f"{stat[r]:.6g}\t{res.p[r]:.6g}"
-                        )
-                    fh.write(
+                    prefix_row = (
                         f"{chroms[v]}\t{poss[v]}\t{ids[v]}\t{refs[v]}\t"
-                        f"{alts[v]}\t{alts[v]}\tADD\t{res.n_obs[r]}\t"
-                        f"{tail}\n"
+                        f"{alts[v]}\t{alts[v]}"
                     )
+                    for ti, tname in enumerate(tests):
+                        if interaction:
+                            b = int_res.beta[r, ti]
+                            s_ = int_res.se[r, ti]
+                            st = int_res.t_stat[r, ti]
+                            pv = int_res.p[r, ti]
+                        else:
+                            b, s_, st, pv = (
+                                res.beta[r], res.se[r], stat[r], res.p[r]
+                            )
+                        if np.isnan(b):
+                            tail = "NA\tNA\tNA\tNA"
+                        elif model == "logistic":
+                            tail = (
+                                f"{np.exp(b):.6g}\t{s_:.6g}\t"
+                                f"{st:.6g}\t{pv:.6g}"
+                            )
+                        else:
+                            tail = f"{b:.6g}\t{s_:.6g}\t{st:.6g}\t{pv:.6g}"
+                        fh.write(
+                            f"{prefix_row}\t{tname}\t{res.n_obs[r]}\t"
+                            f"{tail}\n"
+                        )
     return GlmRunResult(
         pheno_name=pheno_name,
         model=model,

@@ -1,0 +1,144 @@
+"""glm --interaction (plink2 '--glm interaction', linear): solver vs a
+raw-design per-variant OLS oracle, signal detection, provider parity,
+and the CLI multi-TEST row surface."""
+
+import numpy as np
+import pytest
+
+from tests.cli_helpers import run_cli
+from tests.conftest import build_fileset
+
+from pgen_tpu.formats.writer import write_pgen
+from pgen_tpu.ops.glm import (
+    betainc_reg,
+    glm_linear_interaction,
+)
+
+
+def _pack(codes, tmp_path, name="gi"):
+    path = str(tmp_path / f"{name}.pgen")
+    write_pgen(path, codes)
+    ns = codes.shape[1]
+    rec = (2 * ns + 7) // 8
+    return np.fromfile(path, dtype=np.uint8)[12:].reshape(codes.shape[0], rec)
+
+
+def _t_sf2(t, df):
+    x = df / (df + t * t)
+    return betainc_reg(df / 2.0, 0.5, x)
+
+
+def _oracle(codes_v, y, covars):
+    """Raw-design complete-case OLS of y on [1, C, g, g*C]; returns
+    (n, beta_tests, se_tests, t_tests, p_tests) for [g, g*c_1..]."""
+    cal = codes_v != 3
+    g = codes_v[cal].astype(np.float64)
+    c = covars[cal]
+    yy = y[cal]
+    x = np.column_stack([np.ones(cal.sum()), c, g, g[:, None] * c])
+    d = x.shape[1]
+    n = int(cal.sum())
+    xtx = x.T @ x
+    xty = x.T @ yy
+    inv = np.linalg.inv(xtx)
+    beta = inv @ xty
+    rss = float(yy @ yy - beta @ xty)
+    df = n - d
+    sigma2 = max(rss, 0.0) / df
+    k = covars.shape[1]
+    idxs = list(range(1 + k, d))
+    b = beta[idxs]
+    se = np.sqrt(sigma2 * np.diag(inv)[idxs])
+    t = b / se
+    p = np.array([_t_sf2(tv, df) for tv in t])
+    return n, b, se, t, p
+
+
+def test_solver_matches_raw_oracle(tmp_path):
+    rng = np.random.default_rng(12)
+    V, S, k = 8, 80, 2
+    codes = rng.integers(0, 4, size=(V, S), dtype=np.uint8)
+    covars = np.column_stack([
+        rng.normal(50, 5, S),          # large-mean covariate (age-like)
+        rng.integers(1, 3, S).astype(float),
+    ])
+    y = rng.normal(size=S) + 0.3 * covars[:, 0]
+    packed = _pack(codes, tmp_path)
+    res = glm_linear_interaction(packed, S, y, covars, provider="numpy")
+    for v in range(V):
+        n, b, se, t, p = _oracle(codes[v], y, covars)
+        assert res.n_obs[v] == n
+        np.testing.assert_allclose(res.beta[v], b, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(res.se[v], se, rtol=1e-8)
+        np.testing.assert_allclose(res.t_stat[v], t, rtol=1e-8)
+        np.testing.assert_allclose(res.p[v], p, rtol=1e-6)
+
+
+def test_interaction_signal_detected(tmp_path):
+    rng = np.random.default_rng(5)
+    V, S = 4, 400
+    codes = rng.integers(0, 3, size=(V, S), dtype=np.uint8)
+    c = rng.normal(size=S)
+    # variant 1 has a pure interaction effect: y depends on g*c only
+    y = 0.8 * codes[1].astype(float) * c + rng.normal(scale=0.5, size=S)
+    packed = _pack(codes, tmp_path)
+    res = glm_linear_interaction(packed, S, y, c[:, None], provider="numpy")
+    assert res.p[1, 1] < 1e-20      # ADDxC highly significant
+    assert res.p[0, 1] > 1e-4       # null variant is not
+    # main ADD effect at variant 1 is near zero (effect is pure interaction)
+    assert abs(res.beta[1, 0]) < 0.2
+
+
+def test_provider_parity(tmp_path):
+    rng = np.random.default_rng(3)
+    V, S = 6, 50
+    codes = rng.integers(0, 4, size=(V, S), dtype=np.uint8)
+    covars = rng.normal(size=(S, 2)) + 5.0
+    y = rng.normal(size=S)
+    packed = _pack(codes, tmp_path)
+    a = glm_linear_interaction(packed, S, y, covars, provider="numpy")
+    b = glm_linear_interaction(packed, S, y, covars, provider="device")
+    np.testing.assert_allclose(a.beta, b.beta, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(a.se, b.se, rtol=2e-4, atol=1e-6)
+
+
+def test_cli_interaction_rows(tmp_path):
+    rng = np.random.default_rng(9)
+    V, S = 5, 60
+    codes = rng.integers(0, 3, size=(V, S), dtype=np.uint8)
+    pvar_rows = [f"1\t{100+i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(V)]
+    psam_rows = [
+        f"s{i}\t{rng.integers(1,3)}\t{rng.normal():.4f}" for i in range(S)
+    ]
+    prefix = build_fileset(
+        tmp_path, "gi", codes, pvar_rows, psam_rows,
+        psam_columns="#IID\tSEX\tPHENO1",
+    )
+    out = tmp_path / "o.glm.linear"
+    assert run_cli([
+        "glm", prefix, "--linear", "--pheno-name", "PHENO1",
+        "--covar-name", "SEX", "--interaction", "-o", str(out),
+    ]) == 0
+    lines = out.read_text().splitlines()
+    rows = [ln.split("\t") for ln in lines[1:]]
+    assert len(rows) == 2 * V  # ADD + ADDxSEX per variant
+    assert [r[6] for r in rows[:2]] == ["ADD", "ADDxSEX"]
+    # logistic + interaction is a clear error
+    psam_rows_cc = [f"s{i}\t1\t{1 + (i % 2)}" for i in range(S)]
+    prefix2 = build_fileset(
+        tmp_path, "gc", codes, pvar_rows, psam_rows_cc,
+        psam_columns="#IID\tSEX\tPHENO1",
+    )
+    assert run_cli([
+        "glm", prefix2, "--pheno-name", "PHENO1", "--covar-name", "SEX",
+        "--interaction", "-o", str(out),
+    ]) != 0
+
+
+def test_interaction_requires_covariate(tmp_path):
+    codes = np.zeros((2, 10), dtype=np.uint8)
+    packed = _pack(codes, tmp_path)
+    with pytest.raises(ValueError, match="covariate"):
+        glm_linear_interaction(
+            packed, 10, np.zeros(10), np.zeros((10, 0)), provider="numpy"
+        )
