@@ -1127,6 +1127,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
              "INFO (whole column), INFO/TAG (one tag spliced into the "
              "existing INFO). ##INFO declarations follow.",
     )
+    an.add_argument(
+        "-x", "--remove-annotations", dest="remove_annotations",
+        default=None, metavar="LIST",
+        help="Remove annotations (bcftools annotate -x analog; comma "
+             "list): ID, QUAL, FILTER, INFO (whole column), or INFO/TAG "
+             "(strip one tag per row). Matching ##INFO declarations "
+             "drop from the header. Applied after --set-id.",
+    )
     an.add_argument("--include-sam", dest="sam_query", default=None,
                     help="Cohort restriction for --fill-info counts.")
     an.add_argument("--samples", dest="samples", default=None)
@@ -2007,6 +2015,7 @@ def main(argv=None) -> int:
                 provider=_resolve_provider(args.provider),
                 annotations=args.annotations,
                 columns=args.columns,
+                remove=args.remove_annotations,
             )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)

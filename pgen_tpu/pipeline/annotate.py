@@ -396,6 +396,45 @@ def _transfer_one(pvar, src_pvar, spec: str, comments: str):
     )
 
 
+def _drop_info_headers(comments: str, tags=None) -> str:
+    """Remove ##INFO declarations (all when tags is None, else the named
+    set) from the pvar comment block."""
+    out = []
+    for line in comments.splitlines(keepends=True):
+        if line.startswith("##INFO=<ID="):
+            tid = line[len("##INFO=<ID="):].split(",", 1)[0].split(">", 1)[0]
+            if tags is None or tid in tags:
+                continue
+        out.append(line)
+    return "".join(out)
+
+
+def _remove_one(pvar, spec: str, comments: str):
+    """One -x entry -> (column_name, new values, comments).
+
+    ID / QUAL / FILTER / INFO blank the whole column to '.'; INFO/TAG
+    strips that tag per row (boundary-exact, rows left empty become
+    '.'). Matching ##INFO declarations drop from the header."""
+    n = pvar.num_rows
+    if spec in ("ID", "QUAL", "FILTER"):
+        return spec, np.full(n, b".", dtype="S1"), comments
+    if spec == "INFO":
+        return "INFO", np.full(n, b".", dtype="S1"), _drop_info_headers(comments)
+    if spec.startswith("INFO/"):
+        tag = spec[5:]
+        if not tag:
+            raise ValueError("-x: empty INFO/ tag")
+        infos = pvar.get_column_bytes("INFO")
+        new = np.array(
+            [_strip_tags_py(x, {tag}) or b"." for x in infos.tolist()]
+        )
+        return "INFO", new, _drop_info_headers(comments, {tag})
+    raise ValueError(
+        f"-x: unknown entry {spec!r} (supported: ID, QUAL, FILTER, INFO, "
+        "INFO/TAG)"
+    )
+
+
 def annotate_pgen(
     pfile_prefix: str,
     out_prefix: str | None = None,
@@ -407,6 +446,7 @@ def annotate_pgen(
     provider: str = "native",
     annotations: str | None = None,
     columns: str = "ID",
+    remove: str | None = None,
 ) -> AnnotateResult:
     if (
         set_id is None
@@ -414,10 +454,11 @@ def annotate_pgen(
         and rename_samples is None
         and fill_info is None
         and annotations is None
+        and remove is None
     ):
         raise ValueError(
             "annotate: pass at least one of --set-id / --rename-chrs / "
-            "--rename-samples / --fill-info / --annotations"
+            "--rename-samples / --fill-info / --annotations / -x"
         )
     if sam_query is not None and fill_info is None:
         raise ValueError(
@@ -489,6 +530,21 @@ def annotate_pgen(
                 rows = None
         if set_id is not None:
             rows = replace_column_bytes(pvar, "ID", _fstring_column(set_id, pvar))
+            if remove is not None:
+                pvar = _table_from_rows(pvar, comments, rows)
+                rows = None
+        if remove is not None:
+            # bcftools annotate -x analog: drop annotations LAST (after
+            # any --set-id expression saw them)
+            specs = [s.strip() for s in str(remove).split(",") if s.strip()]
+            if not specs:
+                raise ValueError("-x: no entries")
+            for j, spec in enumerate(specs):
+                col, new_vals, comments = _remove_one(pvar, spec, comments)
+                rows = replace_column_bytes(pvar, col, new_vals)
+                if j < len(specs) - 1:
+                    pvar = _table_from_rows(pvar, comments, rows)
+                    rows = None
         with open(f"{out_prefix}.pvar", "wb") as f:
             if rows is None:
                 with open(f"{pfile_prefix}.pvar", "rb") as src:

@@ -369,3 +369,42 @@ def test_annotations_cli(tmp_path):
     assert run_cli([
         "annotate", prefix, "-o", out, "-a", src, "-c", "QUAL",
     ]) == 1
+
+
+def test_remove_annotations(tmp_path):
+    import numpy as np
+
+    codes = np.zeros((3, 2), dtype=np.uint8)
+    pvar_rows = [
+        "1\t100\trs0\tA\tG\t50\tPASS\tAC=1;AN=4;AF=0.25",
+        "1\t200\trs1\tA\tG\t60\tPASS\tAN=4",
+        "1\t300\trs2\tA\tG\t.\t.\t.",
+    ]
+    comments = (
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=AC,Number=A,Type=Integer,Description="x">\n'
+        '##INFO=<ID=AN,Number=1,Type=Integer,Description="y">\n'
+    )
+    prefix = build_fileset(
+        tmp_path, "rx", codes, pvar_rows, ["s0\tM", "s1\tF"],
+        pvar_comments=comments,
+    )
+    # strip one INFO tag: value gone per row, header declaration gone
+    out = tmp_path / "o1"
+    assert run_cli(["annotate", prefix, "-o", str(out), "-x", "INFO/AN"]) == 0
+    text = (tmp_path / "o1.pvar").read_text()
+    assert "AN=4" not in text and "AC=1;AF=0.25" in text
+    assert "##INFO=<ID=AN" not in text and "##INFO=<ID=AC" in text
+    # rs1's INFO had only AN -> becomes "."
+    assert text.splitlines()[-2].endswith("\t.")
+    # blank whole columns
+    out2 = tmp_path / "o2"
+    assert run_cli([
+        "annotate", prefix, "-o", str(out2), "-x", "ID,QUAL,INFO",
+    ]) == 0
+    lines = (tmp_path / "o2.pvar").read_text().splitlines()
+    assert "##INFO" not in "\n".join(lines)
+    body = [l.split("\t") for l in lines if not l.startswith("#")]
+    assert all(r[2] == "." and r[5] == "." and r[7] == "." for r in body)
+    # unknown spec errors
+    assert run_cli(["annotate", prefix, "-o", str(out2), "-x", "FOO"]) != 0
