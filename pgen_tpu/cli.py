@@ -607,6 +607,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default="auto",
         help="Dosage-matmul engine: device = TPU MXU, native/numpy = BLAS.",
     )
+    sc.add_argument(
+        "--q-score-range", dest="q_score_range", nargs=2, default=None,
+        metavar=("RANGE_FILE", "DATA_FILE"),
+        help="plink --q-score-range analog: RANGE_FILE has NAME MIN MAX "
+             "rows, DATA_FILE maps variant ID -> value (e.g. GWAS P); "
+             "one {out}.NAME.sscore is written per range covering the "
+             "variants whose value falls in [MIN, MAX].",
+    )
+    sc.add_argument(
+        "--q-data-col", dest="q_data_col", type=int, default=2,
+        help="1-based value column of DATA_FILE (default 2).",
+    )
     sc.add_argument("--block-variants", type=int, default=None,
                     help="Variant block height per matmul step.")
     sc.add_argument("--stats", action="store_true",
@@ -1628,6 +1640,8 @@ def main(argv=None) -> int:
                 mean_impute=args.mean_impute,
                 write_sums=args.score_sums,
                 block_variants=args.block_variants,
+                q_score_range=args.q_score_range,
+                q_data_col=args.q_data_col,
             )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)

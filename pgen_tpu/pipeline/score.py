@@ -179,6 +179,57 @@ def read_score_file(
     return ScoreTable(ids, alleles, weights, names)
 
 
+def read_q_ranges(path: str) -> list:
+    """plink --q-score-range range file: NAME MIN MAX per line
+    (whitespace-separated; blank/# lines skipped)."""
+    ranges = []
+    with open(path) as fh:
+        for ln in fh:
+            ln = ln.strip()
+            if not ln or ln.startswith("#"):
+                continue
+            parts = ln.split()
+            if len(parts) != 3:
+                raise ValueError(
+                    f"--q-score-range: bad range line {ln!r} "
+                    "(need NAME MIN MAX)"
+                )
+            try:
+                ranges.append((parts[0], float(parts[1]), float(parts[2])))
+            except ValueError:
+                raise ValueError(
+                    f"--q-score-range: non-numeric bound in {ln!r}"
+                ) from None
+    if not ranges:
+        raise ValueError(f"--q-score-range: {path} has no ranges")
+    return ranges
+
+
+def read_q_data(path: str, data_col: int = 2) -> dict:
+    """plink --q-score-range data file: variant ID (col 1) -> value
+    (1-based data_col, default 2). A first line whose value cell does
+    not parse is treated as a header. First occurrence wins."""
+    vals: dict = {}
+    with open(path) as fh:
+        for ln_no, ln in enumerate(fh):
+            ln = ln.strip()
+            if not ln or ln.startswith("#"):
+                continue
+            parts = ln.split()
+            if len(parts) < data_col:
+                continue
+            try:
+                v = float(parts[data_col - 1])
+            except ValueError:
+                if ln_no == 0:
+                    continue  # header line
+                continue  # NA-style value: variant lands in no range
+            vals.setdefault(parts[0], v)
+    if not vals:
+        raise ValueError(f"--q-score-range: {path} has no data rows")
+    return vals
+
+
 def score_pfile(
     pfile_prefix: str,
     score_file: str,
@@ -195,7 +246,16 @@ def score_pfile(
     block_variants: int | None = None,
     write: bool = True,
     out=None,
+    q_score_range=None,
+    q_data_col: int = 2,
 ) -> ScoreRunResult:
+    """q_score_range (plink --q-score-range analog): a (range_file,
+    data_file) pair. Matched score variants are partitioned by the data
+    file's value (typically an association P) into each range's
+    [MIN, MAX] (inclusive); one {out_base}.{NAME}.sscore is written per
+    range (ranges with zero matched variants are skipped with a
+    warning, like plink). The base .sscore is NOT written; the returned
+    arrays are the LAST written range's, out_path lists every file."""
     provider = _resolve_provider(provider)
     if provider == "native":
         provider = "numpy"  # BLAS is the host gemm engine (ops/score.py)
@@ -270,6 +330,80 @@ def score_pfile(
 
     subset = None if n_sam == header.num_samples else sam_idx.astype(np.int32)
     kw = {"block_variants": int(block_variants)} if block_variants else {}
+
+    if q_score_range is not None:
+        ranges = read_q_ranges(q_score_range[0])
+        vals = read_q_data(q_score_range[1], q_data_col)
+        matched_ids = [pvar_ids[int(r)] for r in var_idx]
+        v = np.array([vals.get(i, np.nan) for i in matched_ids])
+        base = out_file or pfile_prefix
+        if base.endswith(".sscore"):
+            base = base[: -len(".sscore")]
+        iids_q = psam.get_column_strs("IID")
+        iids_q = [iids_q[int(s)] for s in sam_idx]
+        hdr = ["#IID", "ALLELE_CT", "DOSAGE_SUM"]
+        hdr += [f"{n}_AVG" for n in table.names]
+        if write_sums:
+            hdr += [f"{n}_SUM" for n in table.names]
+        out_paths = []
+        last = None
+        with np.errstate(invalid="ignore"):
+            sels = [
+                np.flatnonzero(~np.isnan(v) & (v >= rlo) & (v <= rhi))
+                for _, rlo, rhi in ranges
+            ]
+        for (name, _, _), sel in zip(ranges, sels):
+            if sel.size == 0:
+                log.warning(
+                    "score: --q-score-range %s matched no variants", name
+                )
+                continue
+            with timer.stage("score", len(sel) * rec):
+                rres = score(
+                    kept[sel], header.num_samples, weights[sel], flip[sel],
+                    provider=provider, mean_impute=mean_impute,
+                    sample_idx=subset, **kw,
+                )
+            rct = rres.allele_ct
+            ravgs = rres.sums / np.maximum(rct, 1)[:, None]
+            path = f"{base}.{name}.sscore"
+            if write:
+                with timer.stage("emit"), open(path, "w") as fh:
+                    fh.write("\t".join(hdr) + "\n")
+                    for r, iid in enumerate(iids_q):
+                        cells = [iid, str(int(rct[r])),
+                                 f"{rres.dosage_sum[r]:.10g}"]
+                        cells += [
+                            f"{ravgs[r, c]:.10g}"
+                            for c in range(ravgs.shape[1])
+                        ]
+                        if write_sums:
+                            cells += [
+                                f"{rres.sums[r, c]:.10g}"
+                                for c in range(rres.sums.shape[1])
+                            ]
+                        fh.write("\t".join(cells) + "\n")
+            out_paths.append(path)
+            last = (rres, rct, ravgs, int(sel.size))
+        if last is None:
+            raise ValueError(
+                "score: no --q-score-range range matched any variant"
+            )
+        rres, rct, ravgs, n_last = last
+        return ScoreRunResult(
+            num_scored=n_last,
+            num_unmatched=unmatched,
+            num_mismatched=mismatched,
+            num_samples=n_sam,
+            names=list(table.names),
+            sums=rres.sums,
+            avgs=ravgs,
+            allele_ct=rct,
+            dosage_sum=rres.dosage_sum,
+            out_path="; ".join(out_paths),
+            timer=timer,
+        )
+
     with timer.stage("score", kept.shape[0] * rec):
         res = score(
             kept, header.num_samples, weights, flip, provider=provider,

@@ -293,3 +293,71 @@ def test_cli_score_no_mean_imputation(tmp_path):
         np.testing.assert_allclose(
             float(cells[3]), ref_sums[r, 0] / denom, atol=1e-9
         )
+
+
+def _qsr_fileset(tmp_path):
+    rng = np.random.default_rng(21)
+    nv, ns = 10, 6
+    codes = rng.integers(0, 3, size=(nv, ns), dtype=np.uint8)
+    pvar_rows = [f"1\t{100+i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(nv)]
+    psam_rows = [f"s{i}\tM" for i in range(ns)]
+    prefix = build_fileset(tmp_path, "qsr", codes, pvar_rows, psam_rows)
+    score = tmp_path / "w.tsv"
+    score.write_text(
+        "ID\tA1\tW\n"
+        + "".join(f"rs{i}\tG\t{0.1 * (i + 1):.2f}\n" for i in range(nv))
+    )
+    return prefix, codes, score
+
+
+def test_q_score_range_partitions(tmp_path):
+    prefix, codes, score = _qsr_fileset(tmp_path)
+    # p-values: rs0..rs4 significant (1e-8), rs5..rs9 not (0.5)
+    data = tmp_path / "p.tsv"
+    data.write_text(
+        "SNP\tP\n"
+        + "".join(
+            f"rs{i}\t{1e-8 if i < 5 else 0.5}\n" for i in range(10)
+        )
+    )
+    ranges = tmp_path / "r.txt"
+    ranges.write_text("S1 0 1e-5\nS2 0 1\nEMPTY 2 3\n")
+    out = tmp_path / "o"
+    assert run_cli([
+        "score", prefix, "--score", str(score),
+        "--q-score-range", str(ranges), str(data), "-o", str(out),
+    ]) == 0
+    s1 = (tmp_path / "o.S1.sscore").read_text().splitlines()
+    s2 = (tmp_path / "o.S2.sscore").read_text().splitlines()
+    assert not (tmp_path / "o.EMPTY.sscore").exists()
+    # S2 covers all 10 variants, S1 only the 5 significant ones
+    w = np.array([[0.1 * (i + 1)] for i in range(10)])
+    flip = np.zeros(10, dtype=bool)
+    sums1, _, ct1, _ = _score_oracle(codes[:5], w[:5], flip[:5])
+    sums2, _, ct2, _ = _score_oracle(codes, w, flip)
+    for lines, sums, ct in ((s1, sums1, ct1), (s2, sums2, ct2)):
+        for r, ln in enumerate(lines[1:]):
+            cells = ln.split("\t")
+            assert int(cells[1]) == ct[r]
+            assert float(cells[3]) == pytest.approx(
+                sums[r, 0] / max(ct[r], 1), rel=1e-9
+            )
+
+
+def test_q_score_range_errors(tmp_path):
+    prefix, _, score = _qsr_fileset(tmp_path)
+    bad = tmp_path / "bad.txt"
+    bad.write_text("S1 0\n")
+    data = tmp_path / "p.tsv"
+    data.write_text("rs0\t0.5\n")
+    assert run_cli([
+        "score", prefix, "--score", str(score),
+        "--q-score-range", str(bad), str(data),
+    ]) != 0
+    # no range matches -> error
+    ranges = tmp_path / "r.txt"
+    ranges.write_text("S1 0 1e-20\n")
+    assert run_cli([
+        "score", prefix, "--score", str(score),
+        "--q-score-range", str(ranges), str(data),
+    ]) != 0
