@@ -1067,9 +1067,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     df.add_argument("--key", choices=("full", "pos"), default="full",
                     help="Variant matching key (default full = "
                          "CHROM:POS:REF:ALT).")
-    df.add_argument("--ignore-missing", action="store_true",
-                    help="Do not count pairs where either side is "
-                         "missing as discordant.")
+    df.add_argument("--include-missing", action="store_true",
+                    help="Count missing-vs-called pairs as discordant "
+                         "(off by default, matching plink2 --pgen-diff; "
+                         "both-missing pairs never compare).")
     df.add_argument("--per-sample", action="store_true",
                     help="Also write {out}.sdiff: per shared sample "
                          "DIFF_CT / CMP_CT / CONCORDANCE (plink2 "
@@ -1305,6 +1306,10 @@ def main(argv=None) -> int:
                 args.var_query = _and_cond(
                     args.var_query, f"GT_MISSING_RATE <= {args.geno!r}"
                 )
+            if args.hwe_midp and args.hwe is None:
+                print("filter: error: --hwe-midp requires --hwe X",
+                      file=sys.stderr)
+                return 2
             if args.hwe is not None:
                 hwe_var = "GT_HWE_MIDP" if args.hwe_midp else "GT_HWE_P"
                 args.var_query = _and_cond(
@@ -1976,7 +1981,7 @@ def main(argv=None) -> int:
                 out_file=None if args.out_file == "-" else args.out_file,
                 out=sys.stdout if args.out_file == "-" else None,
                 key=args.key,
-                ignore_missing=args.ignore_missing,
+                include_missing=args.include_missing,
                 block_variants=args.block_variants,
                 per_sample=args.per_sample,
             )

@@ -68,7 +68,10 @@ def hwe_exact_p(counts: np.ndarray, midp: bool = False) -> np.ndarray:
     subtract HALF the observed het configuration's probability —
     Lancaster's mid-p, less conservative for discrete tests. Rows that
     short-circuit (rare < 2: single-point distributions) report 0.5
-    under mid-p (1 - 0.5 * 1), matching the adjustment's definition."""
+    under mid-p (1 - 0.5 * 1), matching the adjustment's definition.
+    Zero-genotype (all-missing) rows report 1.0 under BOTH modes — there
+    is no observed configuration to halve, and GT_HWE_MIDP should agree
+    with GT_HWE_P's no-data convention."""
     counts = np.asarray(counts, dtype=np.int64)
     het = counts[:, 1]
     hom1 = counts[:, 0]
@@ -77,6 +80,8 @@ def hwe_exact_p(counts: np.ndarray, midp: bool = False) -> np.ndarray:
     rare = 2 * np.minimum(hom1, hom2) + het
 
     p = np.full(len(counts), 0.5 if midp else 1.0, dtype=np.float64)
+    if midp:
+        p[genotypes == 0] = 1.0
     todo = np.flatnonzero((rare >= 2) & (genotypes > 0))
     if len(todo) == 0:
         return p

@@ -14,9 +14,10 @@ fileset-A order then sample order, plus a summary line on stderr.
 
 Conventions pinned here (documented, testable):
   * Duplicate keys: the FIRST occurrence on each side participates.
-  * Missing-vs-called counts as discordant by default;
-    ``--ignore-missing`` drops any pair where either side is missing
-    (plink2's default pdiff behavior is the include-missing form).
+  * Missing-vs-called pairs are NOT counted as discordant by default —
+    plink2's --pgen-diff likewise skips half-missing pairs unless the
+    ``include-missing`` modifier is given; ``--include-missing`` opts
+    into counting them.
   * CHROM/POS/ID columns come from fileset A's pvar.
 """
 
@@ -68,14 +69,14 @@ def diff_pgen(
     prefix_b: str,
     out_file: str | None = None,
     key: str = "full",
-    ignore_missing: bool = False,
+    include_missing: bool = False,
     block_variants: int = 1 << 13,
     out=None,
     per_sample: bool = False,
 ) -> DiffResult:
     """per_sample=True additionally writes {out}.sdiff — per shared
     sample: DIFF_CT, CMP_CT (compared cells; excludes both-missing and,
-    under --ignore-missing, half-missing pairs), CONCORDANCE — the
+    unless --include-missing, half-missing pairs), CONCORDANCE — the
     plink2 --sample-diff counts analog."""
     if key not in ("full", "pos"):
         raise ValueError(f"--key must be 'full' or 'pos', got {key!r}")
@@ -128,8 +129,10 @@ def diff_pgen(
             ca = unpack_codes_numpy(_gather_rows(ra, ab), ha.num_samples)[:, sa]
             cb = unpack_codes_numpy(_gather_rows(rb, bb), hb.num_samples)[:, sb]
             neq = ca != cb
-            called = (ca != 3) | (cb != 3)  # both-missing never compares
-            if ignore_missing:
+            if include_missing:
+                called = (ca != 3) | (cb != 3)  # both-missing never compares
+            else:
+                # plink2 default: half-missing pairs neither compare nor diff
                 called = (ca != 3) & (cb != 3)
                 neq &= called
             for r, c in zip(*np.nonzero(neq)):

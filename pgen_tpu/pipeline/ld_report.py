@@ -129,7 +129,10 @@ def ld_report(
                 for d in range(bw):
                     n = w - 1 - d
                     if n > 0:
-                        dist[:n, d] = cpos[1 + d :] - cpos[:n]
+                        # |POS_j - POS_i|: POS is not validated as sorted,
+                        # so a signed difference would let any out-of-order
+                        # pair (negative distance) bypass the kb window
+                        dist[:n, d] = np.abs(cpos[1 + d :] - cpos[:n])
                 keep = (r2 >= ld_window_r2) & (dist <= max_bp)
                 for i, d in zip(*np.nonzero(keep)):
                     j = i + 1 + d

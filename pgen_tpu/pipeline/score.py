@@ -255,7 +255,10 @@ def score_pfile(
     [MIN, MAX] (inclusive); one {out_base}.{NAME}.sscore is written per
     range (ranges with zero matched variants are skipped with a
     warning, like plink). The base .sscore is NOT written; the returned
-    arrays are the LAST written range's, out_path lists every file."""
+    arrays are the LAST written range's, out_path lists every file.
+    With a stream (``out``, e.g. `-o -`), the per-range tables are
+    streamed to it as ONE table with a leading RANGE column instead of
+    per-range files."""
     provider = _resolve_provider(provider)
     if provider == "native":
         provider = "numpy"  # BLAS is the host gemm engine (ops/score.py)
@@ -345,6 +348,9 @@ def score_pfile(
         hdr += [f"{n}_AVG" for n in table.names]
         if write_sums:
             hdr += [f"{n}_SUM" for n in table.names]
+        if out is not None:  # streaming: one table, leading RANGE column
+            out.write("\t".join(["#RANGE"] + [h.lstrip("#") for h in hdr])
+                      + "\n")
         out_paths = []
         last = None
         with np.errstate(invalid="ignore"):
@@ -366,23 +372,31 @@ def score_pfile(
                 )
             rct = rres.allele_ct
             ravgs = rres.sums / np.maximum(rct, 1)[:, None]
-            path = f"{base}.{name}.sscore"
-            if write:
-                with timer.stage("emit"), open(path, "w") as fh:
-                    fh.write("\t".join(hdr) + "\n")
-                    for r, iid in enumerate(iids_q):
-                        cells = [iid, str(int(rct[r])),
-                                 f"{rres.dosage_sum[r]:.10g}"]
+            def _rows(fh, lead=()):
+                for r, iid in enumerate(iids_q):
+                    cells = [*lead, iid, str(int(rct[r])),
+                             f"{rres.dosage_sum[r]:.10g}"]
+                    cells += [
+                        f"{ravgs[r, c]:.10g}"
+                        for c in range(ravgs.shape[1])
+                    ]
+                    if write_sums:
                         cells += [
-                            f"{ravgs[r, c]:.10g}"
-                            for c in range(ravgs.shape[1])
+                            f"{rres.sums[r, c]:.10g}"
+                            for c in range(rres.sums.shape[1])
                         ]
-                        if write_sums:
-                            cells += [
-                                f"{rres.sums[r, c]:.10g}"
-                                for c in range(rres.sums.shape[1])
-                            ]
-                        fh.write("\t".join(cells) + "\n")
+                    fh.write("\t".join(cells) + "\n")
+
+            if out is not None:
+                path = f"<stream>.{name}"
+                with timer.stage("emit"):
+                    _rows(out, lead=(name,))
+            else:
+                path = f"{base}.{name}.sscore"
+                if write:
+                    with timer.stage("emit"), open(path, "w") as fh:
+                        fh.write("\t".join(hdr) + "\n")
+                        _rows(fh)
             out_paths.append(path)
             last = (rres, rct, ravgs, int(sel.size))
         if last is None:

@@ -36,15 +36,16 @@ def test_discordant_cells_reported(tmp_path):
     a = _fileset(tmp_path, "a", codes_a)
     b = _fileset(tmp_path, "b", codes_b)
     out = tmp_path / "d.pdiff"
+    # default matches plink2 --pgen-diff: half-missing pairs are skipped
     assert run_cli(["diff", a, b, "-o", str(out)]) == 0
     rows = [l.split("\t") for l in out.read_text().splitlines()[1:]]
-    assert len(rows) == 2
+    assert len(rows) == 1
     assert rows[0] == ["1", "101", "rs1", "s2", "0/0", "1/1"]
-    assert rows[1] == ["1", "103", "rs3", "s0", "0/0", "./."]
-    # --ignore-missing drops the half-missing pair
-    assert run_cli(["diff", a, b, "-o", str(out), "--ignore-missing"]) == 0
+    # --include-missing opts into counting the half-missing pair
+    assert run_cli(["diff", a, b, "-o", str(out), "--include-missing"]) == 0
     rows = [l.split("\t") for l in out.read_text().splitlines()[1:]]
-    assert len(rows) == 1 and rows[0][2] == "rs1"
+    assert len(rows) == 2
+    assert rows[1] == ["1", "103", "rs3", "s0", "0/0", "./."]
 
 
 def test_partial_variant_and_sample_overlap(tmp_path):
@@ -95,5 +96,12 @@ def test_per_sample_summary(tmp_path):
     assert rows[0] == ["#IID", "DIFF_CT", "CMP_CT", "CONCORDANCE"]
     # s0: rows 0-2 compared (row 3 both-missing), 0 diffs
     assert rows[1] == ["s0", "0", "3", "1"]
-    # s1: row 0 diff (1/1 vs 2), row 2 half-missing diff, row 3 both-missing
+    # s1 (default: half-missing pairs skipped): row 0 diff (0/1 vs 1/1),
+    # row 1 equal; rows 2 (half-missing) and 3 (both-missing) not compared
+    assert rows[2][0] == "s1" and rows[2][1] == "1" and rows[2][2] == "2"
+    # --include-missing: row 2's half-missing pair compares and diffs
+    assert run_cli(["diff", a, b, "-o", str(out), "--per-sample",
+                    "--include-missing"]) == 0
+    rows = [l.split("\t") for l in
+            (tmp_path / "d.pdiff.sdiff").read_text().splitlines()]
     assert rows[2][0] == "s1" and rows[2][1] == "2" and rows[2][2] == "3"

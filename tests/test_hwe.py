@@ -202,7 +202,9 @@ def hwe_midp_oracle(homref: int, het: int, homalt: int) -> float:
     """Mid-p oracle: exact p minus half the observed config's mass."""
     n = homref + het + homalt
     rare = 2 * min(homref, homalt) + het
-    if n == 0 or rare < 2:
+    if n == 0:
+        return 1.0  # no data: agree with GT_HWE_P's no-data convention
+    if rare < 2:
         return 0.5
     weights = {}
     for h in range(rare % 2, rare + 1, 2):
@@ -234,6 +236,26 @@ def test_hwe_midp_monomorphic_is_half():
     c = _counts([(5, 0, 0), (0, 0, 7), (0, 1, 3)])
     got = hwe_exact_p(c, midp=True)
     assert got[0] == 0.5 and got[1] == 0.5 and got[2] == 0.5
+
+
+def test_hwe_midp_all_missing_is_one():
+    # zero-genotype rows report 1.0 under both modes (GT_HWE_P agreement)
+    c = _counts([(0, 0, 0), (3, 4, 5)])
+    assert hwe_exact_p(c, midp=True)[0] == 1.0
+    assert hwe_exact_p(c, midp=False)[0] == 1.0
+
+
+def test_hwe_midp_flag_requires_hwe(tmp_path, capsys):
+    from tests.cli_helpers import run_cli
+
+    codes = np.ones((2, 4), dtype=np.uint8)
+    pvar_rows = [f"1\t{100+i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(2)]
+    psam_rows = [f"s{i}\tM" for i in range(4)]
+    prefix = build_fileset(tmp_path, "mq", codes, pvar_rows, psam_rows)
+    rc = run_cli(["filter", prefix, "--hwe-midp",
+                  "-o", str(tmp_path / "x.vcf")])
+    assert rc == 2
+    assert "--hwe-midp requires --hwe" in capsys.readouterr().err
 
 
 def test_hwe_midp_below_exact_p():

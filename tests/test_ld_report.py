@@ -108,3 +108,16 @@ def test_ld_provider_parity(tmp_path):
         ]) == 0
         texts.append(out.read_text())
     assert texts[0] == texts[1]
+
+
+def test_ld_kb_window_uses_absolute_distance(tmp_path):
+    # POS out of ascending order: the (rs0, rs1) distance is NEGATIVE as a
+    # signed difference; |.| must still apply the kb window to it
+    codes = np.tile(np.array([[0, 1, 2, 0, 1, 2]], dtype=np.uint8), (2, 1))
+    prefix = _fileset(tmp_path, codes, pos=[500_000, 100])
+    out = tmp_path / "t.ld"
+    assert run_cli([
+        "ld", prefix, "-o", str(out), "--ld-window-kb", "100",
+        "--ld-window-r2", "0",
+    ]) == 0
+    assert _read(out) == []  # 499.9 kb apart: outside the 100 kb window

@@ -361,3 +361,34 @@ def test_q_score_range_errors(tmp_path):
         "score", prefix, "--score", str(score),
         "--q-score-range", str(ranges), str(data),
     ]) != 0
+
+
+def test_q_score_range_streams_to_stdout(tmp_path, capsys):
+    # `-o -`: one combined table with a leading RANGE column on stdout,
+    # no per-range files on disk (ADVICE r3: files were silently written)
+    prefix, codes, score = _qsr_fileset(tmp_path)
+    data = tmp_path / "p.tsv"
+    data.write_text(
+        "SNP\tP\n"
+        + "".join(f"rs{i}\t{1e-8 if i < 5 else 0.5}\n" for i in range(10))
+    )
+    ranges = tmp_path / "r.txt"
+    ranges.write_text("S1 0 1e-5\nS2 0 1\n")
+    assert run_cli([
+        "score", prefix, "--score", str(score),
+        "--q-score-range", str(ranges), str(data), "-o", "-",
+    ]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert lines[0].split("\t")[:2] == ["#RANGE", "IID"]
+    body = [ln.split("\t") for ln in lines[1:]]
+    assert [r[0] for r in body] == ["S1"] * 6 + ["S2"] * 6
+    assert not list(tmp_path.glob("*.sscore"))
+    # row values match the file-mode S1/S2 tables
+    w = np.array([[0.1 * (i + 1)] for i in range(10)])
+    flip = np.zeros(10, dtype=bool)
+    sums1, _, ct1, _ = _score_oracle(codes[:5], w[:5], flip[:5])
+    for r, cells in enumerate(body[:6]):
+        assert int(cells[2]) == ct1[r]
+        assert float(cells[4]) == pytest.approx(
+            sums1[r, 0] / max(ct1[r], 1), rel=1e-9
+        )
