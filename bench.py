@@ -1,43 +1,52 @@
 #!/usr/bin/env python
 """Benchmark harness: chr22-scale filter wall-clock vs the reference.
 
-Prints ONE COMPACT JSON line (headline keys only, sized to survive a
-tail-window capture) and writes the full detail record — runs lists,
-notes, every sub-bench key — to bench_detail.json next to this file:
-  {"metric": "chr22_keep_all_filter_wall_s", "value": <warm median s>,
-   "unit": "s", "vs_baseline": <ref_s / ours_s>, ...headline fields,
-   "detail_file": "bench_detail.json"}
+Timeout-proof by construction (r3 lost its whole record to a driver
+timeout — VERDICT r3 item 1):
+  * A GLOBAL DEADLINE (env PGEN_BENCH_DEADLINE_S, default 720 s) is
+    checked before every phase; phases that don't fit are skipped and
+    listed in `skipped_phases`. The compact line ALWAYS prints.
+  * Phases run most-valuable-first: compile smoke -> realistic-fixture
+    headline -> keep-two, all within ~4 minutes; slower rows
+    (uniform fixture, cold, import, scaling, device subprocesses) only
+    run with deadline room to spare.
+  * bench_detail.json is rewritten INCREMENTALLY after every phase, so
+    a kill at any point leaves the completed rows on disk.
+  * SIGTERM/SIGINT print the current compact record before exiting, so
+    even an external `timeout` kill archives whatever finished.
+  * stdout carries EXACTLY ONE compact JSON line (< 1 KB — r2's record
+    was lost to tail-window truncation of a 2.3 KB line); progress and
+    errors go to stderr, full detail to bench_detail.json.
 
-The headline fixture is the REALISTIC-frequency one (mostly hom-ref,
-like real chr22); the uniform-bytes fixture is reported alongside.
+Headline: warm keep-all filter median on the REALISTIC-frequency
+chr22-scale fixture (mostly hom-ref, like real chr22), run FIRST on a
+quiet page cache. min is reported alongside (this VM's throughput
+swings 2-3x with neighbor contention).
 
 Baselines (BASELINE.md, /root/reference/README.md:162-189):
   keep-all chr22 filter -> VCF : 30.747 s   (the flagship, output-bound)
   keep-2   chr22 filter -> VCF :  2.773 s   (metadata-scan bound)
 CAVEAT: the reference numbers come from an UNSTATED AVX2 Intel dev box;
-all vs_baseline ratios are cross-hardware comparisons (this VM vs that
-box), not same-machine measurements.
+all vs_baseline ratios are cross-hardware comparisons.
 
-Cold vs warm: the mmap emission path deliberately reuses an existing
-same-size output file's pages. `keep_all_cold_s` deletes the output first
-(pays kernel page allocation, ~0.25 GB/s on this VM); the headline value
-is the WARM median (`headline_is_warm: true` says so in the output).
+Subcommands (also used internally as bounded subprocesses):
+  --compile-smoke  every production Pallas kernel + the mesh filter
+                   step lowered and run on the default backend; one
+                   JSON line (VERDICT r3 item 4: standalone real-TPU
+                   Mosaic regression canary, decoupled from the bench)
+  --kernel-bench   unpack kernel throughput (chained differencing)
+  --device-bench   small end-to-end mesh filter on the device
+  --mxu-bench      king/GRM/IBD/PCA matmul throughput
 
-Scaling: `scaling_2worker_efficiency` = median(1-worker) / (2 x
-median(2-worker)) over the process-shard path (filter --workers N), the
-single-host stand-in for 2-host scaling. CAVEAT: this VM has 2 cores and
-hypervisor-lazy page backing, so worker runs pay first-touch backing each
-time; the ratio is same-structure and honest, the absolute times are not
-comparable to the in-process warm numbers.
-
-Env knobs: PGEN_BENCH_VARIANTS (default 1103547), BENCH_RUNS (default 5),
-PGEN_BENCH_PROVIDER (default native), PGEN_BENCH_REALISTIC=0 to skip,
-PGEN_BENCH_SCALING=0 to skip, PGEN_BENCH_DEVICE=0 to skip the device-mesh
-e2e row, PGEN_BENCH_KERNEL=0 to skip kernel microbenches.
+Env knobs: PGEN_BENCH_DEADLINE_S (default 720), PGEN_BENCH_VARIANTS
+(default 1103547), BENCH_RUNS (default 5), PGEN_BENCH_PROVIDER
+(default native); PGEN_BENCH_UNIFORM/COLD/IMPORT/SCALING/DEVICE/
+KERNEL/MXU=0 to skip individual phases.
 """
 
 import json
 import os
+import signal
 import statistics
 import subprocess
 import sys
@@ -51,6 +60,401 @@ sys.path.insert(0, str(REPO / "tools"))
 BASELINE_KEEP_ALL_S = 30.747
 BASELINE_KEEP_TWO_S = 2.773
 V5E_HBM_GBPS = 819.0
+V5E_MXU_BF16_TFLOPS = 197.0
+
+_T_START = time.monotonic()
+_T_END = _T_START + float(os.environ.get("PGEN_BENCH_DEADLINE_S", "720"))
+STATE: dict = {}
+SKIPPED: list = []
+
+
+def _remaining() -> float:
+    return _T_END - time.monotonic()
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{int(time.monotonic() - _T_START)}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _flush_detail() -> None:
+    (REPO / "bench_detail.json").write_text(
+        json.dumps({**STATE, "skipped_phases": SKIPPED}, indent=1) + "\n"
+    )
+
+
+_COMPACT_KEYS = [
+    "metric", "value", "unit", "vs_baseline", "headline_fixture",
+    "keep_all_realistic_s", "keep_all_realistic_min_s",
+    "keep_all_realistic_vs_baseline", "keep_two_wall_s",
+    "keep_two_vs_baseline", "keep_all_uniform_s", "emit_gbps",
+    "variants", "samples", "provider",
+    "smoke_backend", "smoke_unpack_compile_ok", "smoke_text_compile_ok",
+    "smoke_pack_compile_ok", "smoke_mesh_step_compile_ok",
+    "smoke_compile_ok",
+    "scaling_2host_projected_efficiency",
+    "kernel_fused_gbps", "kernel_fused_pct_hbm_peak",
+    "mxu_king_tflops", "mxu_king_pct_bf16_peak",
+    "device_e2e_wall_s", "import_gbps", "baseline_keep_all_s",
+]
+
+
+def _print_compact() -> None:
+    headline = STATE.get("keep_all_realistic_s") or STATE.get(
+        "keep_all_uniform_s"
+    )
+    if headline:
+        STATE["metric"] = "chr22_keep_all_filter_wall_s"
+        STATE["value"] = headline
+        STATE["unit"] = "s"
+        STATE["vs_baseline"] = round(BASELINE_KEEP_ALL_S / headline, 2)
+        STATE["headline_fixture"] = (
+            "realistic-frequency"
+            if "keep_all_realistic_s" in STATE
+            else "uniform"
+        )
+    compact = {k: STATE[k] for k in _COMPACT_KEYS if k in STATE}
+    for k, v in STATE.items():
+        if k.endswith("_error"):
+            compact[k] = str(v)[-80:]
+    if SKIPPED:
+        compact["skipped"] = ",".join(SKIPPED)
+    compact["detail_file"] = "bench_detail.json"
+    print(json.dumps(compact), flush=True)
+
+
+def _on_kill(signum, frame):  # pragma: no cover - exercised by timeouts
+    STATE["killed_by_signal"] = signum
+    try:
+        _flush_detail()
+    except Exception:
+        pass
+    _print_compact()
+    os._exit(0)
+
+
+def _phase(name: str, est_s: float, fn, gate: str | None = None) -> None:
+    if gate and os.environ.get(gate, "1") != "1":
+        SKIPPED.append(f"{name}(env)")
+        return
+    if _remaining() < est_s:
+        SKIPPED.append(name)
+        _log(f"skip {name}: {_remaining():.0f}s left < {est_s:.0f}s est")
+        return
+    _log(f"phase {name} ({_remaining():.0f}s left)")
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 - record and continue
+        STATE[f"{name}_error"] = str(e)[-200:]
+        _log(f"{name} FAILED: {e}")
+    _flush_detail()
+
+
+def _timed_runs(fn, runs, warmups=1, per_run_est=12.0):
+    """Deadline-aware timed runs: os.sync() before each (multi-GB runs
+    dirty the whole output; an accumulated writeback backlog throttles
+    later runs to disk speed), stop early if the deadline nears."""
+    for _ in range(warmups):
+        if _remaining() < 2 * per_run_est:
+            break
+        fn()
+    times = []
+    for _ in range(runs):
+        if times and _remaining() < per_run_est + 30:
+            break
+        os.sync()
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    os.sync()
+    return times
+
+
+def _subprocess_row(flag: str, prefix: str, timeout_s: float) -> dict:
+    """Run a device-touching bench in a subprocess with a hard timeout
+    (remote-compile tunnels can hang) and namespace its JSON result."""
+    timeout_s = min(timeout_s, max(_remaining() - 20, 10))
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, flag],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            cwd=str(REPO),
+        )
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        if r.returncode == 0 and line:
+            return {f"{prefix}_{k}": v for k, v in json.loads(line).items()}
+        return {f"{prefix}_error": (r.stderr or "no output")[-160:]}
+    except subprocess.TimeoutExpired:
+        return {f"{prefix}_error": f"timeout({int(timeout_s)}s)"}
+
+
+def main():
+    signal.signal(signal.SIGTERM, _on_kill)
+    signal.signal(signal.SIGINT, _on_kill)
+
+    num_variants = int(os.environ.get("PGEN_BENCH_VARIANTS", 1_103_547))
+    runs = int(os.environ.get("BENCH_RUNS", 5))
+    provider = os.environ.get("PGEN_BENCH_PROVIDER", "native")
+    STATE.update(
+        {
+            "variants": num_variants,
+            "samples": 2504,
+            "provider": provider,
+            "deadline_s": round(_T_END - time.monotonic(), 0),
+            "baseline_keep_all_s": BASELINE_KEEP_ALL_S,
+            "baseline_keep_two_s": BASELINE_KEEP_TWO_S,
+            "baseline_hardware": "unstated AVX2 Intel dev box "
+            "(cross-hardware)",
+        }
+    )
+
+    from make_fixtures import ensure_chr22
+
+    from pgen_tpu.formats.metadata import read_metadata
+    from pgen_tpu.pipeline.filter import filter_to_vcf
+
+    # ---- phase 1: compile smoke (the Mosaic regression canary) -------
+    def compile_smoke():
+        row = _subprocess_row("--compile-smoke", "smoke", 300)
+        STATE.update(row)
+
+    _phase("compile_smoke", 25, compile_smoke, gate="PGEN_BENCH_SMOKE")
+
+    # ---- phase 2: realistic-frequency headline (quiet page cache) ----
+    rctx: dict = {}
+
+    def realistic_headline():
+        t0 = time.perf_counter()
+        rprefix = str(
+            ensure_chr22(
+                REPO / "data" / "realistic",
+                num_variants=num_variants,
+                uniform_bytes=False,
+            )
+        )
+        STATE["fixture_gen_s"] = round(time.perf_counter() - t0, 1)
+        rout = f"{rprefix}.bench.vcf"
+        rctx["prefix"], rctx["out"] = rprefix, rout
+
+        def run():
+            return filter_to_vcf(rprefix, out_file=rout, provider=provider)
+
+        res = run()  # machinery warmup (imports, metadata page-in)
+        STATE["output_gb"] = round(res.bytes_written / 1e9, 2)
+        ts = _timed_runs(run, runs, warmups=1)
+        med = statistics.median(ts)
+        STATE.update(
+            {
+                "keep_all_realistic_s": round(med, 3),
+                "keep_all_realistic_min_s": round(min(ts), 3),
+                "keep_all_realistic_runs_s": [round(t, 3) for t in ts],
+                "keep_all_realistic_vs_baseline": round(
+                    BASELINE_KEEP_ALL_S / med, 2
+                ),
+                "emit_gbps": round(res.bytes_written / 1e9 / med, 2),
+                "variants_per_s": int(num_variants / med),
+                "host_variance_note": "this VM's throughput swings 2-3x "
+                "with host contention (see runs list); min_s is the best "
+                "steady-state observation, the headline stays the median",
+            }
+        )
+
+    _phase("realistic_headline", 100, realistic_headline)
+
+    # ---- phase 3: keep-two (metadata-scan bound) ---------------------
+    def keep_two():
+        prefix = rctx.get("prefix")
+        if prefix is None:
+            prefix = str(
+                ensure_chr22(
+                    REPO / "data" / "realistic",
+                    num_variants=num_variants,
+                    uniform_bytes=False,
+                )
+            )
+        pvar = read_metadata(f"{prefix}.pvar")
+        pos = pvar.get_column_strs("POS")
+        p1, p2 = pos[len(pos) // 3], pos[2 * len(pos) // 3]
+        q = f'POS=="{p1}" || POS=="{p2}"'
+        out2 = f"{prefix}.bench2.vcf"
+        ts = _timed_runs(
+            lambda: filter_to_vcf(
+                prefix, var_query=q, out_file=out2, provider=provider
+            ),
+            runs,
+            warmups=2,
+            per_run_est=2.0,
+        )
+        med = statistics.median(ts)
+        STATE.update(
+            {
+                "keep_two_wall_s": round(med, 3),
+                "keep_two_vs_baseline": round(BASELINE_KEEP_TWO_S / med, 2),
+                "keep_two_runs_s": [round(t, 3) for t in ts],
+            }
+        )
+        if os.path.exists(out2):
+            os.unlink(out2)
+
+    _phase("keep_two", 20, keep_two)
+
+    # ---- phase 4: uniform-bytes fixture (r1's original config) -------
+    uctx: dict = {}
+
+    def uniform_keep_all():
+        # drop the realistic output first: two multi-GB outputs fighting
+        # for page cache contaminate each other's timings
+        rout = rctx.get("out")
+        if rout and os.path.exists(rout):
+            os.unlink(rout)
+        os.sync()
+        prefix = str(
+            ensure_chr22(
+                REPO / "data", num_variants=num_variants, uniform_bytes=True
+            )
+        )
+        out = f"{prefix}.bench.vcf"
+        uctx["prefix"], uctx["out"] = prefix, out
+
+        def run():
+            return filter_to_vcf(prefix, out_file=out, provider=provider)
+
+        ts = _timed_runs(run, max(3, runs - 2), warmups=2)
+        STATE.update(
+            {
+                "keep_all_uniform_s": round(statistics.median(ts), 3),
+                "keep_all_uniform_runs_s": [round(t, 3) for t in ts],
+            }
+        )
+
+    _phase("uniform_keep_all", 120, uniform_keep_all, gate="PGEN_BENCH_UNIFORM")
+
+    # ---- phase 5: cold output (no reusable pages) --------------------
+    def cold():
+        prefix = uctx.get("prefix") or rctx.get("prefix")
+        out = uctx.get("out") or rctx.get("out")
+        if not prefix:
+            raise RuntimeError("no fixture from earlier phases")
+        STATE["first_touch_gbps"] = _first_touch_rate()
+        if os.path.exists(out):
+            os.unlink(out)
+        os.sync()
+        t0 = time.perf_counter()
+        filter_to_vcf(prefix, out_file=out, provider=provider)
+        dt = time.perf_counter() - t0
+        os.sync()
+        STATE.update(
+            {
+                "keep_all_cold_s": round(dt, 3),
+                "keep_all_cold_vs_baseline": round(BASELINE_KEEP_ALL_S / dt, 2),
+                "cold_note": "cold time is dominated by this VM's "
+                "first-touch page backing rate (first_touch_gbps); "
+                "re-touch runs at 5-8 GB/s",
+            }
+        )
+
+    _phase("cold", 90, cold, gate="PGEN_BENCH_COLD")
+
+    # ---- phase 6: VCF import (reverse direction; plink2's territory) -
+    def import_vcf_row():
+        from pgen_tpu.pipeline.vcf_import import import_vcf
+
+        out = uctx.get("out") or rctx.get("out")
+        if not out or not os.path.exists(out):
+            raise RuntimeError("no VCF output from earlier phases")
+        imp_prefix = str(Path(out).parent / "imported")
+        import_vcf(out, out_prefix=imp_prefix, provider=provider)  # warm
+        t0 = time.perf_counter()
+        import_vcf(out, out_prefix=imp_prefix, provider=provider)
+        dt = time.perf_counter() - t0
+        vcf_gb = os.path.getsize(out) / 1e9
+        STATE.update(
+            {
+                "import_wall_s": round(dt, 3),
+                "import_gbps": round(vcf_gb / dt, 2),
+            }
+        )
+        for suf in (".pgen", ".pvar", ".psam"):
+            os.unlink(imp_prefix + suf)
+        os.sync()
+
+    _phase("import", 80, import_vcf_row, gate="PGEN_BENCH_IMPORT")
+
+    # ---- phase 7: scaling (2-host projection; see note) --------------
+    def scaling():
+        from pgen_tpu.parallel.shard import (
+            filter_to_vcf_parallel,
+            filter_to_vcf_sharded,
+        )
+
+        prefix = uctx.get("prefix") or rctx.get("prefix")
+        out = uctx.get("out") or rctx.get("out")
+        sruns = 3
+        filter_to_vcf_parallel(prefix, out_file=out, num_workers=2)  # warm
+        w1 = _timed_runs(
+            lambda: filter_to_vcf_parallel(prefix, out_file=out, num_workers=1),
+            sruns, warmups=0,
+        )
+        w2 = _timed_runs(
+            lambda: filter_to_vcf_parallel(prefix, out_file=out, num_workers=2),
+            sruns, warmups=0,
+        )
+        halves = []
+        for si in (0, 1):
+            part = f"{out}.half{si}"
+            ts = _timed_runs(
+                lambda si=si, part=part: filter_to_vcf_sharded(
+                    prefix, out_file=part, num_shards=2, shard_index=si,
+                    standalone=True,
+                ),
+                sruns, warmups=1, per_run_est=8.0,
+            )
+            halves.append(min(ts))
+            os.unlink(part)
+        m1, m2 = statistics.median(w1), statistics.median(w2)
+        STATE.update(
+            {
+                "scaling_w1_s": round(m1, 3),
+                "scaling_w2_s": round(m2, 3),
+                "scaling_2worker_efficiency": round(m1 / (2 * m2), 3),
+                "scaling_half_shard_s": [round(t, 3) for t in halves],
+                "scaling_2host_projected_efficiency": round(
+                    min(w1) / (2 * max(halves)), 3
+                ),
+                "scaling_note": "2worker = 2 processes sharing this VM's "
+                "ONE memory bus, which a single worker already saturates "
+                "— it measures the VM, not the design. 2host projection = "
+                "each half-shard timed with the machine to itself (own "
+                "bus per host, zero inter-worker communication: output "
+                "offsets are arithmetic), efficiency = "
+                "min(t1)/(2*max(min half)).",
+            }
+        )
+        os.sync()
+
+    _phase("scaling", 120, scaling, gate="PGEN_BENCH_SCALING")
+
+    # ---- phases 8-10: device subprocess rows -------------------------
+    _phase(
+        "device_e2e", 60,
+        lambda: STATE.update(_subprocess_row("--device-bench", "device_e2e", 700)),
+        gate="PGEN_BENCH_DEVICE",
+    )
+    _phase(
+        "kernel", 60,
+        lambda: STATE.update(_subprocess_row("--kernel-bench", "kernel", 560)),
+        gate="PGEN_BENCH_KERNEL",
+    )
+    _phase(
+        "mxu", 60,
+        lambda: STATE.update(_subprocess_row("--mxu-bench", "mxu", 700)),
+        gate="PGEN_BENCH_MXU",
+    )
+
+    _flush_detail()
+    _print_compact()
 
 
 def _first_touch_rate(size=256 << 20) -> float:
@@ -71,331 +475,52 @@ def _first_touch_rate(size=256 << 20) -> float:
     return round(size / dt / 1e9, 3)
 
 
-def _timed_runs(fn, runs, warmups=1):
-    # warmup: page cache, imports, JIT. On this VM a single warmup is not
-    # enough for allocation-heavy configs — glibc munmaps large freed
-    # blocks for the first few calls (until its dynamic mmap threshold
-    # adapts), and every fresh mmap pays the hypervisor's ~0.15 GB/s
-    # first-touch backing rate. Steady state arrives after ~3 calls.
-    for _ in range(warmups):
-        fn()
-    # Drain writeback before EVERY timed run (untimed): each multi-GB run
-    # dirties its full output size, and once the accumulated backlog
-    # crosses the kernel's dirty threshold, later runs get throttled to
-    # disk speed (balance_dirty_pages) — a measurement artifact of
-    # back-to-back runs, not of a one-shot filter invocation. The
-    # reference's 30.7 s was likewise a single run against a quiet queue.
-    times = []
-    for _ in range(runs):
-        os.sync()
-        t0 = time.perf_counter()
-        fn()
-        times.append(time.perf_counter() - t0)
-    os.sync()
-    return times
+def _compile_smoke() -> dict:
+    """Lower + run every production Pallas kernel and the mesh filter's
+    local step on the default backend. One key per kernel so a single
+    Mosaic regression names its kernel. Runs in well under a minute on
+    a warm compile cache; first-ever compiles take ~20-40 s each."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-
-def main():
-    num_variants = int(os.environ.get("PGEN_BENCH_VARIANTS", 1_103_547))
-    runs = int(os.environ.get("BENCH_RUNS", 5))
-    provider = os.environ.get("PGEN_BENCH_PROVIDER", "native")
-
-    from make_fixtures import ensure_chr22
-
-    from pgen_tpu.formats.metadata import read_metadata
-    from pgen_tpu.pipeline.filter import filter_to_vcf
+    from pgen_tpu.ops.gt_text import _text_words_from_codes
+    from pgen_tpu.ops.pack import pack_codes_device
+    from pgen_tpu.ops.unpack import unpack_words
+    from pgen_tpu.parallel.mesh import _local_pipeline_planes
 
     t0 = time.perf_counter()
-    prefix = str(
-        ensure_chr22(REPO / "data", num_variants=num_variants, uniform_bytes=True)
-    )
-    gen_s = time.perf_counter() - t0
+    rng = np.random.default_rng(0)
+    R = 626
+    # the mesh step uses a small lane-aligned rec: CPU XLA's compile time
+    # explodes at rec 640 (4+ min) while 256 compiles in <1 s; Mosaic
+    # lowering coverage is shape-polymorphic either way
+    RP = 256
+    x = jnp.asarray(rng.integers(0, 256, size=(256, R), dtype=np.uint8))
+    codes = jnp.asarray(rng.integers(0, 4, size=(256, 4 * R), dtype=np.uint8))
+    mask = jnp.asarray(rng.random(256) < 0.5)
+    xp = jnp.asarray(rng.integers(0, 256, size=(256, RP), dtype=np.uint8))
 
-    out = f"{prefix}.bench.vcf"
-
-    def run_keep_all():
-        return filter_to_vcf(prefix, out_file=out, provider=provider)
-
-    # warm: page-reuse steady state (the headline; stated explicitly)
-    res = run_keep_all()  # machinery warmup (imports, metadata page-in)
-    out_gb = res.bytes_written / 1e9
-    keep_all_times = _timed_runs(run_keep_all, runs, warmups=2)
-    keep_all = statistics.median(keep_all_times)
-
-    # cold: no reusable output pages — first-touch page allocation included.
-    # On this VM first-touch of ANY new memory (anon or page cache) runs at
-    # ~0.1-0.25 GB/s (hypervisor lazy backing; re-touch ~5-8 GB/s), so the
-    # cold number is dominated by the hypervisor, not this code. Measured
-    # and reported as first_touch_gbps so readers can subtract the artifact.
-    first_touch_gbps = _first_touch_rate()
-    # best of 2: the cold number is once-per-attempt by nature, so a single
-    # attempt is fully exposed to this VM's host-contention spikes
-    cold_times = []
-    for _ in range(2):
-        os.unlink(out)
-        os.sync()
-        t0 = time.perf_counter()
-        run_keep_all()
-        cold_times.append(time.perf_counter() - t0)
-        os.sync()  # drain cold writeback before later configs
-    keep_all_cold = min(cold_times)
-
-    # keep-2: metadata-scan bound (two real POS values from the fixture)
-    pvar = read_metadata(f"{prefix}.pvar")
-    pos = pvar.get_column_strs("POS")
-    p1, p2 = pos[len(pos) // 3], pos[2 * len(pos) // 3]
-    q = f'POS=="{p1}" || POS=="{p2}"'
-    out2 = f"{prefix}.bench2.vcf"
-
-    def run_keep_two():
-        return filter_to_vcf(prefix, var_query=q, out_file=out2, provider=provider)
-
-    keep_two_times = _timed_runs(run_keep_two, runs, warmups=3)
-    keep_two = statistics.median(keep_two_times)
-
-    # import (VCF -> pgen, the reverse direction; no reference counterpart —
-    # plink2 is the comparable tool). Times the cold keep-all output left on
-    # disk by the run above.
-    import_row = {}
-    if os.environ.get("PGEN_BENCH_IMPORT", "1") == "1":
-        from pgen_tpu.pipeline.vcf_import import import_vcf
-
-        imp_prefix = str(Path(prefix).parent / "imported")
-        import_vcf(out, out_prefix=imp_prefix, provider=provider)  # warm
-        t0 = time.perf_counter()
-        import_vcf(out, out_prefix=imp_prefix, provider=provider)
-        import_s = time.perf_counter() - t0
-        vcf_gb = os.path.getsize(out) / 1e9
-        import_row = {
-            "import_wall_s": round(import_s, 3),
-            "import_gbps": round(vcf_gb / import_s, 2),
-        }
-        for suf in (".pgen", ".pvar", ".psam"):
-            os.unlink(imp_prefix + suf)
-        os.sync()
-
-    # Scaling (BASELINE.md ">=80% at 2 hosts"). Two measurements:
-    # (a) scaling_2worker_efficiency — 2 same-host worker PROCESSES. On
-    #     this 2-core VM one worker already runs at the memory-bus ceiling
-    #     (the emit path writes at DRAM speed), so a second worker on the
-    #     SAME bus cannot add bandwidth — this number measures the VM,
-    #     not the design, and is reported for honesty.
-    # (b) scaling_2host_projected_efficiency — each half-shard run
-    #     SEQUENTIALLY with the whole machine to itself, the faithful
-    #     2-host model: each host has its own memory bus, reads only its
-    #     variant byte range, and the ordered merge is pure arithmetic
-    #     (zero inter-worker communication on the shard path).
-    #     efficiency = t_1worker / (2 * max(half times)).
-    scaling_row = {}
-    if os.environ.get("PGEN_BENCH_SCALING", "1") == "1":
-        from pgen_tpu.parallel.shard import (
-            filter_to_vcf_parallel,
-            filter_to_vcf_sharded,
-        )
-
-        sruns = max(3, runs - 2)
-        filter_to_vcf_parallel(prefix, out_file=out, num_workers=2)  # warm
-        w1 = _timed_runs(
-            lambda: filter_to_vcf_parallel(prefix, out_file=out, num_workers=1),
-            sruns, warmups=0,
-        )
-        w2 = _timed_runs(
-            lambda: filter_to_vcf_parallel(prefix, out_file=out, num_workers=2),
-            sruns, warmups=0,
-        )
-        halves = []
-        for si in (0, 1):
-            part = f"{out}.half{si}"
-            ts = _timed_runs(
-                lambda si=si, part=part: filter_to_vcf_sharded(
-                    prefix, out_file=part, num_shards=2, shard_index=si,
-                    standalone=True,
-                ),
-                sruns, warmups=1,
-            )
-            # min = best steady-state observation (host_variance_note):
-            # a single contended run must not skew the projection
-            halves.append(min(ts))
-            os.unlink(part)
-        m1, m2 = statistics.median(w1), statistics.median(w2)
-        scaling_row = {
-            "scaling_w1_s": round(m1, 3),
-            "scaling_w2_s": round(m2, 3),
-            "scaling_w1_runs_s": [round(t, 3) for t in w1],
-            "scaling_w2_runs_s": [round(t, 3) for t in w2],
-            "scaling_2worker_efficiency": round(m1 / (2 * m2), 3),
-            "scaling_half_shard_s": [round(t, 3) for t in halves],
-            "scaling_2host_projected_efficiency": round(
-                min(w1) / (2 * max(halves)), 3
-            ),
-            "scaling_note": "2worker = 2 processes sharing this VM's ONE "
-            "memory bus, which a single worker already saturates (emit at "
-            "DRAM speed) — it measures the VM, not the design. 2host "
-            "projection = each half-shard timed with the machine to "
-            "itself (own bus per host, zero inter-worker communication: "
-            "output offsets are arithmetic), efficiency = "
-            "min(t1)/(2*max(min half)) — steady-state vs steady-state so "
-            "one contended run cannot skew it.",
-        }
-        os.sync()
-
-    # realistic-frequency fixture (mostly hom-ref, like real chr22): the
-    # HEADLINE config, same warm treatment as the uniform fixture. Drop
-    # the uniform fixture's 11 GB output first — two multi-GB outputs
-    # fighting for page cache contaminate each other's timings.
-    realistic = None
-    realistic_times = []
-    if os.environ.get("PGEN_BENCH_REALISTIC", "1") == "1":
-        if os.path.exists(out):
-            os.unlink(out)
-        os.sync()
-        rprefix = str(
-            ensure_chr22(
-                REPO / "data" / "realistic",
-                num_variants=num_variants,
-                uniform_bytes=False,
-            )
-        )
-        rout = f"{rprefix}.bench.vcf"
-
-        def run_realistic():
-            return filter_to_vcf(rprefix, out_file=rout, provider=provider)
-
-        realistic_times = _timed_runs(run_realistic, runs, warmups=2)
-        realistic = statistics.median(realistic_times)
-        os.unlink(rout)  # free the page cache for the remaining rows
-        os.sync()
-
-    # half-samples (masked-LUT subset path): opt-in — extra multi-GB output
-    half = None
-    if os.environ.get("PGEN_BENCH_HALF", "0") == "1":
-        out3 = f"{prefix}.bench3.vcf"
-
-        def run_half():
-            return filter_to_vcf(
-                prefix, sam_query='IID < "NA"', out_file=out3, provider=provider
-            )
-
-        half = statistics.median(_timed_runs(run_half, max(1, runs - 1)))
-
-    detail = {
-        "keep_all_cold_s": round(keep_all_cold, 3),
-        "keep_all_cold_runs_s": [round(t, 3) for t in cold_times],
-        "keep_all_warm_s": round(keep_all, 3),
-        "keep_all_min_s": round(min(keep_all_times), 3),
-        "keep_all_runs_s": [round(t, 3) for t in keep_all_times],
-        "host_variance_note": "this VM's throughput swings 2-3x with host "
-        "contention (see the runs lists); min_s is the best steady-state "
-        "observation, the headline stays the median",
-        "headline_is_warm": True,
-        "keep_all_cold_vs_baseline": round(BASELINE_KEEP_ALL_S / keep_all_cold, 2),
-        "first_touch_gbps": first_touch_gbps,
-        "cold_note": "cold time is dominated by this VM's first-touch page "
-        "backing rate (first_touch_gbps); re-touch runs at 5-8 GB/s",
-        "keep_two_wall_s": round(keep_two, 3),
-        "keep_two_vs_baseline": round(BASELINE_KEEP_TWO_S / keep_two, 2),
-        "keep_two_runs_s": [round(t, 3) for t in keep_two_times],
-        **import_row,
-        **scaling_row,
-        **(
-            {
-                "keep_all_realistic_s": round(realistic, 3),
-                "keep_all_realistic_runs_s": [
-                    round(t, 3) for t in realistic_times
-                ],
-                "keep_all_realistic_vs_baseline": round(
-                    BASELINE_KEEP_ALL_S / realistic, 2
-                ),
-            }
-            if realistic is not None
-            else {}
-        ),
-        **({"half_samples_wall_s": round(half, 3)} if half is not None else {}),
-        "output_gb": round(out_gb, 2),
-        "emit_gbps": round(out_gb / keep_all, 2),
-        "variants": num_variants,
-        "samples": 2504,
-        "variants_per_s": int(num_variants / keep_all),
-        "provider": provider,
-        "fixture_gen_s": round(gen_s, 1),
-        "baseline_keep_all_s": BASELINE_KEEP_ALL_S,
-        "baseline_keep_two_s": BASELINE_KEEP_TWO_S,
-        "baseline_hardware": "unstated AVX2 Intel dev box (cross-hardware)",
+    mesh_step = jax.jit(lambda a: _local_pipeline_planes(a, mask)[0])
+    kernels = {
+        "unpack": lambda: unpack_words(x),
+        "text": lambda: _text_words_from_codes(codes, False),
+        "pack": lambda: pack_codes_device(codes),
+        "mesh_step": lambda: mesh_step(xp),
     }
-
-    # device-mesh end-to-end row (the flagship multi-chip path, small size:
-    # this VM's device tunnel is ~25-33 MB/s, so wall time here is
-    # transfer-dominated — see docs/BENCHMARKS.md for the PCIe projection)
-    if os.environ.get("PGEN_BENCH_DEVICE", "1") == "1":
-        # generous timeout: the first call pays remote compiles through the
-        # tunnel, which can take minutes when the VM is degraded
-        detail.update(_subprocess_row("--device-bench", "device_e2e", 840))
-
-    # device decode kernel throughput + per-round compile smoke
-    if os.environ.get("PGEN_BENCH_KERNEL", "1") == "1":
-        detail.update(_subprocess_row("--kernel-bench", "unpack_kernel", 560))
-
-    # MXU workloads (king kinship Grams, PCA GRM) on the real chip
-    if os.environ.get("PGEN_BENCH_MXU", "1") == "1":
-        detail.update(_subprocess_row("--mxu-bench", "mxu", 900))
-
-    # headline = realistic-frequency fixture (the honest chr22 stand-in);
-    # falls back to the uniform fixture when realistic is skipped
-    headline = realistic if realistic is not None else keep_all
-    full = {
-        "metric": "chr22_keep_all_filter_wall_s",
-        "value": round(headline, 3),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_KEEP_ALL_S / headline, 2),
-        "headline_fixture": (
-            "realistic-frequency" if realistic is not None else "uniform"
-        ),
-        **detail,
-    }
-    detail_path = REPO / "bench_detail.json"
-    detail_path.write_text(json.dumps(full, indent=1) + "\n")
-
-    # ONE compact line on stdout: headline keys only, sized well under a
-    # tail-window capture (~2 KB) so the archived record always parses
-    compact_keys = [
-        "metric", "value", "unit", "vs_baseline", "headline_fixture",
-        "keep_all_realistic_s", "keep_all_realistic_vs_baseline",
-        "keep_all_warm_s", "keep_all_min_s", "keep_two_wall_s",
-        "keep_two_vs_baseline", "scaling_w1_s", "scaling_w2_s",
-        "scaling_2worker_efficiency", "scaling_2host_projected_efficiency",
-        "emit_gbps", "output_gb", "variants",
-        "samples", "provider", "import_gbps", "device_e2e_wall_s",
-        "device_e2e_variants_per_s", "unpack_kernel_fused_gbps",
-        "unpack_kernel_fused_pct_hbm_peak", "unpack_kernel_step_mvar_s",
-        "unpack_kernel_kernel_compile_ok", "unpack_kernel_unpack_compile_ok",
-        "unpack_kernel_text_compile_ok", "unpack_kernel_pack_compile_ok",
-        "mxu_king_tflops", "mxu_king_pct_bf16_peak", "baseline_keep_all_s",
-    ]
-    compact = {k: full[k] for k in compact_keys if k in full}
-    for k, v in full.items():
-        if k.endswith("_error"):
-            compact[k] = v
-    compact["detail_file"] = str(detail_path.name)
-    print(json.dumps(compact))
-
-
-def _subprocess_row(flag: str, prefix: str, timeout_s: int) -> dict:
-    """Run a device-touching bench in a subprocess with a hard timeout
-    (remote-compile tunnels can hang) and namespace its JSON result."""
-    try:
-        r = subprocess.run(
-            [sys.executable, __file__, flag],
-            capture_output=True,
-            text=True,
-            timeout=timeout_s,
-            cwd=str(REPO),
-        )
-        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
-        if r.returncode == 0 and line:
-            return {f"{prefix}_{k}": v for k, v in json.loads(line).items()}
-        return {f"{prefix}_error": (r.stderr or "no output")[-160:]}
-    except subprocess.TimeoutExpired:
-        return {f"{prefix}_error": "timeout"}
+    out = {"backend": jax.default_backend()}
+    ok = True
+    for name, fn in kernels.items():
+        try:
+            jax.block_until_ready(fn())
+            out[f"{name}_compile_ok"] = True
+        except Exception as e:  # pragma: no cover
+            out[f"{name}_compile_ok"] = False
+            out[f"{name}_compile_error"] = str(e)[-160:]
+            ok = False
+    out["compile_ok"] = ok
+    out["wall_s"] = round(time.perf_counter() - t0, 1)
+    return out
 
 
 def _device_bench() -> dict:
@@ -429,9 +554,7 @@ def _device_bench() -> dict:
 
 
 def _kernel_bench() -> dict:
-    """Chained-dependency unpack benchmark + compile smoke of every Pallas
-    kernel on the default backend (catches Mosaic lowering regressions the
-    CPU interpret-mode suite can't)."""
+    """Chained-dependency unpack benchmark on the default backend."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -439,37 +562,11 @@ def _kernel_bench() -> dict:
     if jax.default_backend() == "cpu":
         raise RuntimeError("no accelerator backend")
 
-    from pgen_tpu.ops.gt_text import _text_words_from_codes
-    from pgen_tpu.ops.pack import pack_codes_device
     from pgen_tpu.ops.unpack import unpack_words
 
     V, R = 65536, 626
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 256, size=(V, R), dtype=np.uint8))
-
-    # compile smoke: every production Pallas kernel lowers + runs on-chip,
-    # one key per kernel so a single Mosaic regression names its kernel
-    smoke = {}
-    kernels = {
-        "unpack": lambda: unpack_words(x[:256]),
-        "text": lambda: _text_words_from_codes(
-            jnp.asarray(rng.integers(0, 4, size=(256, 4 * R), dtype=np.uint8)),
-            False,
-        ),
-        "pack": lambda: pack_codes_device(
-            jnp.asarray(rng.integers(0, 4, (256, 4 * R), dtype=np.uint8))
-        ),
-    }
-    all_ok = True
-    for name, fn in kernels.items():
-        try:
-            jax.block_until_ready(fn())
-            smoke[f"{name}_compile_ok"] = True
-        except Exception as e:  # pragma: no cover
-            smoke[f"{name}_compile_ok"] = False
-            smoke[f"{name}_compile_error"] = str(e)[-160:]
-            all_ok = False
-    smoke["kernel_compile_ok"] = all_ok
 
     @jax.jit
     def chain(x, n):
@@ -585,15 +682,11 @@ def _kernel_bench() -> dict:
         "step_mvar_s_note": "production plane-form step, outputs materialized",
         "step_gbps": round(19 * V * RP / step_dt / 1e9, 1),
         "step_pct_hbm_peak": round(100 * 19 * V * RP / step_dt / 1e9 / V5E_HBM_GBPS, 1),
-        **smoke,
     }
 
 
-V5E_MXU_BF16_TFLOPS = 197.0
-
-
 def _mxu_bench() -> dict:
-    """Achieved MXU throughput of the two matmul workloads (ops/king.py
+    """Achieved MXU throughput of the matmul workloads (ops/king.py
     Grams in bf16, ops/pca.py GRM in true-f32) via chained-dependency
     two-point differencing — dispatch timing lies through the axon tunnel
     (see _kernel_bench), so each iteration's input is a data-dependent
@@ -633,20 +726,16 @@ def _mxu_bench() -> dict:
 
         return chain
 
-    def _slope(chain, hi, lo=2, reps=4):
-        int(chain(x, 1))  # compile
-        t_hi = min(
-            _timed(lambda: int(chain(x, hi))) for _ in range(reps)
-        )
-        t_lo = min(
-            _timed(lambda: int(chain(x, lo))) for _ in range(reps)
-        )
-        return max((t_hi - t_lo) / (hi - lo), 1e-9)
-
     def _timed(fn):
         t0 = time.perf_counter()
         fn()
         return time.perf_counter() - t0
+
+    def _slope(chain, hi, lo=2, reps=4):
+        int(chain(x, 1))  # compile
+        t_hi = min(_timed(lambda: int(chain(x, hi))) for _ in range(reps))
+        t_lo = min(_timed(lambda: int(chain(x, lo))) for _ in range(reps))
+        return max((t_hi - t_lo) / (hi - lo), 1e-9)
 
     king = _chain(lambda a: _king_counts_device_jit(a, S, V, False))
     king_dt = _slope(king, 12)
@@ -693,7 +782,9 @@ def _mxu_bench() -> dict:
 
 
 if __name__ == "__main__":
-    if "--kernel-bench" in sys.argv:
+    if "--compile-smoke" in sys.argv:
+        print(json.dumps(_compile_smoke()))
+    elif "--kernel-bench" in sys.argv:
         print(json.dumps(_kernel_bench()))
     elif "--device-bench" in sys.argv:
         print(json.dumps(_device_bench()))

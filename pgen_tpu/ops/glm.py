@@ -791,8 +791,20 @@ def betainc_reg(a, b, x, max_iter: int = 300, eps: float = 3e-16):
 
 def t_sf2(t, df):
     """Two-sided Student-t p-value: P(|T_df| >= |t|) =
-    I_{df/(df+t^2)}(df/2, 1/2)."""
+    I_{df/(df+t^2)}(df/2, 1/2).
+
+    At df >= 1e8 the continued fraction's argument x = df/(df+t^2) sits
+    within ~1e-8 of 1 and the Lentz iteration loses ~7 digits, while the
+    normal limit's relative error is O(t^4/df) <= ~1e-6 at t <= 100 —
+    strictly tighter there, so switch to erfc(|t|/sqrt(2))."""
     t = np.asarray(t, dtype=np.float64)
     df = np.asarray(df, dtype=np.float64)
     x = df / (df + t * t)
-    return betainc_reg(df / 2.0, 0.5, x)
+    out = np.asarray(betainc_reg(df / 2.0, 0.5, x))
+    big = np.broadcast_to(df >= 1e8, out.shape)
+    if big.any():
+        from pgen_tpu.ops.logistic import normal_sf2
+
+        tb = np.broadcast_to(t, out.shape)
+        out = np.where(big, normal_sf2(tb), out)
+    return out

@@ -8,6 +8,8 @@ import pytest
 from tests.cli_helpers import run_cli
 from tests.conftest import build_fileset
 
+from tests.oracle import t_sf2_oracle
+
 from pgen_tpu.formats.writer import write_pgen
 from pgen_tpu.ops.glm import (
     betainc_reg,
@@ -47,7 +49,8 @@ def _glm_oracle(codes, y, covars):
         sigma2 = (resid @ resid) / df
         se = np.sqrt(sigma2 * np.linalg.inv(x.T @ x)[-1, -1])
         t = coef[-1] / se
-        out.append((n, coef[-1], se, t, t_sf2(t, df)))
+        # independent mpmath tail — NOT the production t_sf2
+        out.append((n, coef[-1], se, t, t_sf2_oracle(t, df)))
     return out
 
 
@@ -265,7 +268,9 @@ def _logit_oracle(gv, yv, cv):
 
 @pytest.mark.parametrize("k", [0, 2])
 def test_logistic_matches_oracle(k, tmp_path):
-    from pgen_tpu.ops.logistic import glm_logistic, normal_sf2
+    import math
+
+    from pgen_tpu.ops.logistic import glm_logistic
 
     rng = np.random.default_rng(30 + k)
     nv, ns = 25, 250
@@ -288,8 +293,9 @@ def test_logistic_matches_oracle(k, tmp_path):
         b, se = _logit_oracle(g, yv, covars[cal])
         np.testing.assert_allclose(res.beta[v], b, rtol=1e-6, atol=1e-8)
         np.testing.assert_allclose(res.se[v], se, rtol=1e-4)
+        # independent stdlib tail — NOT the production normal_sf2
         np.testing.assert_allclose(
-            res.p[v], normal_sf2(b / se), rtol=1e-3
+            res.p[v], math.erfc(abs(b / se) / math.sqrt(2)), rtol=1e-3
         )
     assert res.p[5] < 0.01  # planted effect found
     # single-class outcome gate

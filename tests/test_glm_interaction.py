@@ -8,11 +8,10 @@ import pytest
 from tests.cli_helpers import run_cli
 from tests.conftest import build_fileset
 
+from tests.oracle import t_sf2_oracle
+
 from pgen_tpu.formats.writer import write_pgen
-from pgen_tpu.ops.glm import (
-    betainc_reg,
-    glm_linear_interaction,
-)
+from pgen_tpu.ops.glm import glm_linear_interaction
 
 
 def _pack(codes, tmp_path, name="gi"):
@@ -24,8 +23,8 @@ def _pack(codes, tmp_path, name="gi"):
 
 
 def _t_sf2(t, df):
-    x = df / (df + t * t)
-    return betainc_reg(df / 2.0, 0.5, x)
+    # independent mpmath tail — NOT the production betainc_reg
+    return t_sf2_oracle(t, df)
 
 
 def _oracle(codes_v, y, covars):
