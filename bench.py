@@ -7,10 +7,10 @@ timeout — VERDICT r3 item 1):
     checked before every phase; phases that don't fit are skipped and
     listed in `skipped_phases`. The compact line ALWAYS prints.
   * Phases run most-valuable-first: compile smoke -> realistic-fixture
-    headline -> keep-two (all within ~3 minutes), then the device rows
-    (kernel GB/s, MXU TFLOPs, mesh e2e), then the remaining host rows
-    (uniform fixture, cold, import, scaling) with deadline room to
-    spare.
+    headline -> keep-two (all within ~3 minutes on a healthy tunnel),
+    then the cheap host rows (uniform fixture, cold, import, scaling),
+    then the device rows (kernel GB/s, MXU TFLOPs, mesh e2e), which are
+    individually time-boxed and print salvageable checkpoints.
   * bench_detail.json is rewritten INCREMENTALLY after every phase, so
     a kill at any point leaves the completed rows on disk.
   * SIGTERM/SIGINT print the current compact record before exiting, so
@@ -190,7 +190,20 @@ def _subprocess_row(flag: str, prefix: str, timeout_s: float) -> dict:
         if r.returncode == 0 and line:
             return {f"{prefix}_{k}": v for k, v in json.loads(line).items()}
         return {f"{prefix}_error": (r.stderr or "no output")[-160:]}
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # salvage: --mxu-bench prints a cumulative JSON line after each
+        # workload, so a mid-workload kill still archives what finished
+        txt = e.stdout if isinstance(e.stdout, str) else (
+            e.stdout.decode(errors="replace") if e.stdout else ""
+        )
+        line = txt.strip().splitlines()[-1] if txt.strip() else ""
+        if line:
+            try:
+                row = {f"{prefix}_{k}": v for k, v in json.loads(line).items()}
+                row[f"{prefix}_partial_timeout_s"] = int(timeout_s)
+                return row
+            except ValueError:
+                pass
         return {f"{prefix}_error": f"timeout({int(timeout_s)}s)"}
 
 
@@ -304,26 +317,7 @@ def main():
 
     _phase("keep_two", 20, keep_two)
 
-    # ---- phases 4-6: device subprocess rows (high evidence value:
-    # kernel GB/s + MXU TFLOPs on the real chip) run BEFORE the remaining
-    # host rows so a degraded tunnel can't starve them ------------------
-    _phase(
-        "kernel", 60,
-        lambda: STATE.update(_subprocess_row("--kernel-bench", "kernel", 460)),
-        gate="PGEN_BENCH_KERNEL",
-    )
-    _phase(
-        "mxu", 60,
-        lambda: STATE.update(_subprocess_row("--mxu-bench", "mxu", 560)),
-        gate="PGEN_BENCH_MXU",
-    )
-    _phase(
-        "device_e2e", 60,
-        lambda: STATE.update(_subprocess_row("--device-bench", "device_e2e", 460)),
-        gate="PGEN_BENCH_DEVICE",
-    )
-
-    # ---- phase 7: uniform-bytes fixture (r1's original config) -------
+    # ---- phase 4: uniform-bytes fixture (r1's original config) -------
     uctx: dict = {}
 
     def uniform_keep_all():
@@ -459,6 +453,26 @@ def main():
 
     _phase("scaling", 120, scaling, gate="PGEN_BENCH_SCALING")
 
+    # ---- phases 8-10: device subprocess rows, each bounded by its own
+    # timeout AND the global deadline; the MXU bench self-limits via
+    # PGEN_BENCH_MXU_BUDGET_S and returns partial results when the
+    # tunnel is degraded ----------------------------------------------
+    _phase(
+        "kernel", 60,
+        lambda: STATE.update(_subprocess_row("--kernel-bench", "kernel", 460)),
+        gate="PGEN_BENCH_KERNEL",
+    )
+    _phase(
+        "mxu", 60,
+        lambda: STATE.update(_subprocess_row("--mxu-bench", "mxu", 460)),
+        gate="PGEN_BENCH_MXU",
+    )
+    _phase(
+        "device_e2e", 60,
+        lambda: STATE.update(_subprocess_row("--device-bench", "device_e2e", 460)),
+        gate="PGEN_BENCH_DEVICE",
+    )
+
     _flush_detail()
     _print_compact()
 
@@ -517,6 +531,7 @@ def _compile_smoke() -> dict:
     out = {"backend": jax.default_backend()}
     ok = True
     for name, fn in kernels.items():
+        k0 = time.perf_counter()
         try:
             jax.block_until_ready(fn())
             out[f"{name}_compile_ok"] = True
@@ -524,6 +539,9 @@ def _compile_smoke() -> dict:
             out[f"{name}_compile_ok"] = False
             out[f"{name}_compile_error"] = str(e)[-160:]
             ok = False
+        out[f"{name}_wall_s"] = round(time.perf_counter() - k0, 1)
+        # checkpoint line: a subprocess timeout salvages finished kernels
+        print(json.dumps(out), flush=True)
     out["compile_ok"] = ok
     out["wall_s"] = round(time.perf_counter() - t0, 1)
     return out
@@ -737,54 +755,87 @@ def _mxu_bench() -> dict:
         fn()
         return time.perf_counter() - t0
 
+    # internal budget: on a degraded tunnel one workload can take minutes;
+    # measure king (the headliner) first, then add workloads only while
+    # the budget holds, returning PARTIAL results instead of timing out
+    # with nothing (r4: a 560 s mxu timeout starved every later phase)
+    budget = float(os.environ.get("PGEN_BENCH_MXU_BUDGET_S", "240"))
+    t_start = time.monotonic()
+
+    def _left():
+        return budget - (time.monotonic() - t_start)
+
     def _slope(chain, hi, lo=2, reps=4):
         int(chain(x, 1))  # compile
+        reps = reps if _left() > 60 else 2
         t_hi = min(_timed(lambda: int(chain(x, hi))) for _ in range(reps))
         t_lo = min(_timed(lambda: int(chain(x, lo))) for _ in range(reps))
         return max((t_hi - t_lo) / (hi - lo), 1e-9)
 
+    out = {"variants": V, "samples": S, "backend": jax.default_backend()}
+
     king = _chain(lambda a: _king_counts_device_jit(a, S, V, False))
     king_dt = _slope(king, 12)
     king_tflops = 2 * 4 * V * S * S / king_dt / 1e12  # 4 Grams, 2 flop/MAC
+    out.update(
+        king_tflops=round(king_tflops, 1),
+        king_pct_bf16_peak=round(100 * king_tflops / V5E_MXU_BF16_TFLOPS, 1),
+        king_mvar_s=round(V / king_dt / 1e6, 2),
+    )
+    print(json.dumps(out), flush=True)  # checkpoint for timeout salvage
 
-    grm = _chain(lambda a: _grm_device_jit(a, None, S, V, False)[:1])
-    grm_dt = _slope(grm, 12)
-    grm_tflops = 2 * V * S * S / grm_dt / 1e12
+    # genome's IBD Grams: five S x S products per block (ops/ibd.py) —
+    # same bf16-exact indicator pattern as king, 25% more arithmetic
+    if _left() > 45:
+        from pgen_tpu.ops.ibd import _ibd_counts_device_jit
+
+        ibd = _chain(lambda a: _ibd_counts_device_jit(a, S, V, False))
+        ibd_dt = _slope(ibd, 12)
+        ibd_tflops = 2 * 5 * V * S * S / ibd_dt / 1e12  # 5 Grams, 2 flop/MAC
+        out.update(
+            ibd_tflops=round(ibd_tflops, 1),
+            ibd_pct_bf16_peak=round(
+                100 * ibd_tflops / V5E_MXU_BF16_TFLOPS, 1
+            ),
+        )
+        print(json.dumps(out), flush=True)
+
+    if _left() > 45:
+        grm = _chain(lambda a: _grm_device_jit(a, None, S, V, False)[:1])
+        grm_dt = _slope(grm, 12)
+        out.update(
+            grm_tflops=round(2 * V * S * S / grm_dt / 1e12, 1),
+            grm_note="true-f32 (Precision.HIGHEST, multi-pass bf16 MXU "
+            "decomposition); king's 0/1 Grams are exact in single-pass "
+            "bf16",
+        )
+        print(json.dumps(out), flush=True)
 
     # randomized-PCA pass (tall-skinny: z @ Q then z.T @ that, L = 20) —
     # far less arithmetic than the S x S Gram per data byte, so it runs
     # closer to the memory roofline than the MXU one
-    from pgen_tpu.ops.pca import _approx_pass_jit
+    if _left() > 45:
+        from pgen_tpu.ops.pca import _approx_pass_jit
 
-    L = 20
-    q = jnp.asarray(rng.standard_normal((S, L)).astype(np.float32))
-    approx = _chain(lambda a: _approx_pass_jit(a, q, None, S, V, False)[:1])
-    approx_dt = _slope(approx, 12)
-    approx_tflops = 2 * 2 * V * S * L / approx_dt / 1e12  # two matmuls
+        L = 20
+        q = jnp.asarray(rng.standard_normal((S, L)).astype(np.float32))
+        approx = _chain(lambda a: _approx_pass_jit(a, q, None, S, V, False)[:1])
+        approx_dt = _slope(approx, 12)
+        out.update(
+            pca_approx_mvar_s=round(V / approx_dt / 1e6, 2),
+            pca_approx_tflops=round(2 * 2 * V * S * L / approx_dt / 1e12, 2),
+        )
 
-    # genome's IBD Grams: five S x S products per block (ops/ibd.py) —
-    # same bf16-exact indicator pattern as king, 25% more arithmetic
-    from pgen_tpu.ops.ibd import _ibd_counts_device_jit
-
-    ibd = _chain(lambda a: _ibd_counts_device_jit(a, S, V, False))
-    ibd_dt = _slope(ibd, 12)
-    ibd_tflops = 2 * 5 * V * S * S / ibd_dt / 1e12  # 5 Grams, 2 flop/MAC
-
-    return {
-        "king_tflops": round(king_tflops, 1),
-        "king_pct_bf16_peak": round(100 * king_tflops / V5E_MXU_BF16_TFLOPS, 1),
-        "king_mvar_s": round(V / king_dt / 1e6, 2),
-        "ibd_tflops": round(ibd_tflops, 1),
-        "ibd_pct_bf16_peak": round(100 * ibd_tflops / V5E_MXU_BF16_TFLOPS, 1),
-        "grm_tflops": round(grm_tflops, 1),
-        "grm_note": "true-f32 (Precision.HIGHEST, multi-pass bf16 MXU "
-        "decomposition); king's 0/1 Grams are exact in single-pass bf16",
-        "pca_approx_mvar_s": round(V / approx_dt / 1e6, 2),
-        "pca_approx_tflops": round(approx_tflops, 2),
-        "variants": V,
-        "samples": S,
-        "backend": jax.default_backend(),
-    }
+    skipped = [
+        k for k, have in (
+            ("ibd", "ibd_tflops" in out),
+            ("grm", "grm_tflops" in out),
+            ("pca_approx", "pca_approx_mvar_s" in out),
+        ) if not have
+    ]
+    if skipped:
+        out["partial"] = ",".join(skipped) + " skipped (budget)"
+    return out
 
 
 if __name__ == "__main__":
