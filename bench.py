@@ -63,6 +63,7 @@ BASELINE_KEEP_TWO_S = 2.773
 V5E_HBM_GBPS = 819.0
 V5E_MXU_BF16_TFLOPS = 197.0
 
+_MAIN_PID = os.getpid()
 _T_START = time.monotonic()
 _T_END = _T_START + float(os.environ.get("PGEN_BENCH_DEADLINE_S", "1050"))
 STATE: dict = {}
@@ -125,6 +126,10 @@ def _print_compact() -> None:
 
 
 def _on_kill(signum, frame):  # pragma: no cover - exercised by timeouts
+    if os.getpid() != _MAIN_PID:
+        # forked worker inherited this handler: die quietly, never print
+        # the compact line from a child (would duplicate/corrupt stdout)
+        os._exit(1)
     STATE["killed_by_signal"] = signum
     try:
         _flush_detail()
