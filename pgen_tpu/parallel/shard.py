@@ -527,26 +527,48 @@ def filter_to_vcf_sharded(
             timer=timer,
         )
 
+    # mmap emission, exactly like the single-process path: every block's
+    # output offset is known up front, so blocks format DIRECTLY into the
+    # mapped file — no scratch buffer + pwrite double-copy (which measured
+    # ~2x slower per shard and sank the bench's 2-host projection). In
+    # shared-file mode each worker maps the same file and writes disjoint
+    # ranges; ftruncate only when the size differs so an existing
+    # same-size output keeps its backed pages (warm-run page reuse).
+    import mmap as mmap_mod
+
     fd = os.open(out_file, os.O_RDWR | os.O_CREAT, 0o644)
+    written = 0
     try:
-        os.ftruncate(fd, local_total)
-        if emits_header:
-            _pwrite_all(fd, header_bytes, 0)
-        written = 0
-        scratch = None  # reused across blocks (first-touch backing, see gz path)
-        for si in my_shards:
-            lo, hi = shards[si]
-            pos = shard_byte_start(lo) - base
-            for blo in range(lo, hi, block_variants):
-                bhi = min(blo + block_variants, hi)
-                idx_blk = var_idx[blo:bhi]
-                with timer.stage("gather", nbytes=int(len(idx_blk) * rec)):
-                    packed_blk = _gather_rows(records, idx_blk)
-                cap = int(prefix_sizes[bhi] - prefix_sizes[blo]) + len(idx_blk) * row_fixed
-                if scratch is None or scratch.nbytes < cap:
-                    scratch = np.empty(cap, dtype=np.uint8)
-                with timer.stage("emit", nbytes=cap):
-                    n = _emit_block_meta(
+        if os.fstat(fd).st_size != local_total:
+            os.ftruncate(fd, local_total)
+        if local_total > 0:
+            mm = mmap_mod.mmap(fd, local_total)
+            out_arr = np.frombuffer(mm, dtype=np.uint8)
+            try:
+                if emits_header:
+                    out_arr[: len(header_bytes)] = np.frombuffer(
+                        header_bytes, dtype=np.uint8
+                    )
+                    written += len(header_bytes)
+                blocks = []
+                for si in my_shards:
+                    lo, hi = shards[si]
+                    pos = shard_byte_start(lo) - base
+                    for blo in range(lo, hi, block_variants):
+                        bhi = min(blo + block_variants, hi)
+                        cap = int(
+                            prefix_sizes[bhi] - prefix_sizes[blo]
+                        ) + (bhi - blo) * row_fixed
+                        blocks.append((blo, bhi, pos, cap))
+                        pos += cap
+                    assert pos == shard_byte_start(hi) - base, (
+                        "shard offset accounting bug"
+                    )
+
+                def emit_one(args):
+                    blo, bhi, bpos, cap = args
+                    packed_blk = _gather_rows(records, var_idx[blo:bhi])
+                    return _emit_block_meta(
                         provider,
                         packed_blk,
                         pvar.data_buffer,
@@ -554,13 +576,29 @@ def filter_to_vcf_sharded(
                         v_ends[blo:bhi],
                         sample_idx_arg,
                         n_kept,
-                        scratch,
+                        out_arr[bpos : bpos + cap],
                     )
-                with timer.stage("pwrite", nbytes=n):
-                    _pwrite_all(fd, scratch[:n], pos)
-                pos += n
-                written += n
-            assert pos == shard_byte_start(hi) - base, "shard offset accounting bug"
+
+                nbytes_body = sum(c for _, _, _, c in blocks)
+                nthreads = (
+                    min(2, os.cpu_count() or 1) if provider == "native" else 1
+                )
+                with timer.stage("emit", nbytes=nbytes_body):
+                    if nthreads > 1 and len(blocks) > 1:
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        with ThreadPoolExecutor(max_workers=nthreads) as ex:
+                            ns = list(ex.map(emit_one, blocks))
+                    else:
+                        ns = [emit_one(b) for b in blocks]
+                for (blo, bhi, bpos, cap), n in zip(blocks, ns):
+                    assert n == cap, (
+                        f"block [{blo},{bhi}) wrote {n}, expected {cap}"
+                    )
+                written += nbytes_body
+            finally:
+                out_arr = None
+                mm.close()
     finally:
         os.close(fd)
 
@@ -568,6 +606,6 @@ def filter_to_vcf_sharded(
         out_path=out_file,
         num_variants_kept=len(var_idx),
         num_samples_kept=n_kept,
-        bytes_written=written + (len(header_bytes) if emits_header else 0),
+        bytes_written=written,  # header already counted when emitted
         timer=timer,
     )
