@@ -623,6 +623,11 @@ def _kernel_bench() -> dict:
     t2 = min(_once(2) for _ in range(5))
     dt = max((t48 - t2) / 46, 1e-9)
     gbps = 5 * V * R / dt / 1e9
+    out = {
+        "gbps": round(gbps, 1),
+        "pct_hbm_peak": round(100 * gbps / V5E_HBM_GBPS, 1),
+    }
+    print(json.dumps(out), flush=True)  # checkpoint for timeout salvage
 
     # the form production uses: XLA fuses _unpack_words into its consumer,
     # so the u32 words never hit HBM (1 B read + 1 B written per record
@@ -650,6 +655,11 @@ def _kernel_bench() -> dict:
     f2 = min(_fonce(2) for _ in range(5))
     fdt = max((f48 - f2) / 46, 1e-9)
     fused_gbps = 2 * V * R / fdt / 1e9
+    out.update(
+        fused_gbps=round(fused_gbps, 1),
+        fused_pct_hbm_peak=round(100 * fused_gbps / V5E_HBM_GBPS, 1),
+    )
+    print(json.dumps(out), flush=True)
 
     # Production step, measured honestly: the mesh filter's plane-form
     # step (parallel/mesh.py _local_pipeline_planes) with its outputs
@@ -696,22 +706,21 @@ def _kernel_bench() -> dict:
     pair_dt = max((s24 - s2) / 22, 1e-9)
     fold_floor = 17 * V * RP / (V5E_HBM_GBPS * 1e9)
     step_dt = max(pair_dt - fold_floor, 1e-9)
-    return {
-        "gbps": round(gbps, 1),
-        "pct_hbm_peak": round(100 * gbps / V5E_HBM_GBPS, 1),
-        "fused_gbps": round(fused_gbps, 1),
-        "fused_pct_hbm_peak": round(100 * fused_gbps / V5E_HBM_GBPS, 1),
-        "fused_note": "XLA-fused unpack (what the mesh step compiles to): "
+    out.update(
+        fused_note="XLA-fused unpack (what the mesh step compiles to): "
         "1 B read + 1 B written per record byte",
         # plane-form step traffic: gather 2 B + read 1 B + write 16 B of
         # text planes per record byte = 19 B (the 16-B plane write is the
         # floor); the measurement pair subtracts the fold jit at ITS model
         # floor, so step_mvar_s is still a (tight) lower bound.
-        "step_mvar_s": round(V / step_dt / 1e6, 2),
-        "step_mvar_s_note": "production plane-form step, outputs materialized",
-        "step_gbps": round(19 * V * RP / step_dt / 1e9, 1),
-        "step_pct_hbm_peak": round(100 * 19 * V * RP / step_dt / 1e9 / V5E_HBM_GBPS, 1),
-    }
+        step_mvar_s=round(V / step_dt / 1e6, 2),
+        step_mvar_s_note="production plane-form step, outputs materialized",
+        step_gbps=round(19 * V * RP / step_dt / 1e9, 1),
+        step_pct_hbm_peak=round(
+            100 * 19 * V * RP / step_dt / 1e9 / V5E_HBM_GBPS, 1
+        ),
+    )
+    return out
 
 
 def _mxu_bench() -> dict:
