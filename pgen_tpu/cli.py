@@ -223,6 +223,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
              "GT_MISSING_RATE <= X).",
     )
     f.add_argument(
+        "--rm-dup", dest="rm_dup", default=None,
+        choices=("error", "force-first", "exclude-all", "list"),
+        help="Duplicate-ID variant handling (plink2 --rm-dup): error = "
+             "fail if any ID repeats; force-first = keep the first "
+             "instance of each ID (sugar for DUP_FIRST); exclude-all = "
+             "drop every repeated ID (sugar for DUP_UNIQUE); list = "
+             "write {out}.rmdup.list and filter nothing. The "
+             "retain-/exclude-mismatch modes need genotype comparison — "
+             "use `diff` on the duplicates instead.",
+    )
+    f.add_argument(
         "-o",
         "--out",
         dest="out_file",
@@ -1310,6 +1321,40 @@ def main(argv=None) -> int:
                 print("filter: error: --hwe-midp requires --hwe X",
                       file=sys.stderr)
                 return 2
+            if args.rm_dup == "force-first":
+                args.var_query = _and_cond(args.var_query, "DUP_FIRST")
+            elif args.rm_dup == "exclude-all":
+                args.var_query = _and_cond(args.var_query, "DUP_UNIQUE")
+            elif args.rm_dup in ("error", "list"):
+                import numpy as _np
+
+                from pgen_tpu.formats.metadata import read_metadata
+                from pgen_tpu.query.dup import _first_and_unique
+
+                ids = read_metadata(
+                    f"{args.pfile_prefix}.pvar"
+                ).get_column_bytes("ID")
+                _, unique = _first_and_unique(ids)
+                dup_ids = sorted(set(ids[~unique].tolist()))
+                if args.rm_dup == "error":
+                    if dup_ids:
+                        print(
+                            f"filter: error: --rm-dup error: "
+                            f"{len(dup_ids)} duplicated variant ID(s) "
+                            f"(first: {dup_ids[0].decode()})",
+                            file=sys.stderr,
+                        )
+                        return 2
+                else:
+                    base = args.out_file or f"{args.pfile_prefix}.pgen-rs.vcf"
+                    lst = f"{base}.rmdup.list"
+                    with open(lst, "wb") as fh:
+                        fh.write(b"".join(i + b"\n" for i in dup_ids))
+                    print(
+                        f"filter: --rm-dup list: {len(dup_ids)} duplicated "
+                        f"ID(s) -> {lst}",
+                        file=sys.stderr,
+                    )
             if args.hwe is not None:
                 hwe_var = "GT_HWE_MIDP" if args.hwe_midp else "GT_HWE_P"
                 args.var_query = _and_cond(

@@ -81,6 +81,8 @@ def compute_masks(var_query, sam_query, pvar, psam, header, records, provider):
     from pgen_tpu.query.ast import variables
     from pgen_tpu.query.parser import parse
 
+    from pgen_tpu.query.dup import dup_variables
+
     var_node = parse(var_query) if isinstance(var_query, str) else var_query
     sam_node = parse(sam_query) if isinstance(sam_query, str) else sam_query
     uses_gt = var_node is not None and bool(
@@ -89,9 +91,16 @@ def compute_masks(var_query, sam_query, pvar, psam, header, records, provider):
     sam_uses_gt = sam_node is not None and bool(
         variables(sam_node) & set(GT_VARIABLE_NAMES)
     )
+    # DUP_* whole-column duplicate-group variables (query/dup.py) ride the
+    # same extra mechanism as GT_*, computed from the pvar alone
+    dup_extra = (
+        dup_variables(pvar, variables(var_node))
+        if var_node is not None
+        else None
+    )
     if not uses_gt and not sam_uses_gt:
         return (
-            compile_predicate(var_node, pvar),
+            compile_predicate(var_node, pvar, dup_extra),
             compile_predicate(sam_node, psam),
         )
     if sam_uses_gt:
@@ -114,7 +123,7 @@ def compute_masks(var_query, sam_query, pvar, psam, header, records, provider):
     else:
         sam_mask = compile_predicate(sam_node, psam)
     if not uses_gt:
-        return compile_predicate(var_node, pvar), sam_mask
+        return compile_predicate(var_node, pvar, dup_extra), sam_mask
     sam_idx = np.flatnonzero(sam_mask)
     subset = None if len(sam_idx) == header.num_samples else sam_idx.astype(np.int32)
     stats_provider = provider if provider in ("native", "device", "numpy") else "native"
@@ -129,6 +138,8 @@ def compute_masks(var_query, sam_query, pvar, psam, header, records, provider):
                 f"matching counts)"
             )
         extra = {k: v[: pvar.num_rows] for k, v in extra.items()}
+    if dup_extra:
+        extra = {**(extra or {}), **dup_extra}
     var_mask = compile_predicate(var_node, pvar, extra)
     return var_mask, sam_mask
 

@@ -101,6 +101,17 @@ def query_metadata(
     extra = _maybe_gt_extra(
         pfile_prefix, header, table, query_samples, (query, query_fstring)
     )
+    if not query_samples:
+        from pgen_tpu.query.ast import variables
+        from pgen_tpu.query.dup import dup_variables
+
+        used = set()
+        for node in (query, query_fstring):
+            if node is not None:
+                used |= variables(node)
+        dup_extra = dup_variables(table, used)
+        if dup_extra:
+            extra = {**(extra or {}), **dup_extra}
     mask = compile_predicate(query, table, extra)
     rows = np.flatnonzero(mask)
     out = sys.stdout if out is None else out

@@ -65,7 +65,10 @@ def _lower(node, table, extra=None):
         return (_SCALAR, node.value)
     if isinstance(node, Var):
         if extra and node.name in extra:
-            return (_NUMCOL, extra[node.name])
+            col = extra[node.name]
+            if getattr(col, "dtype", None) is not None and col.dtype == bool:
+                return (_MASK, col)  # DUP_* whole-column boolean variables
+            return (_NUMCOL, col)
         if node.name not in table.columns:
             virt = table.get_virtual_bytes(node.name)
             if virt is not None:
@@ -407,7 +410,14 @@ def _row_context(table, i, extra=None, virtuals=None):
     if extra:
         for name, arr in extra.items():
             v = arr[i]
-            ctx[name] = float(v) if np.issubdtype(arr.dtype, np.floating) else int(v)
+            if arr.dtype == bool:
+                ctx[name] = bool(v)  # DUP_* boolean variables
+            else:
+                ctx[name] = (
+                    float(v)
+                    if np.issubdtype(arr.dtype, np.floating)
+                    else int(v)
+                )
     if virtuals:
         for name, col in virtuals.items():
             ctx[name] = col[i]

@@ -1,0 +1,128 @@
+"""DUP_* duplicate-group query variables and the `filter --rm-dup`
+sugar (plink2 --rm-dup analog; query/dup.py)."""
+
+import numpy as np
+import pytest
+
+from tests.cli_helpers import run_cli
+from tests.conftest import build_fileset
+
+
+def _fileset(tmp_path, ids, poss=None, alts=None):
+    nv = len(ids)
+    ns = 3
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 3, size=(nv, ns), dtype=np.uint8)
+    poss = poss or [100 + i for i in range(nv)]
+    alts = alts or ["G"] * nv
+    pvar_rows = [
+        f"1\t{poss[i]}\t{ids[i]}\tA\t{alts[i]}\t.\tPASS\t."
+        for i in range(nv)
+    ]
+    psam_rows = [f"s{i}\tM" for i in range(ns)]
+    return build_fileset(tmp_path, "rd", codes, pvar_rows, psam_rows)
+
+
+IDS = ["rs1", "rs2", "rs1", "rs3", "rs2", "rs1"]  # rs1 x3, rs2 x2, rs3 x1
+
+
+def _body_ids(path):
+    return [
+        l.split("\t")[2]
+        for l in open(path).read().splitlines()
+        if not l.startswith("#")
+    ]
+
+
+def test_dup_first_variable(tmp_path):
+    prefix = _fileset(tmp_path, IDS)
+    out = tmp_path / "o.vcf"
+    assert run_cli(["filter", prefix, "--include-var", "DUP_FIRST",
+                    "-o", str(out)]) == 0
+    assert _body_ids(out) == ["rs1", "rs2", "rs3"]
+
+
+def test_dup_unique_variable_and_negation(tmp_path):
+    prefix = _fileset(tmp_path, IDS)
+    out = tmp_path / "o.vcf"
+    assert run_cli(["filter", prefix, "--include-var", "DUP_UNIQUE",
+                    "-o", str(out)]) == 0
+    assert _body_ids(out) == ["rs3"]
+    # composes with other predicates and negation
+    assert run_cli(["filter", prefix, "--include-var",
+                    '!DUP_UNIQUE && ID=="rs2"', "-o", str(out)]) == 0
+    assert _body_ids(out) == ["rs2", "rs2"]
+
+
+def test_dupkey_variables_use_full_key(tmp_path):
+    # same ID everywhere ('.') but distinct CHROM:POS:REF:ALT keys except
+    # two rows that fully collide
+    prefix = _fileset(
+        tmp_path, ["."] * 4, poss=[100, 200, 100, 300],
+        alts=["G", "G", "G", "G"],
+    )
+    out = tmp_path / "o.vcf"
+    assert run_cli(["filter", prefix, "--include-var", "DUPKEY_FIRST",
+                    "-o", str(out)]) == 0
+    rows = [
+        l.split("\t")[1]
+        for l in open(out).read().splitlines()
+        if not l.startswith("#")
+    ]
+    assert rows == ["100", "200", "300"]
+    # with ID as the key, '.' makes ONE group: DUP_FIRST keeps only row 0
+    assert run_cli(["filter", prefix, "--include-var", "DUP_FIRST",
+                    "-o", str(out)]) == 0
+    assert len(_body_ids(out)) == 1
+
+
+def test_rm_dup_force_first_and_exclude_all(tmp_path):
+    prefix = _fileset(tmp_path, IDS)
+    out = tmp_path / "o.vcf"
+    assert run_cli(["filter", prefix, "--rm-dup", "force-first",
+                    "-o", str(out)]) == 0
+    assert _body_ids(out) == ["rs1", "rs2", "rs3"]
+    assert run_cli(["filter", prefix, "--rm-dup", "exclude-all",
+                    "-o", str(out)]) == 0
+    assert _body_ids(out) == ["rs3"]
+    # composes with an existing include-var
+    assert run_cli(["filter", prefix, "--rm-dup", "force-first",
+                    "--include-var", 'ID!="rs2"', "-o", str(out)]) == 0
+    assert _body_ids(out) == ["rs1", "rs3"]
+
+
+def test_rm_dup_error_and_list(tmp_path, capsys):
+    prefix = _fileset(tmp_path, IDS)
+    out = tmp_path / "o.vcf"
+    assert run_cli(["filter", prefix, "--rm-dup", "error",
+                    "-o", str(out)]) == 2
+    assert "duplicated variant ID" in capsys.readouterr().err
+    # list mode: writes the list, filters nothing
+    assert run_cli(["filter", prefix, "--rm-dup", "list",
+                    "-o", str(out)]) == 0
+    lst = (tmp_path / "o.vcf.rmdup.list").read_text().splitlines()
+    assert sorted(lst) == ["rs1", "rs2"]
+    assert len(_body_ids(out)) == len(IDS)
+    # no duplicates: error mode passes
+    clean = _fileset(tmp_path, ["a", "b", "c"])
+    assert run_cli(["filter", clean, "--rm-dup", "error",
+                    "-o", str(out)]) == 0
+
+
+def test_dup_variables_in_query_and_sharded_parity(tmp_path):
+    prefix = _fileset(tmp_path, IDS)
+    out1 = tmp_path / "a.vcf"
+    out2 = tmp_path / "b.vcf"
+    assert run_cli(["filter", prefix, "--include-var", "DUP_FIRST",
+                    "-o", str(out1)]) == 0
+    assert run_cli(["filter", prefix, "--include-var", "DUP_FIRST",
+                    "-o", str(out2), "--shards", "2"]) == 0
+    assert out1.read_bytes() == out2.read_bytes()
+
+
+def test_dup_query_subcommand(tmp_path, capsys):
+    prefix = _fileset(tmp_path, IDS)
+    assert run_cli(["query", prefix, "-i", "!DUP_UNIQUE", "-f", "ID"]) == 0
+    assert capsys.readouterr().out.splitlines() == [
+        "rs1", "rs2", "rs1", "rs2", "rs1"
+    ]
