@@ -718,9 +718,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "(plink2 --glm no-firth).")
     gl.add_argument(
         "--interaction", action="store_true",
-        help="plink2 '--glm interaction' (linear only): add dosage x "
-             "covariate terms to the design and report each (ADD plus "
-             "ADDxCOVAR rows in the TEST column).",
+        help="plink2 '--glm interaction': add dosage x covariate terms "
+             "to the design and report each (ADD plus ADDxCOVAR rows in "
+             "the TEST column). Linear solves closed-form; logistic runs "
+             "the interaction IRLS (vanilla Newton, no Firth rescue).",
     )
     gl.add_argument("--stats", action="store_true",
                     help="Print per-stage timing/bandwidth to stderr.")

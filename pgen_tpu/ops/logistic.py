@@ -433,3 +433,253 @@ def glm_logistic(
         # device convergence decisions aligned with the numpy provider
         kw.setdefault("tol", 1e-5)
     return glm_logistic_numpy(packed, num_samples, y, covars, **kw)
+
+
+class LogisticIntResult(NamedTuple):
+    """Interaction-design logistic fit; test columns = [g, g*c_1..g*c_k]."""
+
+    n_obs: np.ndarray   # (V,) i64 complete-case count
+    beta: np.ndarray    # (V, 1+k) f64 log-odds, NaN on failure
+    se: np.ndarray      # (V, 1+k) f64
+    z_stat: np.ndarray  # (V, 1+k) f64
+    p: np.ndarray       # (V, 1+k) f64
+    n_iter: np.ndarray  # (V,) i32
+
+
+def _assemble_hess_int(
+    h1, hc, hcc, hg, hgc, hgcc, hgg, hg2c, hg2cc, k: int
+) -> np.ndarray:
+    """Symmetric (V, d, d) interaction-design Hessian; d = 2k + 2,
+    column layout [1, c_1..c_k, g, g*c_1..g*c_k].
+
+    Moment inputs (w = working weights, g = dosage, per variant row):
+      h1    = sum w            hc   = w @ C         hcc   = w @ CC
+      hg    = sum w*g          hgc  = (w*g) @ C     hgcc  = (w*g) @ CC
+      hgg   = sum w*g^2        hg2c = (w*g^2) @ C   hg2cc = (w*g^2) @ CC
+    where CC holds the k(k+1)/2 upper-triangle covariate products. Every
+    Hessian entry is one of these: e.g. H[c_i, g*c_j] = sum w g c_i c_j
+    rides hgcc (symmetric in i,j)."""
+    v = h1.shape[0]
+    d = 2 * k + 2
+    gi = k + 1
+    h = np.zeros((v, d, d), dtype=np.float64)
+    h[:, 0, 0] = h1
+    h[:, 0, 1 : 1 + k] = hc
+    h[:, 1 : 1 + k, 0] = hc
+    h[:, 0, gi] = hg
+    h[:, gi, 0] = hg
+    h[:, 1 : 1 + k, gi] = hgc
+    h[:, gi, 1 : 1 + k] = hgc
+    h[:, gi, gi] = hgg
+    h[:, 0, gi + 1 :] = hgc  # (1, g*c_i) = (g, c_i)
+    h[:, gi + 1 :, 0] = hgc
+    h[:, gi, gi + 1 :] = hg2c
+    h[:, gi + 1 :, gi] = hg2c
+    pos = 0
+    for i in range(k):
+        for j in range(i, k):
+            h[:, 1 + i, 1 + j] = hcc[:, pos]
+            h[:, 1 + j, 1 + i] = hcc[:, pos]
+            # (c_i, g*c_j) and (c_j, g*c_i): both sum w g c_i c_j
+            h[:, 1 + i, gi + 1 + j] = hgcc[:, pos]
+            h[:, gi + 1 + j, 1 + i] = hgcc[:, pos]
+            h[:, 1 + j, gi + 1 + i] = hgcc[:, pos]
+            h[:, gi + 1 + i, 1 + j] = hgcc[:, pos]
+            h[:, gi + 1 + i, gi + 1 + j] = hg2cc[:, pos]
+            h[:, gi + 1 + j, gi + 1 + i] = hg2cc[:, pos]
+            pos += 1
+    return h
+
+
+def _irls_int_block(
+    codes: np.ndarray,   # (Vb, S) u8, 3 = missing
+    y: np.ndarray,       # (S,) f64 in {0, 1}
+    covars: np.ndarray,  # (S, k), k >= 1
+    cc: np.ndarray,      # (S, k(k+1)/2)
+    max_iter: int,
+    tol: float,
+    matmul=None,
+):
+    """Newton/IRLS over the interaction design [1, C, g, g*C] for one
+    variant block. Returns (n, beta_tests, se_tests, niter, converged)
+    with test columns [g, g*c_1..g*c_k]. Three (Va,S)x(S,k+kk) moment
+    GEMMs per iteration (w, w*g, w*g^2 against [C | CC]) — the same
+    masked-moment shape as the base model, so the device provider's MXU
+    closure applies unchanged."""
+    vb, ns = codes.shape
+    k = covars.shape[1]
+    d = 2 * k + 2
+    gi = k + 1
+    mm = matmul if matmul is not None else lambda a, b: a @ b
+    cal = codes != 3
+    m = cal.astype(np.float64)
+    g = codes.astype(np.float64) * cal
+    n = m.sum(axis=1)
+    ncase = m @ y
+    with np.errstate(invalid="ignore", divide="ignore"):
+        gvar = (g * g).sum(axis=1) - np.where(
+            n > 0, g.sum(axis=1) ** 2 / np.maximum(n, 1), 0.0
+        )
+    ok = (
+        (n >= d + 1)
+        & (gvar > 1e-9 * np.maximum(n, 1))
+        & (ncase > 0)
+        & (ncase < n)
+    )
+    beta = np.zeros((vb, d), dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p0 = np.clip(ncase / np.maximum(n, 1), 1e-12, 1 - 1e-12)
+    beta[:, 0] = np.where(ok, np.log(p0 / (1.0 - p0)), 0.0)
+    se = np.full((vb, 1 + k), np.nan)
+    niter = np.zeros(vb, dtype=np.int32)
+    converged = np.zeros(vb, dtype=bool)
+    active = np.flatnonzero(ok)
+    q = np.concatenate([covars, cc], axis=1)  # (S, k + kk)
+    kk = cc.shape[1]
+    tests = [gi] + list(range(gi + 1, d))
+    for it in range(1, max_iter + 1):
+        if active.size == 0:
+            break
+        ba = beta[active]
+        ma, ga = m[active], g[active]
+        eta = (
+            ba[:, [0]]
+            + ba[:, 1 : 1 + k] @ covars.T
+            + ga * (ba[:, [gi]] + ba[:, gi + 1 :] @ covars.T)
+        )
+        np.clip(eta, -30.0, 30.0, out=eta)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1.0 - mu) * ma
+        r = (y[None, :] - mu) * ma
+        wg = w * ga
+        wg2 = wg * ga
+        rg = r * ga
+        wq = mm(w, q)      # [w@C   | w@CC]
+        wgq = mm(wg, q)    # [wg@C  | wg@CC]
+        wg2q = mm(wg2, q)  # [wg2@C | wg2@CC]
+        rc = mm(r, covars)
+        rgc = mm(rg, covars)
+        grad = np.concatenate(
+            [
+                r.sum(axis=1)[:, None],
+                rc,
+                rg.sum(axis=1)[:, None],
+                rgc,
+            ],
+            axis=1,
+        )
+        hess = _assemble_hess_int(
+            w.sum(axis=1), wq[:, :k], wq[:, k : k + kk],
+            wg.sum(axis=1), wgq[:, :k], wgq[:, k : k + kk],
+            (wg * ga).sum(axis=1), wg2q[:, :k], wg2q[:, k : k + kk], k,
+        )
+        try:
+            delta = np.linalg.solve(hess, grad[:, :, None])[:, :, 0]
+        except np.linalg.LinAlgError:
+            delta = np.full_like(grad, np.nan)
+            for i in range(active.size):
+                try:
+                    delta[i] = np.linalg.solve(hess[i], grad[i])
+                except np.linalg.LinAlgError:
+                    pass
+        scale = np.max(np.abs(delta), axis=1)
+        big = scale > 10.0
+        delta[big] *= (10.0 / scale[big])[:, None]
+        bad = ~np.isfinite(delta).all(axis=1)
+        beta[active] += np.where(bad[:, None], 0.0, delta)
+        niter[active] = it
+        done = (np.abs(delta).max(axis=1) < tol) & ~bad
+        if done.any() or bad.any():
+            fin = active[done]
+            converged[fin] = True
+            if fin.size:
+                hf = hess[done]
+                eg = np.zeros((fin.size, d, 1 + k))
+                for c, t in enumerate(tests):
+                    eg[:, t, c] = 1.0
+                try:
+                    z = np.linalg.solve(hf, eg)
+                    diag = np.stack([z[:, t, c] for c, t in enumerate(tests)], axis=1)
+                except np.linalg.LinAlgError:
+                    diag = np.full((fin.size, 1 + k), np.nan)
+                    for i in range(fin.size):
+                        try:
+                            zi = np.linalg.solve(hf[i], eg[i])
+                            diag[i] = [zi[t, c] for c, t in enumerate(tests)]
+                        except np.linalg.LinAlgError:
+                            pass
+                se[fin] = np.sqrt(np.where(diag > 0, diag, np.nan))
+            keep = ~(done | bad)
+            active = active[keep]
+    return n, beta[:, tests], se, niter, converged, ok
+
+
+def glm_logistic_interaction(
+    packed,
+    num_samples: int,
+    y,
+    covars,
+    provider: str = "numpy",
+    block_variants: int = 1 << 12,
+    sample_idx=None,
+    max_iter: int = 48,
+    tol: float = 1e-7,
+    matmul=None,
+) -> LogisticIntResult:
+    """plink2 `--glm interaction` for the logistic model: per variant,
+    case status on [1, C, g, g*C]; one (beta, SE, Wald Z, p) row per
+    dosage term [ADD, ADDxC_1..]. Vanilla IRLS only — non-converged
+    (separated) sites report NA; there is no Firth rescue on the
+    interaction design (documented subset of plink2)."""
+    from pgen_tpu.ops.unpack_host import unpack_codes_numpy
+
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    if covars.ndim != 2 or covars.shape[1] == 0:
+        raise ValueError(
+            "glm --interaction needs at least one covariate (the "
+            "interaction terms are dosage x covariate)"
+        )
+    if not np.isin(y, (0.0, 1.0)).all():
+        raise ValueError("logistic: y must be 0/1")
+    if provider == "device":
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _mmj(a, b):
+            return jnp.matmul(
+                a.astype(jnp.float32), b.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        matmul = lambda a, b: np.asarray(_mmj(a, b), np.float64)  # noqa: E731
+        tol = max(tol, 1e-5)  # provider-matched tol (see glm_logistic)
+    packed = np.asarray(packed, dtype=np.uint8)
+    nvar = packed.shape[0]
+    k = covars.shape[1]
+    cc = _cov_pairs(covars)
+    n = np.empty(nvar)
+    beta = np.empty((nvar, 1 + k))
+    se = np.empty((nvar, 1 + k))
+    niter = np.empty(nvar, dtype=np.int32)
+    conv = np.empty(nvar, dtype=bool)
+    bv = min(block_variants, max(nvar, 1))
+    for lo in range(0, nvar, bv):
+        codes = unpack_codes_numpy(packed[lo : lo + bv], num_samples)
+        if sample_idx is not None:
+            codes = codes[:, sample_idx]
+        sl = slice(lo, lo + codes.shape[0])
+        nb, bb, sb, ib, cb, _ = _irls_int_block(
+            codes, y, covars, cc, max_iter, tol, matmul
+        )
+        n[sl], beta[sl], se[sl], niter[sl], conv[sl] = nb, bb, sb, ib, cb
+    good = conv[:, None] & np.isfinite(se)
+    beta = np.where(good, beta, np.nan)
+    se = np.where(good, se, np.nan)
+    with np.errstate(invalid="ignore"):
+        z = beta / se
+    return LogisticIntResult(
+        n.astype(np.int64), beta, se, z, normal_sf2(z), niter
+    )

@@ -320,14 +320,11 @@ def glm_pfile(
     kw = {"block_variants": int(block_variants)} if block_variants else {}
     int_res = None
     if interaction:
-        # plink2 `--glm interaction` (linear only here): the design grows
-        # to [1, C, g, g*C]; each dosage term (ADD + every ADDxC_i) is
-        # reported as its own TEST row
-        if model == "logistic":
-            raise ValueError(
-                "glm: --interaction supports the linear model only "
-                "(force --linear, or use a quantitative phenotype)"
-            )
+        # plink2 `--glm interaction`: the design grows to [1, C, g, g*C];
+        # each dosage term (ADD + every ADDxC_i) is reported as its own
+        # TEST row. Linear runs the closed-form interaction OLS; logistic
+        # runs the interaction IRLS (vanilla Newton — no Firth rescue on
+        # the interaction design, a documented subset of plink2).
         if k == 0:
             raise ValueError(
                 "glm: --interaction needs at least one covariate"
@@ -337,17 +334,41 @@ def glm_pfile(
                 f"glm: {n_sam} analyzable samples is too few for the "
                 f"interaction design (need >= {2 * k + 3})"
             )
-        from pgen_tpu.ops.glm import glm_int_moments, glm_solve_interaction
+        if model == "logistic":
+            from pgen_tpu.ops.logistic import glm_logistic_interaction
 
-        with timer.stage("moments", kept.shape[0] * rec):
-            im = glm_int_moments(
-                kept, header.num_samples, y, covars, provider=provider,
-                sample_idx=subset, **kw,
-            )
-        with timer.stage("solve"):
-            int_res = glm_solve_interaction(
-                im, k, covar_means=covars.mean(axis=0)
-            )
+            if firth == "always":
+                raise ValueError(
+                    "glm: --firth with --interaction is not supported "
+                    "(no Firth rescue on the interaction design); use "
+                    "the default or --no-firth"
+                )
+            with timer.stage("irls", kept.shape[0] * rec):
+                lint = glm_logistic_interaction(
+                    kept, header.num_samples, y, covars,
+                    provider=provider, sample_idx=subset, **kw,
+                )
+
+            class _LIntView:  # normalize z_stat -> t_stat column name
+                n_obs = lint.n_obs
+                beta = lint.beta
+                se = lint.se
+                t_stat = lint.z_stat
+                p = lint.p
+
+            int_res = _LIntView()
+        else:
+            from pgen_tpu.ops.glm import glm_int_moments, glm_solve_interaction
+
+            with timer.stage("moments", kept.shape[0] * rec):
+                im = glm_int_moments(
+                    kept, header.num_samples, y, covars, provider=provider,
+                    sample_idx=subset, **kw,
+                )
+            with timer.stage("solve"):
+                int_res = glm_solve_interaction(
+                    im, k, covar_means=covars.mean(axis=0)
+                )
 
         class _AddView:  # ADD column drives the scalar result surface
             n_obs = int_res.n_obs

@@ -141,3 +141,116 @@ def test_interaction_requires_covariate(tmp_path):
         glm_linear_interaction(
             packed, 10, np.zeros(10), np.zeros((10, 0)), provider="numpy"
         )
+
+
+# ---- logistic interaction (plink2 --glm interaction, logistic) -------------
+
+
+def _logit_int_oracle(g, yv, cv, max_iter=200, tol=1e-12):
+    """Explicit-design Newton oracle on [1, C, g, g*C]; returns
+    (beta_tests, se_tests) for [g, g*c_1..] — no shared code with the
+    blocked masked-moment IRLS under test."""
+    n = len(yv)
+    x = np.column_stack([np.ones(n), cv, g, g[:, None] * cv])
+    d = x.shape[1]
+    b = np.zeros(d)
+    b[0] = np.log(yv.mean() / (1 - yv.mean()))
+    h = None
+    for _ in range(max_iter):
+        eta = np.clip(x @ b, -30, 30)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        h = x.T @ ((mu * (1 - mu))[:, None] * x)
+        step = np.linalg.solve(h, x.T @ (yv - mu))
+        sc = np.abs(step).max()
+        if sc > 10:
+            step *= 10.0 / sc
+        b += step
+        if sc < tol:
+            break
+    k = cv.shape[1]
+    idxs = list(range(1 + k, d))
+    se = np.sqrt(np.diag(np.linalg.inv(h))[idxs])
+    return b[idxs], se
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_logistic_interaction_matches_oracle(k, tmp_path):
+    from pgen_tpu.ops.logistic import glm_logistic_interaction, normal_sf2
+
+    rng = np.random.default_rng(40 + k)
+    V, S = 10, 220
+    codes = rng.binomial(2, 0.35, size=(V, S)).astype(np.uint8)
+    codes[rng.random((V, S)) < 0.04] = 3
+    codes[0] = 3  # all-missing -> NA
+    cv = rng.normal(size=(S, k))
+    logit = -0.3 + 0.5 * np.where(codes[4] == 3, 0, codes[4]) \
+        + 0.4 * np.where(codes[4] == 3, 0, codes[4]) * cv[:, 0]
+    y = (rng.random(S) < 1.0 / (1.0 + np.exp(-logit))).astype(float)
+    packed = _pack(codes, tmp_path)
+    res = glm_logistic_interaction(packed, S, y, cv, block_variants=4)
+    assert res.beta.shape == (V, 1 + k)
+    import math
+
+    for v in range(V):
+        cal = codes[v] != 3
+        g = codes[v][cal].astype(float)
+        yv = y[cal]
+        if v == 0 or np.var(g) == 0 or yv.sum() in (0, cal.sum()):
+            assert np.isnan(res.beta[v]).all()
+            continue
+        b, se = _logit_int_oracle(g, yv, cv[cal])
+        np.testing.assert_allclose(res.beta[v], b, rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(res.se[v], se, rtol=1e-4)
+        # p from the independent stdlib tail
+        for c in range(1 + k):
+            exp_p = math.erfc(abs(b[c] / se[c]) / math.sqrt(2))
+            np.testing.assert_allclose(res.p[v, c], exp_p, rtol=1e-3)
+
+
+def test_logistic_interaction_provider_parity(tmp_path):
+    from pgen_tpu.ops.logistic import glm_logistic_interaction
+
+    rng = np.random.default_rng(9)
+    V, S = 8, 150
+    codes = rng.binomial(2, 0.4, size=(V, S)).astype(np.uint8)
+    cv = rng.normal(size=(S, 2))
+    y = (rng.random(S) < 0.5).astype(float)
+    packed = _pack(codes, tmp_path)
+    a = glm_logistic_interaction(packed, S, y, cv)
+    b = glm_logistic_interaction(packed, S, y, cv, provider="device")
+    np.testing.assert_allclose(b.beta, a.beta, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(b.se, a.se, rtol=2e-3, atol=2e-5)
+
+
+def test_cli_glm_logistic_interaction(tmp_path):
+    rng = np.random.default_rng(13)
+    V, S = 6, 160
+    codes = rng.binomial(2, 0.4, size=(V, S)).astype(np.uint8)
+    age = rng.normal(50, 8, size=S)
+    logit = -0.2 + 0.6 * codes[2] + 0.02 * (age - 50)
+    y = (rng.random(S) < 1.0 / (1.0 + np.exp(-logit))).astype(int) + 1
+    pvar_rows = [f"1\t{100+i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(V)]
+    psam_rows = [f"s{i}\t{y[i]}\t{age[i]:.4f}" for i in range(S)]
+    prefix = build_fileset(
+        tmp_path, "gli", codes, pvar_rows, psam_rows,
+        psam_columns="#IID\tPHENO1\tAGE",
+    )
+    out = tmp_path / "o.glm"
+    assert run_cli([
+        "glm", prefix, "--covar-name", "AGE", "--interaction",
+        "-o", str(out),
+    ]) == 0
+    lines = open(out).read().splitlines()
+    assert lines[0].endswith("OR\tLOG(OR)_SE\tZ_STAT\tP")
+    rows = [l.split("\t") for l in lines[1:]]
+    # two TEST rows per variant: ADD then ADDxAGE
+    assert [r[6] for r in rows[:4]] == ["ADD", "ADDxAGE", "ADD", "ADDxAGE"]
+    assert len(rows) == 2 * V
+    # the planted main effect shows up as OR > 1 on rs2's ADD row
+    add_rs2 = next(r for r in rows if r[2] == "rs2" and r[6] == "ADD")
+    assert float(add_rs2[8]) > 1.2
+    # --firth with --interaction on a logistic phenotype errors cleanly
+    assert run_cli([
+        "glm", prefix, "--covar-name", "AGE", "--interaction", "--firth",
+        "-o", str(out),
+    ]) != 0
