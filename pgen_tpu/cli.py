@@ -831,9 +831,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         ),
     )
     ex.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
-    ex.add_argument("fmt", nargs="?", default="A", choices=("A", "AD"),
+    ex.add_argument("fmt", nargs="?", default="A", choices=("A", "AD", "ped"),
                     help="Export format: A = additive dosage (default), "
-                         "AD = additive + het-indicator columns.")
+                         "AD = additive + het-indicator columns, ped = "
+                         "PLINK1 text {out}.ped/.map pair (allele-pair "
+                         "cells; plink2 --export ped).")
     ex.add_argument("-o", "--out", dest="out_file", default=None,
                     help="Output path (default {prefix}.raw, '-' stdout).")
     ex.add_argument("--include-var", dest="var_query", default=None)
@@ -1831,11 +1833,43 @@ def main(argv=None) -> int:
             )
             return 0
         if args.command == "export":
-            from pgen_tpu.pipeline.export_raw import export_raw
+            from pgen_tpu.pipeline.export_raw import export_ped, export_raw
             from pgen_tpu.query.exclude import apply_exclude
             from pgen_tpu.query.regions import apply_regions
             from pgen_tpu.query.samples import apply_samples
 
+            if args.fmt == "ped":
+                if args.out_file == "-":
+                    print("export: error: ped writes a .ped/.map pair; "
+                          "use -o PREFIX, not '-'", file=sys.stderr)
+                    return 2
+                result = export_ped(
+                    args.pfile_prefix,
+                    out_prefix=args.out_file,
+                    var_query=apply_exclude(
+                        apply_regions(
+                            args.var_query, args.regions, args.regions_file
+                        ),
+                        args.var_exclude,
+                    ),
+                    sam_query=apply_exclude(
+                        apply_samples(
+                            args.sam_query, args.samples, args.samples_file
+                        ),
+                        args.sam_exclude,
+                    ),
+                    provider=args.provider,
+                    block_variants=args.block_variants,
+                )
+                if args.stats:
+                    print(result.timer.report(), file=sys.stderr)
+                print(
+                    f"export ped: {result.num_samples} samples x "
+                    f"{result.num_variants} variants -> {result.out_path} "
+                    f"(+ .map)",
+                    file=sys.stderr,
+                )
+                return 0
             result = export_raw(
                 args.pfile_prefix,
                 fmt=args.fmt,

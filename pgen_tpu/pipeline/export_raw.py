@@ -182,3 +182,170 @@ def export_raw(
         out_path=out_path,
         timer=timer,
     )
+
+
+def _ped_prefixes(psam, sam_idx) -> list:
+    """PLINK1 .ped leading fields: FID IID PAT MAT SEX PHENO with the
+    classic conventions (unknown sex -> 0, missing phenotype -> -9)."""
+    iids = psam.get_column_strs("IID")
+
+    def col_or(name):
+        return psam.get_column_strs(name) if name in psam.columns else None
+
+    fids = col_or("FID")
+    pats = col_or("PAT")
+    mats = col_or("MAT")
+    sexes = col_or("SEX")
+    phenos = col_or("PHENO1")
+    out = []
+    for s in sam_idx:
+        s = int(s)
+        sex = "0"
+        if sexes is not None:
+            v = sexes[s].strip()
+            sex = "1" if v in ("1", "M", "m") else (
+                "2" if v in ("2", "F", "f") else "0"
+            )
+        ph = "-9"
+        if phenos is not None:
+            v = phenos[s].strip()
+            ph = v if v not in ("-9", ".", "") else "-9"
+        out.append(
+            f"{fids[s] if fids else '0'}\t{iids[s]}\t"
+            f"{pats[s] if pats else '0'}\t{mats[s] if mats else '0'}\t"
+            f"{sex}\t{ph}"
+        )
+    return out
+
+
+def export_ped(
+    pfile_prefix: str,
+    out_prefix: str | None = None,
+    var_query: str | None = None,
+    sam_query: str | None = None,
+    provider: str = "auto",
+    block_variants: int = 1 << 13,
+) -> ExportResult:
+    """plink2 `--export ped` analog: writes {out}.ped / {out}.map.
+
+    .map rows: CHROM ID 0 POS (tab-delimited). .ped rows: the six
+    classic leading fields then one `\\tA1\\tA2` allele pair per kept
+    variant — code 0 -> REF REF, 1 -> REF ALT, 2 -> ALT ALT,
+    3 -> 0 0 (2-bit code semantics per pfile.rs:177-183).
+
+    Emission is vectorized along two paths: when every REF/ALT is a
+    single base, each variant's four possible pair-cells are a (V, 4)
+    uint32 token table and a sample row is ONE elementwise gather
+    (tok32[arange(V), codes_row]); with indel alleles the row is built
+    by the standard variable-length segment gather
+    (arange(total) + repeat(src_start - out_start, lens)) — both are
+    O(V) numpy, no per-cell Python."""
+    provider = _resolve_provider(provider)
+    timer = StageTimer()
+
+    header = read_pgen_header(f"{pfile_prefix}.pgen")
+    pvar = read_metadata(f"{pfile_prefix}.pvar")
+    psam = read_metadata(f"{pfile_prefix}.psam")
+    psam.column_index("IID")
+
+    rec = header.record_size
+    mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    records = mm[12 : 12 + header.num_variants * rec].reshape(
+        header.num_variants, rec
+    )
+    with timer.stage("predicates"):
+        var_mask, sam_mask = compute_masks(
+            var_query, sam_query, pvar, psam, header, records, provider
+        )
+        var_idx = np.flatnonzero(var_mask)
+        sam_idx = np.flatnonzero(sam_mask)
+    nv, ns = len(var_idx), len(sam_idx)
+
+    from pgen_tpu.ops.unpack_host import unpack_codes_numpy
+
+    with timer.stage("gather", nv * rec):
+        kept = _gather_rows(records, var_idx)
+    codes_sm = np.empty((ns, nv), dtype=np.uint8)
+    subset = sam_idx if ns != header.num_samples else None
+    with timer.stage("decode", nv * rec):
+        bv = max(int(block_variants), 1)
+        for lo in range(0, nv, bv):
+            blk = unpack_codes_numpy(kept[lo : lo + bv], header.num_samples)
+            if subset is not None:
+                blk = blk[:, subset]
+            codes_sm[:, lo : lo + blk.shape[0]] = blk.T
+
+    out_prefix = out_prefix or pfile_prefix
+    if out_prefix.endswith(".ped"):
+        out_prefix = out_prefix[: -len(".ped")]
+
+    chroms = pvar.get_column_strs("CHROM")
+    poss = pvar.get_column_strs("POS")
+    ids = pvar.get_column_strs("ID")
+    refs = pvar.get_column_strs("REF")
+    alts = pvar.get_column_strs("ALT")
+
+    with timer.stage("map_emit"), open(f"{out_prefix}.map", "w") as fh:
+        for v in var_idx:
+            v = int(v)
+            fh.write(f"{chroms[v]}\t{ids[v]}\t0\t{poss[v]}\n")
+
+    kept_refs = [refs[int(v)] for v in var_idx]
+    kept_alts = [alts[int(v)] for v in var_idx]
+    single = all(len(r) == 1 for r in kept_refs) and all(
+        len(a) == 1 for a in kept_alts
+    )
+    prefixes = _ped_prefixes(psam, sam_idx)
+
+    with timer.stage("ped_emit", ns * nv * 4), open(
+        f"{out_prefix}.ped", "wb"
+    ) as fh:
+        if single and nv:
+            r8 = np.frombuffer(
+                "".join(kept_refs).encode(), dtype=np.uint8
+            )
+            a8 = np.frombuffer(
+                "".join(kept_alts).encode(), dtype=np.uint8
+            )
+            tok = np.empty((nv, 4, 4), dtype=np.uint8)
+            tok[:, :, 0] = ord("\t")
+            tok[:, :, 2] = ord("\t")
+            tok[:, 0, 1] = r8
+            tok[:, 0, 3] = r8
+            tok[:, 1, 1] = r8
+            tok[:, 1, 3] = a8
+            tok[:, 2, 1] = a8
+            tok[:, 2, 3] = a8
+            tok[:, 3, 1] = ord("0")
+            tok[:, 3, 3] = ord("0")
+            tok32 = tok.reshape(nv, 16).view(np.uint32)  # (nv, 4) LE words
+            vix = np.arange(nv)
+            for s in range(ns):
+                row = tok32[vix, codes_sm[s]]
+                fh.write(prefixes[s].encode() + row.tobytes() + b"\n")
+        else:
+            toks = []
+            for r, a in zip(kept_refs, kept_alts):
+                toks += [f"\t{r}\t{r}", f"\t{r}\t{a}", f"\t{a}\t{a}", "\t0\t0"]
+            buf = "".join(toks).encode()
+            buf8 = np.frombuffer(buf, dtype=np.uint8)
+            lens = np.array([len(t) for t in toks], dtype=np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            base = 4 * np.arange(nv, dtype=np.int64)
+            for s in range(ns):
+                tok_idx = base + codes_sm[s]
+                ls = lens[tok_idx]
+                ends = np.cumsum(ls)
+                out_starts = ends - ls
+                src = np.repeat(starts[tok_idx] - out_starts, ls) + np.arange(
+                    ends[-1] if len(ends) else 0
+                )
+                fh.write(prefixes[s].encode() + buf8[src].tobytes() + b"\n")
+
+    return ExportResult(
+        fmt="ped",
+        num_variants=nv,
+        num_samples=ns,
+        out_path=f"{out_prefix}.ped",
+        timer=timer,
+    )
