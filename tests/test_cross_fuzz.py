@@ -78,3 +78,71 @@ def test_cross_tool_invariants(tmp_path, trial):
     # stats missing-call total == gcount MISSING_CT sum
     miss_total = sum(int(r["MISSING_CT"]) for r in grows)
     assert miss_total == int((codes == 3).sum())
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_ped_vcf_raw_consistency(tmp_path, trial):
+    """export ped pairs <-> filter VCF GT cells <-> export A dosages."""
+    rng = np.random.default_rng(2000 + trial)
+    prefix, codes = _random_fileset(tmp_path, rng, trial)
+    nvar, nsamp = codes.shape
+
+    assert run_cli(["export", prefix, "ped", "-o", str(tmp_path / "p")]) == 0
+    assert run_cli(["filter", prefix, "-o", str(tmp_path / "f.vcf")]) == 0
+    ped = [ln.split("\t") for ln in
+           (tmp_path / "p.ped").read_text().splitlines()]
+    vcf = [ln.split("\t") for ln in
+           (tmp_path / "f.vcf").read_text().splitlines()
+           if not ln.startswith("#")]
+    gt_to_pair = {"0/0": ("A", "A"), "0/1": ("A", "G"),
+                  "1/1": ("G", "G"), "./.": ("0", "0")}
+    for s in range(nsamp):
+        pairs = ped[s][6:]
+        assert len(pairs) == 2 * nvar
+        for v in range(nvar):
+            gt = vcf[v][9 + s]
+            assert tuple(pairs[2 * v : 2 * v + 2]) == gt_to_pair[gt], (
+                s, v, gt
+            )
+    # map row count matches VCF body rows
+    assert len((tmp_path / "p.map").read_text().splitlines()) == len(vcf)
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_rm_dup_invariants(tmp_path, trial):
+    """force-first output has unique IDs; exclude-all is a subset of it;
+    list mode names exactly the IDs force-first deduplicates."""
+    rng = np.random.default_rng(3000 + trial)
+    nvar = int(rng.integers(4, 30))
+    nsamp = int(rng.integers(2, 10))
+    codes = rng.integers(0, 4, size=(nvar, nsamp), dtype=np.uint8)
+    # duplicate-rich ID space
+    ids = [f"rs{rng.integers(0, max(2, nvar // 2))}" for _ in range(nvar)]
+    pos = np.cumsum(rng.integers(1, 100, nvar)) + 100
+    pvar_rows = [
+        f"1\t{pos[i]}\t{ids[i]}\tA\tG\t.\tPASS\t." for i in range(nvar)
+    ]
+    psam_rows = [f"s{i}\tM" for i in range(nsamp)]
+    prefix = build_fileset(tmp_path, f"rd{trial}", codes, pvar_rows, psam_rows)
+
+    def body_ids(path):
+        return [ln.split("\t")[2] for ln in open(path).read().splitlines()
+                if not ln.startswith("#")]
+
+    assert run_cli(["filter", prefix, "--rm-dup", "force-first",
+                    "-o", str(tmp_path / "ff.vcf")]) == 0
+    ff = body_ids(tmp_path / "ff.vcf")
+    assert len(ff) == len(set(ff))              # unique IDs
+    assert ff == list(dict.fromkeys(ids))       # first occurrences, in order
+
+    assert run_cli(["filter", prefix, "--rm-dup", "exclude-all",
+                    "-o", str(tmp_path / "ea.vcf")]) == 0
+    ea = body_ids(tmp_path / "ea.vcf")
+    assert set(ea) <= set(ff)
+    assert ea == [i for i in ids if ids.count(i) == 1]
+
+    assert run_cli(["filter", prefix, "--rm-dup", "list",
+                    "-o", str(tmp_path / "ls.vcf")]) == 0
+    lst = set((tmp_path / "ls.vcf.rmdup.list").read_text().split())
+    assert lst == {i for i in ids if ids.count(i) > 1}
+    assert body_ids(tmp_path / "ls.vcf") == ids  # list filters nothing
