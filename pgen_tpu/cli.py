@@ -723,6 +723,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
              "the TEST column). Linear solves closed-form; logistic runs "
              "the interaction IRLS (vanilla Newton, no Firth rescue).",
     )
+    gl.add_argument(
+        "--adjust", action="store_true",
+        help="Also write {out}.adjusted (plink2 --adjust): rows sorted "
+             "by UNADJ with GC / BONF / HOLM / SIDAK_SS / SIDAK_SD / "
+             "FDR_BH / FDR_BY corrected columns (ADD test).",
+    )
+    gl.add_argument(
+        "--adjust-lambda", dest="adjust_lambda", type=float, default=None,
+        metavar="L",
+        help="Override the estimated genomic-control lambda "
+             "(plink2 --lambda; values < 1 clamp to 1).",
+    )
     gl.add_argument("--stats", action="store_true",
                     help="Print per-stage timing/bandwidth to stderr.")
 
@@ -1750,6 +1762,8 @@ def main(argv=None) -> int:
                 covar_file=args.covar_file,
                 condition=condition,
                 interaction=args.interaction,
+                adjust=args.adjust,
+                adjust_lambda=args.adjust_lambda,
             )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)

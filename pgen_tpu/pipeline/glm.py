@@ -169,6 +169,8 @@ def glm_pfile(
     write: bool = True,
     out=None,
     interaction: bool = False,
+    adjust: bool = False,
+    adjust_lambda: float | None = None,
 ) -> GlmRunResult:
     """See the module docstring. Additional plink2 surfaces:
 
@@ -462,6 +464,49 @@ def glm_pfile(
                             f"{prefix_row}\t{tname}\t{res.n_obs[r]}\t"
                             f"{tail}\n"
                         )
+    if adjust:
+        # plink2 --adjust: the ADD test's p-values, corrected; rows
+        # sorted by UNADJ ascending, NA rows excluded
+        from pgen_tpu.ops.adjust import adjust_pvalues
+
+        with timer.stage("adjust"):
+            adj = adjust_pvalues(res.p, stat, lambda_gc=adjust_lambda)
+        if out is not None:
+            raise ValueError(
+                "glm: --adjust writes a separate .adjusted file; use a "
+                "file -o, not '-'"
+            )
+        adj_path = f"{out_path}.adjusted"
+        log.info(
+            "glm --adjust: genomic inflation est. lambda = %.6g over %d "
+            "tested variant(s)", adj.lambda_gc, len(adj.order),
+        )
+        if write:
+            chroms = pvar.get_column_strs("CHROM")
+            poss = pvar.get_column_strs("POS")
+            ids = pvar.get_column_strs("ID")
+            refs = pvar.get_column_strs("REF")
+            alts = pvar.get_column_strs("ALT")
+            with open(adj_path, "w") as fh:
+                fh.write(
+                    "#CHROM\tPOS\tID\tREF\tALT\tA1\tUNADJ\tGC\tBONF\t"
+                    "HOLM\tSIDAK_SS\tSIDAK_SD\tFDR_BH\tFDR_BY\n"
+                )
+                for i, r in enumerate(adj.order):
+                    v = int(var_idx[r])
+                    cells = "\t".join(
+                        f"{col[i]:.6g}"
+                        for col in (
+                            adj.unadj, adj.gc, adj.bonf, adj.holm,
+                            adj.sidak_ss, adj.sidak_sd, adj.fdr_bh,
+                            adj.fdr_by,
+                        )
+                    )
+                    fh.write(
+                        f"{chroms[v]}\t{poss[v]}\t{ids[v]}\t{refs[v]}\t"
+                        f"{alts[v]}\t{alts[v]}\t{cells}\n"
+                    )
+
     return GlmRunResult(
         pheno_name=pheno_name,
         model=model,
