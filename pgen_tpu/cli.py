@@ -601,6 +601,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     action="store_false",
                     help="Missing calls contribute 0 and shrink that "
                          "sample's ALLELE_CT (plink2 no-mean-imputation).")
+    sc.add_argument("--center", dest="center", action="store_true",
+                    help="Center each variant's effect-allele dosage to "
+                         "cohort mean 0 before weighting (plink2 --score "
+                         "'center'; requires mean imputation).")
+    sc.add_argument("--variance-standardize", dest="variance_standardize",
+                    action="store_true",
+                    help="Linearly transform each dosage to cohort mean 0 "
+                         "variance 1 (plink2 'variance-standardize'; "
+                         "errors on zero-variance variants).")
     sc.add_argument("--score-sums", dest="score_sums", action="store_true",
                     help="Also write <NAME>_SUM columns.")
     sc.add_argument("-o", "--out", dest="out_file", default=None,
@@ -1707,6 +1716,8 @@ def main(argv=None) -> int:
                 block_variants=args.block_variants,
                 q_score_range=args.q_score_range,
                 q_data_col=args.q_data_col,
+                center=args.center,
+                variance_standardize=args.variance_standardize,
             )
             if args.stats:
                 print(result.timer.report(), file=sys.stderr)

@@ -248,6 +248,8 @@ def score_pfile(
     out=None,
     q_score_range=None,
     q_data_col: int = 2,
+    center: bool = False,
+    variance_standardize: bool = False,
 ) -> ScoreRunResult:
     """q_score_range (plink --q-score-range analog): a (range_file,
     data_file) pair. Matched score variants are partitioned by the data
@@ -334,6 +336,49 @@ def score_pfile(
     subset = None if n_sam == header.num_samples else sam_idx.astype(np.int32)
     kw = {"block_variants": int(block_variants)} if block_variants else {}
 
+    # plink2 `center` / `variance-standardize` modifiers. Under mean
+    # imputation both reduce to a weight rescale plus a per-score
+    # constant offset — no provider changes:
+    #   sum_v (d - mu)/sd * w = sum_v d * (w/sd) - sum_v mu * (w/sd)
+    # (imputed-missing dosages equal mu, so their transformed value is 0,
+    # exactly the centered semantics). Without imputation a missing call
+    # contributes raw 0, which the offset trick would wrongly shift to
+    # -mu/sd, so the combination is rejected.
+    score_offset = None
+    mu_eff_w = None
+    if center or variance_standardize:
+        if not mean_impute:
+            raise ValueError(
+                "score: center/variance-standardize require mean "
+                "imputation (drop --no-mean-imputation)"
+            )
+        from pgen_tpu.ops.gt_stats import gt_counts, gt_counts_subset
+
+        with timer.stage("moments", kept.shape[0] * rec):
+            cts = (
+                gt_counts_subset(kept, subset)
+                if subset is not None
+                else gt_counts(kept, header.num_samples)
+            )
+        n_called = cts[:, :3].sum(axis=1).astype(np.float64)
+        used = n_called > 0
+        safe_n = np.maximum(n_called, 1.0)
+        mu_alt = (cts[:, 1] + 2.0 * cts[:, 2]) / safe_n
+        if variance_standardize:
+            ex2 = (cts[:, 1] + 4.0 * cts[:, 2]) / safe_n
+            var = ex2 - mu_alt * mu_alt
+            bad = used & (var <= 0)
+            if bad.any():
+                raise ValueError(
+                    f"score: --variance-standardize: {int(bad.sum())} "
+                    "matched variant(s) have zero dosage variance over "
+                    "the cohort (drop them, e.g. GT_MAF > 0)"
+                )
+            weights = weights / np.sqrt(np.where(used, var, 1.0))[:, None]
+        mu_eff = np.where(flip, 2.0 - mu_alt, mu_alt) * used
+        mu_eff_w = mu_eff  # per-variant effect-allele means (offsets)
+        score_offset = mu_eff @ weights  # (K,)
+
     if q_score_range is not None:
         ranges = read_q_ranges(q_score_range[0])
         vals = read_q_data(q_score_range[1], q_data_col)
@@ -369,6 +414,10 @@ def score_pfile(
                     kept[sel], header.num_samples, weights[sel], flip[sel],
                     provider=provider, mean_impute=mean_impute,
                     sample_idx=subset, **kw,
+                )
+            if mu_eff_w is not None:
+                rres = rres._replace(
+                    sums=rres.sums - (mu_eff_w[sel] @ weights[sel])[None, :]
                 )
             rct = rres.allele_ct
             ravgs = rres.sums / np.maximum(rct, 1)[:, None]
@@ -423,6 +472,8 @@ def score_pfile(
             kept, header.num_samples, weights, flip, provider=provider,
             mean_impute=mean_impute, sample_idx=subset, **kw,
         )
+    if score_offset is not None:
+        res = res._replace(sums=res.sums - score_offset[None, :])
     ct = res.allele_ct
     avgs = res.sums / np.maximum(ct, 1)[:, None]
 

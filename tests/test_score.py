@@ -392,3 +392,94 @@ def test_q_score_range_streams_to_stdout(tmp_path, capsys):
         assert float(cells[4]) == pytest.approx(
             sums1[r, 0] / max(ct1[r], 1), rel=1e-9
         )
+
+
+# ---- center / variance-standardize (plink2 --score modifiers) --------------
+
+
+def _transformed_oracle(codes, w, flip, mode):
+    """Explicit per-cell transform: impute missing to the variant mean,
+    then center (and scale by the cohort sd for variance-standardize)."""
+    nv, ns = codes.shape
+    d = np.where(flip[:, None], 2.0 - codes, codes.astype(float))
+    d[codes == 3] = np.nan
+    mu = np.nanmean(d, axis=1)
+    sd = np.sqrt(np.nanvar(d, axis=1))
+    for v in range(nv):
+        d[v] = np.where(np.isnan(d[v]), mu[v], d[v]) - mu[v]
+        if mode == "vs":
+            d[v] /= sd[v]
+    return d.T @ w
+
+
+def test_score_center_matches_explicit_transform(tmp_path):
+    rng = np.random.default_rng(33)
+    nv, ns = 15, 12
+    codes = rng.integers(0, 3, size=(nv, ns), dtype=np.uint8)
+    codes[rng.random((nv, ns)) < 0.15] = 3
+    pvar_rows = [f"1\t{100+i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(nv)]
+    psam_rows = [f"s{i}\tM" for i in range(ns)]
+    prefix = build_fileset(tmp_path, "ctr", codes, pvar_rows, psam_rows)
+    w = rng.normal(size=(nv, 1))
+    flip = rng.random(nv) < 0.4
+    score_f = tmp_path / "w.tsv"
+    score_f.write_text("ID\tA1\tW\n" + "".join(
+        f"rs{i}\t{'A' if flip[i] else 'G'}\t{w[i,0]:.8g}\n"
+        for i in range(nv)
+    ))
+    out = tmp_path / "o.sscore"
+    assert run_cli(["score", prefix, "--score", str(score_f),
+                    "--score-sums", "--center", "-o", str(out)]) == 0
+    rows = out.read_text().splitlines()[1:]
+    got = np.array([float(r.split("\t")[-1]) for r in rows])
+    exp = _transformed_oracle(codes, w, flip, "center")[:, 0]
+    np.testing.assert_allclose(got, exp, rtol=1e-6, atol=1e-9)
+    # centered scores sum to ~0 over the cohort
+    assert abs(got.sum()) < 1e-6 * max(1.0, np.abs(got).sum())
+
+
+def test_score_variance_standardize_matches_explicit_transform(tmp_path):
+    rng = np.random.default_rng(35)
+    nv, ns = 10, 20
+    # guarantee nonzero variance per variant
+    while True:
+        codes = rng.integers(0, 3, size=(nv, ns), dtype=np.uint8)
+        if all(np.var(codes[v]) > 0 for v in range(nv)):
+            break
+    pvar_rows = [f"1\t{100+i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(nv)]
+    psam_rows = [f"s{i}\tM" for i in range(ns)]
+    prefix = build_fileset(tmp_path, "vs", codes, pvar_rows, psam_rows)
+    w = rng.normal(size=(nv, 1))
+    score_f = tmp_path / "w.tsv"
+    score_f.write_text("ID\tA1\tW\n" + "".join(
+        f"rs{i}\tG\t{w[i,0]:.8g}\n" for i in range(nv)
+    ))
+    out = tmp_path / "o.sscore"
+    assert run_cli(["score", prefix, "--score", str(score_f),
+                    "--score-sums", "--variance-standardize",
+                    "-o", str(out)]) == 0
+    rows = out.read_text().splitlines()[1:]
+    got = np.array([float(r.split("\t")[-1]) for r in rows])
+    exp = _transformed_oracle(
+        codes, w, np.zeros(nv, bool), "vs"
+    )[:, 0]
+    np.testing.assert_allclose(got, exp, rtol=1e-6, atol=1e-9)
+
+
+def test_score_transform_guards(tmp_path):
+    codes = np.ones((3, 4), dtype=np.uint8)  # zero variance everywhere
+    pvar_rows = [f"1\t{100+i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(3)]
+    psam_rows = [f"s{i}\tM" for i in range(4)]
+    prefix = build_fileset(tmp_path, "zg", codes, pvar_rows, psam_rows)
+    score_f = tmp_path / "w.tsv"
+    score_f.write_text("ID\tA1\tW\nrs0\tG\t1\nrs1\tG\t1\n")
+    out = tmp_path / "o.sscore"
+    assert run_cli(["score", prefix, "--score", str(score_f),
+                    "--variance-standardize", "-o", str(out)]) != 0
+    assert run_cli(["score", prefix, "--score", str(score_f), "--center",
+                    "--no-mean-imputation", "-o", str(out)]) != 0
+    # center alone works on the zero-variance fileset (scores become 0)
+    assert run_cli(["score", prefix, "--score", str(score_f), "--center",
+                    "--score-sums", "-o", str(out)]) == 0
+    got = [float(r.split("\t")[-1]) for r in out.read_text().splitlines()[1:]]
+    assert all(abs(v) < 1e-12 for v in got)
