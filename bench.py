@@ -582,6 +582,17 @@ def _device_bench() -> dict:
     }
 
 
+def _guard_slope(t_hi, t_lo, n_steps, min_frac=0.15):
+    """Two-point chained-slope with a noise-floor gate: when the high
+    endpoint is not clearly above the low one (host contention or tunnel
+    jitter ate the signal), return None instead of a clamped
+    near-zero dt that reports beyond-physics throughput (seen r4:
+    205,127,680 "GB/s" from a negative slope clamped to 1e-9)."""
+    if t_hi - t_lo < min_frac * max(t_lo, 1e-3):
+        return None
+    return (t_hi - t_lo) / n_steps
+
+
 def _kernel_bench() -> dict:
     """Chained-dependency unpack benchmark on the default backend."""
     import jax
@@ -621,11 +632,11 @@ def _kernel_bench() -> dict:
 
     t48 = min(_once(48) for _ in range(5))
     t2 = min(_once(2) for _ in range(5))
-    dt = max((t48 - t2) / 46, 1e-9)
-    gbps = 5 * V * R / dt / 1e9
+    dt = _guard_slope(t48, t2, 46)
+    gbps = 5 * V * R / dt / 1e9 if dt else None
     out = {
-        "gbps": round(gbps, 1),
-        "pct_hbm_peak": round(100 * gbps / V5E_HBM_GBPS, 1),
+        "gbps": round(gbps, 1) if gbps else None,
+        "pct_hbm_peak": round(100 * gbps / V5E_HBM_GBPS, 1) if gbps else None,
     }
     print(json.dumps(out), flush=True)  # checkpoint for timeout salvage
 
@@ -653,11 +664,13 @@ def _kernel_bench() -> dict:
 
     f48 = min(_fonce(48) for _ in range(5))
     f2 = min(_fonce(2) for _ in range(5))
-    fdt = max((f48 - f2) / 46, 1e-9)
-    fused_gbps = 2 * V * R / fdt / 1e9
+    fdt = _guard_slope(f48, f2, 46)
+    fused_gbps = 2 * V * R / fdt / 1e9 if fdt else None
     out.update(
-        fused_gbps=round(fused_gbps, 1),
-        fused_pct_hbm_peak=round(100 * fused_gbps / V5E_HBM_GBPS, 1),
+        fused_gbps=round(fused_gbps, 1) if fused_gbps else None,
+        fused_pct_hbm_peak=(
+            round(100 * fused_gbps / V5E_HBM_GBPS, 1) if fused_gbps else None
+        ),
     )
     print(json.dumps(out), flush=True)
 
@@ -703,7 +716,10 @@ def _kernel_bench() -> dict:
 
     s24 = min(_sonce(24) for _ in range(5))
     s2 = min(_sonce(2) for _ in range(5))
-    pair_dt = max((s24 - s2) / 22, 1e-9)
+    pair_dt = _guard_slope(s24, s2, 22)
+    if pair_dt is None:
+        out["step_note"] = "slope below noise floor (contended run)"
+        return out
     fold_floor = 17 * V * RP / (V5E_HBM_GBPS * 1e9)
     step_dt = max(pair_dt - fold_floor, 1e-9)
     out.update(
@@ -784,18 +800,23 @@ def _mxu_bench() -> dict:
         reps = reps if _left() > 60 else 2
         t_hi = min(_timed(lambda: int(chain(x, hi))) for _ in range(reps))
         t_lo = min(_timed(lambda: int(chain(x, lo))) for _ in range(reps))
-        return max((t_hi - t_lo) / (hi - lo), 1e-9)
+        return _guard_slope(t_hi, t_lo, hi - lo)
 
     out = {"variants": V, "samples": S, "backend": jax.default_backend()}
 
     king = _chain(lambda a: _king_counts_device_jit(a, S, V, False))
     king_dt = _slope(king, 12)
-    king_tflops = 2 * 4 * V * S * S / king_dt / 1e12  # 4 Grams, 2 flop/MAC
-    out.update(
-        king_tflops=round(king_tflops, 1),
-        king_pct_bf16_peak=round(100 * king_tflops / V5E_MXU_BF16_TFLOPS, 1),
-        king_mvar_s=round(V / king_dt / 1e6, 2),
-    )
+    if king_dt is None:
+        out["king_note"] = "slope below noise floor (contended run)"
+    else:
+        king_tflops = 2 * 4 * V * S * S / king_dt / 1e12  # 4 Grams, 2 flop/MAC
+        out.update(
+            king_tflops=round(king_tflops, 1),
+            king_pct_bf16_peak=round(
+                100 * king_tflops / V5E_MXU_BF16_TFLOPS, 1
+            ),
+            king_mvar_s=round(V / king_dt / 1e6, 2),
+        )
     print(json.dumps(out), flush=True)  # checkpoint for timeout salvage
 
     # genome's IBD Grams: five S x S products per block (ops/ibd.py) —
@@ -805,24 +826,30 @@ def _mxu_bench() -> dict:
 
         ibd = _chain(lambda a: _ibd_counts_device_jit(a, S, V, False))
         ibd_dt = _slope(ibd, 12)
-        ibd_tflops = 2 * 5 * V * S * S / ibd_dt / 1e12  # 5 Grams, 2 flop/MAC
-        out.update(
-            ibd_tflops=round(ibd_tflops, 1),
-            ibd_pct_bf16_peak=round(
-                100 * ibd_tflops / V5E_MXU_BF16_TFLOPS, 1
-            ),
-        )
+        if ibd_dt is None:
+            out["ibd_note"] = "slope below noise floor"
+        else:
+            ibd_tflops = 2 * 5 * V * S * S / ibd_dt / 1e12  # 5 Grams
+            out.update(
+                ibd_tflops=round(ibd_tflops, 1),
+                ibd_pct_bf16_peak=round(
+                    100 * ibd_tflops / V5E_MXU_BF16_TFLOPS, 1
+                ),
+            )
         print(json.dumps(out), flush=True)
 
     if _left() > 45:
         grm = _chain(lambda a: _grm_device_jit(a, None, S, V, False)[:1])
         grm_dt = _slope(grm, 12)
-        out.update(
-            grm_tflops=round(2 * V * S * S / grm_dt / 1e12, 1),
-            grm_note="true-f32 (Precision.HIGHEST, multi-pass bf16 MXU "
-            "decomposition); king's 0/1 Grams are exact in single-pass "
-            "bf16",
-        )
+        if grm_dt is None:
+            out["grm_note"] = "slope below noise floor"
+        else:
+            out.update(
+                grm_tflops=round(2 * V * S * S / grm_dt / 1e12, 1),
+                grm_note="true-f32 (Precision.HIGHEST, multi-pass bf16 "
+                "MXU decomposition); king's 0/1 Grams are exact in "
+                "single-pass bf16",
+            )
         print(json.dumps(out), flush=True)
 
     # randomized-PCA pass (tall-skinny: z @ Q then z.T @ that, L = 20) —
@@ -835,10 +862,13 @@ def _mxu_bench() -> dict:
         q = jnp.asarray(rng.standard_normal((S, L)).astype(np.float32))
         approx = _chain(lambda a: _approx_pass_jit(a, q, None, S, V, False)[:1])
         approx_dt = _slope(approx, 12)
-        out.update(
-            pca_approx_mvar_s=round(V / approx_dt / 1e6, 2),
-            pca_approx_tflops=round(2 * 2 * V * S * L / approx_dt / 1e12, 2),
-        )
+        if approx_dt is not None:
+            out.update(
+                pca_approx_mvar_s=round(V / approx_dt / 1e6, 2),
+                pca_approx_tflops=round(
+                    2 * 2 * V * S * L / approx_dt / 1e12, 2
+                ),
+            )
 
     skipped = [
         k for k, have in (
