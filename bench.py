@@ -326,11 +326,10 @@ def main():
     uctx: dict = {}
 
     def uniform_keep_all():
-        # drop the realistic output first: two multi-GB outputs fighting
-        # for page cache contaminate each other's timings
-        rout = rctx.get("out")
-        if rout and os.path.exists(rout):
-            os.unlink(rout)
+        # keep the realistic output on disk: this VM has 125 GB RAM, so
+        # two 11 GB outputs coexist in page cache — deleting it here
+        # forced the NEXT bench invocation's realistic warmup to pay
+        # ~200 s of cold first-touch (measured r4)
         os.sync()
         prefix = str(
             ensure_chr22(
