@@ -156,15 +156,18 @@ def _phase(name: str, est_s: float, fn, gate: str | None = None) -> None:
     _flush_detail()
 
 
-def _timed_runs(fn, runs, warmups=1, per_run_est=12.0):
+def _timed_runs(fn, runs, warmups=1, per_run_est=12.0, presync=True):
     """Deadline-aware timed runs. os.sync() ONCE before the sequence
     (drains writeback left by earlier phases — a crossed dirty threshold
     throttles runs to disk speed), but NOT between runs: every run
     rewrites the SAME output file, so the dirty set stays bounded at one
     output size (~11 GB, well under this VM's ~25 GB dirty_ratio
     threshold) and inter-run syncs would only burn ~35 s each of the
-    deadline (measured r4)."""
-    os.sync()
+    deadline (measured r4). presync=False skips the leading sync for
+    back-to-back sequences inside one phase (each sync after a multi-GB
+    phase costs ~20-40 s)."""
+    if presync:
+        os.sync()
     for _ in range(warmups):
         if _remaining() < 2 * per_run_est:
             break
@@ -352,58 +355,9 @@ def main():
 
     _phase("uniform_keep_all", 120, uniform_keep_all, gate="PGEN_BENCH_UNIFORM")
 
-    # ---- phase 5: cold output (no reusable pages) --------------------
-    def cold():
-        prefix = uctx.get("prefix") or rctx.get("prefix")
-        out = uctx.get("out") or rctx.get("out")
-        if not prefix:
-            raise RuntimeError("no fixture from earlier phases")
-        STATE["first_touch_gbps"] = _first_touch_rate()
-        if os.path.exists(out):
-            os.unlink(out)
-        os.sync()
-        t0 = time.perf_counter()
-        filter_to_vcf(prefix, out_file=out, provider=provider)
-        dt = time.perf_counter() - t0
-        os.sync()
-        STATE.update(
-            {
-                "keep_all_cold_s": round(dt, 3),
-                "keep_all_cold_vs_baseline": round(BASELINE_KEEP_ALL_S / dt, 2),
-                "cold_note": "cold time is dominated by this VM's "
-                "first-touch page backing rate (first_touch_gbps); "
-                "re-touch runs at 5-8 GB/s",
-            }
-        )
-
-    _phase("cold", 90, cold, gate="PGEN_BENCH_COLD")
-
-    # ---- phase 6: VCF import (reverse direction; plink2's territory) -
-    def import_vcf_row():
-        from pgen_tpu.pipeline.vcf_import import import_vcf
-
-        out = uctx.get("out") or rctx.get("out")
-        if not out or not os.path.exists(out):
-            raise RuntimeError("no VCF output from earlier phases")
-        imp_prefix = str(Path(out).parent / "imported")
-        import_vcf(out, out_prefix=imp_prefix, provider=provider)  # warm
-        t0 = time.perf_counter()
-        import_vcf(out, out_prefix=imp_prefix, provider=provider)
-        dt = time.perf_counter() - t0
-        vcf_gb = os.path.getsize(out) / 1e9
-        STATE.update(
-            {
-                "import_wall_s": round(dt, 3),
-                "import_gbps": round(vcf_gb / dt, 2),
-            }
-        )
-        for suf in (".pgen", ".pvar", ".psam"):
-            os.unlink(imp_prefix + suf)
-        os.sync()
-
-    _phase("import", 80, import_vcf_row, gate="PGEN_BENCH_IMPORT")
-
-    # ---- phase 7: scaling (2-host projection; see note) --------------
+    # ---- phase 5: scaling (2-host projection) — runs BEFORE the cold/
+    # import phases whose multi-GB writeback backlog inflates half-shard
+    # timings (measured r5: 0.625 after cold/import vs 0.896 quiet) ------
     def scaling():
         from pgen_tpu.parallel.shard import (
             filter_to_vcf_parallel,
@@ -420,7 +374,7 @@ def main():
         )
         w2 = _timed_runs(
             lambda: filter_to_vcf_parallel(prefix, out_file=out, num_workers=2),
-            sruns, warmups=0,
+            sruns, warmups=0, presync=False,
         )
         halves = []
         for si in (0, 1):
@@ -430,7 +384,7 @@ def main():
                     prefix, out_file=part, num_shards=2, shard_index=si,
                     standalone=True,
                 ),
-                sruns, warmups=1, per_run_est=8.0,
+                sruns + 1, warmups=1, per_run_est=8.0, presync=False,
             )
             halves.append(min(ts))
             os.unlink(part)
@@ -456,6 +410,56 @@ def main():
         os.sync()
 
     _phase("scaling", 120, scaling, gate="PGEN_BENCH_SCALING")
+    # ---- phase 6: cold output (no reusable pages) --------------------
+    def cold():
+        prefix = uctx.get("prefix") or rctx.get("prefix")
+        out = uctx.get("out") or rctx.get("out")
+        if not prefix:
+            raise RuntimeError("no fixture from earlier phases")
+        STATE["first_touch_gbps"] = _first_touch_rate()
+        if os.path.exists(out):
+            os.unlink(out)
+        os.sync()
+        t0 = time.perf_counter()
+        filter_to_vcf(prefix, out_file=out, provider=provider)
+        dt = time.perf_counter() - t0
+        os.sync()
+        STATE.update(
+            {
+                "keep_all_cold_s": round(dt, 3),
+                "keep_all_cold_vs_baseline": round(BASELINE_KEEP_ALL_S / dt, 2),
+                "cold_note": "cold time is dominated by this VM's "
+                "first-touch page backing rate (first_touch_gbps); "
+                "re-touch runs at 5-8 GB/s",
+            }
+        )
+
+    _phase("cold", 90, cold, gate="PGEN_BENCH_COLD")
+
+    # ---- phase 7: VCF import (reverse direction; plink2's territory) -
+    def import_vcf_row():
+        from pgen_tpu.pipeline.vcf_import import import_vcf
+
+        out = uctx.get("out") or rctx.get("out")
+        if not out or not os.path.exists(out):
+            raise RuntimeError("no VCF output from earlier phases")
+        imp_prefix = str(Path(out).parent / "imported")
+        import_vcf(out, out_prefix=imp_prefix, provider=provider)  # warm
+        t0 = time.perf_counter()
+        import_vcf(out, out_prefix=imp_prefix, provider=provider)
+        dt = time.perf_counter() - t0
+        vcf_gb = os.path.getsize(out) / 1e9
+        STATE.update(
+            {
+                "import_wall_s": round(dt, 3),
+                "import_gbps": round(vcf_gb / dt, 2),
+            }
+        )
+        for suf in (".pgen", ".pvar", ".psam"):
+            os.unlink(imp_prefix + suf)
+        os.sync()
+
+    _phase("import", 80, import_vcf_row, gate="PGEN_BENCH_IMPORT")
 
     # ---- phases 8-10: device subprocess rows, each bounded by its own
     # timeout AND the global deadline; the MXU bench self-limits via
