@@ -410,7 +410,30 @@ def main():
         os.sync()
 
     _phase("scaling", 120, scaling, gate="PGEN_BENCH_SCALING")
-    # ---- phase 6: cold output (no reusable pages) --------------------
+
+    # ---- phases 8-10: device subprocess rows, each bounded by its own
+    # timeout AND the global deadline; the MXU bench self-limits via
+    # PGEN_BENCH_MXU_BUDGET_S and returns partial results when the
+    # tunnel is degraded ----------------------------------------------
+    _phase(
+        "kernel", 60,
+        lambda: STATE.update(_subprocess_row("--kernel-bench", "kernel", 460)),
+        gate="PGEN_BENCH_KERNEL",
+    )
+    _phase(
+        "mxu", 60,
+        lambda: STATE.update(_subprocess_row("--mxu-bench", "mxu", 460)),
+        gate="PGEN_BENCH_MXU",
+    )
+    _phase(
+        "device_e2e", 60,
+        lambda: STATE.update(_subprocess_row("--device-bench", "device_e2e", 460)),
+        gate="PGEN_BENCH_DEVICE",
+    )
+
+    # ---- phases 9-10: cold + import LAST — cold mostly measures the
+    # hypervisor's first-touch backing (up to ~250 s on a bad day) and
+    # must not starve the kernel/MXU evidence rows ---------------------
     def cold():
         prefix = uctx.get("prefix") or rctx.get("prefix")
         out = uctx.get("out") or rctx.get("out")
@@ -436,7 +459,6 @@ def main():
 
     _phase("cold", 90, cold, gate="PGEN_BENCH_COLD")
 
-    # ---- phase 7: VCF import (reverse direction; plink2's territory) -
     def import_vcf_row():
         from pgen_tpu.pipeline.vcf_import import import_vcf
 
@@ -460,26 +482,6 @@ def main():
         os.sync()
 
     _phase("import", 80, import_vcf_row, gate="PGEN_BENCH_IMPORT")
-
-    # ---- phases 8-10: device subprocess rows, each bounded by its own
-    # timeout AND the global deadline; the MXU bench self-limits via
-    # PGEN_BENCH_MXU_BUDGET_S and returns partial results when the
-    # tunnel is degraded ----------------------------------------------
-    _phase(
-        "kernel", 60,
-        lambda: STATE.update(_subprocess_row("--kernel-bench", "kernel", 460)),
-        gate="PGEN_BENCH_KERNEL",
-    )
-    _phase(
-        "mxu", 60,
-        lambda: STATE.update(_subprocess_row("--mxu-bench", "mxu", 460)),
-        gate="PGEN_BENCH_MXU",
-    )
-    _phase(
-        "device_e2e", 60,
-        lambda: STATE.update(_subprocess_row("--device-bench", "device_e2e", 460)),
-        gate="PGEN_BENCH_DEVICE",
-    )
 
     _flush_detail()
     _print_compact()
