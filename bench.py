@@ -376,18 +376,28 @@ def main():
             lambda: filter_to_vcf_parallel(prefix, out_file=out, num_workers=2),
             sruns, warmups=0, presync=False,
         )
-        halves = []
-        for si in (0, 1):
-            part = f"{out}.half{si}"
-            ts = _timed_runs(
-                lambda si=si, part=part: filter_to_vcf_sharded(
-                    prefix, out_file=part, num_shards=2, shard_index=si,
-                    standalone=True,
-                ),
-                sruns + 1, warmups=1, per_run_est=8.0, presync=False,
+        # halves run INTERLEAVED (h0,h1,h0,h1,...) so a transient slow
+        # window (hypervisor writeback) cannot bias one half's min while
+        # the other samples a quiet period (r4-r6: the slow half
+        # alternated between runs, swinging the projection 0.62-0.90)
+        def _half(si):
+            return filter_to_vcf_sharded(
+                prefix, out_file=f"{out}.half{si}", num_shards=2,
+                shard_index=si, standalone=True,
             )
-            halves.append(min(ts))
-            os.unlink(part)
+
+        _half(0), _half(1)  # warm (cold first-touch of the part files)
+        half_ts = ([], [])
+        for _ in range(sruns + 2):
+            if _remaining() < 40:
+                break
+            for si in (0, 1):
+                t0 = time.perf_counter()
+                _half(si)
+                half_ts[si].append(time.perf_counter() - t0)
+        halves = [min(ts) for ts in half_ts]
+        for si in (0, 1):
+            os.unlink(f"{out}.half{si}")
         m1, m2 = statistics.median(w1), statistics.median(w2)
         STATE.update(
             {
