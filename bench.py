@@ -386,16 +386,30 @@ def main():
                 shard_index=si, standalone=True,
             )
 
-        _half(0), _half(1)  # warm (cold first-touch of the part files)
-        half_ts = ([], [])
+        # the 1-host numerator uses the SAME in-process sharded code path
+        # (num_shards=1) so process-spawn overhead cancels out of the
+        # ratio; interleaved with the halves per round
+        def _full1():
+            return filter_to_vcf_sharded(
+                prefix, out_file=f"{out}.full1", num_shards=1,
+                shard_index=0, standalone=True,
+            )
+
+        _full1(), _half(0), _half(1)  # warm (cold first-touch)
+        full_ts, half_ts = [], ([], [])
         for _ in range(sruns + 2):
-            if _remaining() < 40:
+            if _remaining() < 50:
                 break
+            t0 = time.perf_counter()
+            _full1()
+            full_ts.append(time.perf_counter() - t0)
             for si in (0, 1):
                 t0 = time.perf_counter()
                 _half(si)
                 half_ts[si].append(time.perf_counter() - t0)
         halves = [min(ts) for ts in half_ts]
+        t_full1 = min(full_ts)
+        os.unlink(f"{out}.full1")
         for si in (0, 1):
             os.unlink(f"{out}.half{si}")
         m1, m2 = statistics.median(w1), statistics.median(w2)
@@ -405,8 +419,9 @@ def main():
                 "scaling_w2_s": round(m2, 3),
                 "scaling_2worker_efficiency": round(m1 / (2 * m2), 3),
                 "scaling_half_shard_s": [round(t, 3) for t in halves],
+                "scaling_full1_s": round(t_full1, 3),
                 "scaling_2host_projected_efficiency": round(
-                    min(w1) / (2 * max(halves)), 3
+                    t_full1 / (2 * max(halves)), 3
                 ),
                 "scaling_note": "2worker = 2 processes sharing this VM's "
                 "ONE memory bus, which a single worker already saturates "
@@ -414,7 +429,10 @@ def main():
                 "each half-shard timed with the machine to itself (own "
                 "bus per host, zero inter-worker communication: output "
                 "offsets are arithmetic), efficiency = "
-                "min(t1)/(2*max(min half)).",
+                "min(in-process full)/(2*max(min half)) — both sides run "
+                "the same in-process sharded code path, interleaved, so "
+                "process-spawn overhead and transient slow windows "
+                "cancel.",
             }
         )
         os.sync()
