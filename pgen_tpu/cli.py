@@ -1345,35 +1345,44 @@ def main(argv=None) -> int:
                 print("filter: error: --hwe-midp requires --hwe X",
                       file=sys.stderr)
                 return 2
-            if args.rm_dup == "force-first":
-                args.var_query = _and_cond(args.var_query, "DUP_FIRST")
-            elif args.rm_dup == "exclude-all":
-                args.var_query = _and_cond(args.var_query, "DUP_UNIQUE")
+            # plink2 --rm-dup operates on the POST-filter variant set
+            # (dedup applies after --extract/--maf/... like plink2's
+            # filter order): force-first/exclude-all wrap the composed
+            # query in the dup_*_within builtins; error/list evaluate the
+            # same post-filter set
+            if args.rm_dup in ("force-first", "exclude-all"):
+                fn = (
+                    "dup_first_within"
+                    if args.rm_dup == "force-first"
+                    else "dup_unique_within"
+                )
+                inner = args.var_query if args.var_query is not None else "true"
+                args.var_query = f"{fn}(({inner}))"
             elif args.rm_dup in ("error", "list"):
-                import numpy as _np
+                from pgen_tpu.pipeline.filter import duplicated_ids
 
-                from pgen_tpu.formats.metadata import read_metadata
-                from pgen_tpu.query.dup import _first_and_unique
-
-                ids = read_metadata(
-                    f"{args.pfile_prefix}.pvar"
-                ).get_column_bytes("ID")
-                _, unique = _first_and_unique(ids)
-                dup_ids = sorted(set(ids[~unique].tolist()))
+                dup_ids = duplicated_ids(
+                    args.pfile_prefix, args.var_query, args.sam_query,
+                    args.provider,
+                )
                 if args.rm_dup == "error":
                     if dup_ids:
                         print(
                             f"filter: error: --rm-dup error: "
                             f"{len(dup_ids)} duplicated variant ID(s) "
-                            f"(first: {dup_ids[0].decode()})",
+                            f"among kept variants (first: {dup_ids[0]})",
                             file=sys.stderr,
                         )
                         return 2
                 else:
-                    base = args.out_file or f"{args.pfile_prefix}.pgen-rs.vcf"
+                    base = (
+                        args.out_file
+                        if args.out_file and args.out_file != "-"
+                        else f"{args.pfile_prefix}.pgen-rs.vcf"
+                    )
                     lst = f"{base}.rmdup.list"
-                    with open(lst, "wb") as fh:
-                        fh.write(b"".join(i + b"\n" for i in dup_ids))
+                    with open(lst, "w") as fh:
+                        fh.write("".join(i + "\n" for i in dup_ids))
                     print(
                         f"filter: --rm-dup list: {len(dup_ids)} duplicated "
                         f"ID(s) -> {lst}",

@@ -22,7 +22,6 @@ the reference CLI has no analog (query/filter tool only).
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import numpy as np
@@ -45,9 +44,11 @@ class AdjustResult(NamedTuple):
 
 
 def _chi2_1_sf(x: np.ndarray) -> np.ndarray:
-    """chi2(1 df) survival function: erfc(sqrt(x/2)), elementwise f64."""
-    erfc = np.vectorize(math.erfc)
-    return erfc(np.sqrt(np.maximum(x, 0.0) / 2.0))
+    """chi2(1 df) survival = two-sided normal tail of sqrt(x):
+    erfc(sqrt(x/2)); reuses ops/logistic's vectorized erfc."""
+    from pgen_tpu.ops.logistic import normal_sf2
+
+    return normal_sf2(np.sqrt(np.maximum(x, 0.0)))
 
 
 def adjust_pvalues(p: np.ndarray, stat: np.ndarray | None = None,

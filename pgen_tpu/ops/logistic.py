@@ -571,7 +571,7 @@ def _irls_int_block(
         hess = _assemble_hess_int(
             w.sum(axis=1), wq[:, :k], wq[:, k : k + kk],
             wg.sum(axis=1), wgq[:, :k], wgq[:, k : k + kk],
-            (wg * ga).sum(axis=1), wg2q[:, :k], wg2q[:, k : k + kk], k,
+            wg2.sum(axis=1), wg2q[:, :k], wg2q[:, k : k + kk], k,
         )
         try:
             delta = np.linalg.solve(hess, grad[:, :, None])[:, :, 0]

@@ -598,7 +598,13 @@ def filter_to_vcf_sharded(
                 written += nbytes_body
             finally:
                 out_arr = None
-                mm.close()
+                try:
+                    mm.close()
+                except BufferError:
+                    # an in-flight exception's traceback can pin a view of
+                    # the mapping; let the original error propagate (the
+                    # mapping is released when the frames are collected)
+                    pass
     finally:
         os.close(fd)
 

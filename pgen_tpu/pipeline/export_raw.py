@@ -292,6 +292,14 @@ def export_ped(
 
     kept_refs = [refs[int(v)] for v in var_idx]
     kept_alts = [alts[int(v)] for v in var_idx]
+    bad = [i for i, a in enumerate(kept_alts) if "," in a]
+    if bad:
+        raise ValueError(
+            f"export ped: {len(bad)} kept variant(s) are multiallelic "
+            f"(first: ID {ids[int(var_idx[bad[0]])]} ALT "
+            f"{kept_alts[bad[0]]!r}); .ped cells hold one allele pair — "
+            "split or filter them first (plink2 --export ped errors too)"
+        )
     single = all(len(r) == 1 for r in kept_refs) and all(
         len(a) == 1 for a in kept_alts
     )

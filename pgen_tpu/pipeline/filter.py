@@ -144,6 +144,32 @@ def compute_masks(var_query, sam_query, pvar, psam, header, records, provider):
     return var_mask, sam_mask
 
 
+def duplicated_ids(
+    pfile_prefix: str,
+    var_query: str | None = None,
+    sam_query: str | None = None,
+    provider: str = "auto",
+) -> list:
+    """IDs that occur more than once among the variants KEPT by the
+    queries (the post-filter set --rm-dup error/list report on,
+    matching plink2's filter order)."""
+    provider = _resolve_provider(provider)
+    header = read_pgen_header(f"{pfile_prefix}.pgen")
+    pvar = read_metadata(f"{pfile_prefix}.pvar")
+    psam = read_metadata(f"{pfile_prefix}.psam")
+    rec = header.record_size
+    mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    records = mm[12 : 12 + header.num_variants * rec].reshape(
+        header.num_variants, rec
+    )
+    var_mask, _ = compute_masks(
+        var_query, sam_query, pvar, psam, header, records, provider
+    )
+    ids = pvar.get_column_bytes("ID")[np.flatnonzero(var_mask)]
+    uniq, counts = np.unique(ids, return_counts=True)
+    return sorted(x.decode() for x in uniq[counts > 1])
+
+
 @dataclass
 class FilterResult:
     out_path: str

@@ -183,6 +183,13 @@ def glm_pfile(
     input format). The conditioned variants still get tested; their own
     rows come back NA (self-collinearity), like plink2.
     """
+    if adjust and out is not None:
+        # validate BEFORE any table is emitted: a late error would leave
+        # a complete-looking .glm table on the stream (r4 review)
+        raise ValueError(
+            "glm: --adjust writes a separate .adjusted file; use a "
+            "file -o, not '-'"
+        )
     provider = _resolve_provider(provider)
     if provider == "native":
         provider = "numpy"  # BLAS is the host gemm engine (ops/glm.py)
@@ -471,11 +478,6 @@ def glm_pfile(
 
         with timer.stage("adjust"):
             adj = adjust_pvalues(res.p, stat, lambda_gc=adjust_lambda)
-        if out is not None:
-            raise ValueError(
-                "glm: --adjust writes a separate .adjusted file; use a "
-                "file -o, not '-'"
-            )
         adj_path = f"{out_path}.adjusted"
         log.info(
             "glm --adjust: genomic inflation est. lambda = %.6g over %d "

@@ -117,6 +117,36 @@ def _lower(node, table, extra=None):
             raise ExprError("num: expected String or number, got Boolean")
         if node.name == "in_list" and len(node.args) == 2:
             return _lower_in_list(node, table, extra)
+        if node.name in ("dup_first_within", "dup_unique_within") and len(
+            node.args
+        ) == 1:
+            # post-filter duplicate-group semantics (plink2 --rm-dup):
+            # true exactly on rows that are the first occurrence of their
+            # ID (or whose ID is unique) AMONG rows satisfying the inner
+            # condition; false elsewhere. Whole-column by nature, so only
+            # the vectorized engine can evaluate it (the row interpreter
+            # rejects it with an unknown-function error).
+            kind, v = _lower(node.args[0], table, extra)
+            if kind == _SCALAR and isinstance(v, bool):
+                kind, v = _MASK, np.full(table.num_rows, v, dtype=bool)
+            if kind != _MASK:
+                raise ExprError(
+                    f"{node.name}: expected a Boolean condition"
+                )
+            cond = (
+                np.broadcast_to(v, (table.num_rows,))
+                if np.ndim(v) == 0
+                else v
+            )
+            from pgen_tpu.query.dup import first_unique_within
+
+            first, unique = first_unique_within(
+                table.get_column_bytes("ID"), cond
+            )
+            return (
+                _MASK,
+                first if node.name == "dup_first_within" else unique,
+            )
         if node.name == "str::from" and len(node.args) == 1:
             kind, v = _lower(node.args[0], table, extra)
             if kind == _SCALAR:

@@ -44,6 +44,22 @@ def _first_and_unique(keys: np.ndarray):
     return first, counts[inv] == 1
 
 
+def first_unique_within(keys: np.ndarray, cond: np.ndarray):
+    """(first, unique) masks over the FULL row range, computed among the
+    rows where ``cond`` holds; rows outside cond are False in both.
+    Backs the dup_first_within/dup_unique_within query builtins (the
+    post-filter --rm-dup semantics: dedup applies to the already-filtered
+    variant set, like plink2's filter order)."""
+    idx = np.flatnonzero(cond)
+    first = np.zeros(len(keys), dtype=bool)
+    unique = np.zeros(len(keys), dtype=bool)
+    if len(idx):
+        f, u = _first_and_unique(keys[idx])
+        first[idx[f]] = True
+        unique[idx[u]] = True
+    return first, unique
+
+
 def full_keys(pvar) -> np.ndarray:
     """CHROM:POS:REF:ALT byte keys (the isec/diff matching key)."""
     cols = [pvar.get_column_bytes(c) for c in ("CHROM", "POS", "REF", "ALT")]

@@ -118,3 +118,16 @@ def test_cli_glm_adjust(tmp_path):
                                             rel=1e-5)
     # stdout mode rejects --adjust
     assert run_cli(["glm", prefix, "-o", "-", "--adjust"]) != 0
+
+
+def test_cli_glm_adjust_stdout_rejected_before_emission(tmp_path, capsys):
+    # the incompatibility must error BEFORE any table reaches the stream
+    codes = np.ones((2, 6), dtype=np.uint8)
+    pvar_rows = [f"1\t{100+i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(2)]
+    psam_rows = [f"s{i}\tM\t{i}.5" for i in range(6)]
+    prefix = build_fileset(
+        tmp_path, "adjs", codes, pvar_rows, psam_rows,
+        psam_columns="#IID\tSEX\tPHENO1",
+    )
+    assert run_cli(["glm", prefix, "-o", "-", "--adjust"]) != 0
+    assert capsys.readouterr().out == ""

@@ -174,3 +174,16 @@ def test_export_ped_filters_and_sex_pheno_defaults(tmp_path):
     assert [r.split("\t")[1] for r in mapl] == ["rs0", "rs2"]
     # '-' out is rejected for the pair format
     assert run_cli(["export", prefix, "ped", "-o", "-"]) == 2
+
+
+def test_export_ped_rejects_multiallelic(tmp_path):
+    codes = np.zeros((2, 3), dtype=np.uint8)
+    pvar_rows = ["1\t100\tv0\tA\tG\t.\tPASS\t.",
+                 "1\t200\tv1\tC\tG,T\t.\tPASS\t."]
+    psam_rows = [f"s{i}\tM" for i in range(3)]
+    prefix = build_fileset(tmp_path, "pm", codes, pvar_rows, psam_rows)
+    assert run_cli(["export", prefix, "ped",
+                    "-o", str(tmp_path / "o")]) != 0
+    # filtering the multiallelic row away makes it exportable
+    assert run_cli(["export", prefix, "ped", "-o", str(tmp_path / "o"),
+                    "--include-var", 'ID=="v0"']) == 0

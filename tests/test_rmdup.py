@@ -91,6 +91,29 @@ def test_rm_dup_force_first_and_exclude_all(tmp_path):
     assert _body_ids(out) == ["rs1", "rs3"]
 
 
+def test_rm_dup_is_post_filter(tmp_path):
+    """plink2 filter-order parity: dedup applies to the variants KEPT by
+    the other predicates — excluding the file-order first instance must
+    promote the next one, not drop the whole ID (r4 review finding)."""
+    # rs1 at POS 100 (row 0) and POS 103 (row 3)
+    prefix = _fileset(tmp_path, ["rs1", "rs2", "rs3", "rs1"])
+    out = tmp_path / "o.vcf"
+    # a filter that removes row 0: the surviving rs1 (row 3) must stay
+    assert run_cli(["filter", prefix, "--rm-dup", "force-first",
+                    "--include-var", 'POS!="100"', "-o", str(out)]) == 0
+    assert _body_ids(out) == ["rs2", "rs3", "rs1"]
+    # exclude-all: among kept rows, rs1 appears once -> it is unique
+    assert run_cli(["filter", prefix, "--rm-dup", "exclude-all",
+                    "--include-var", 'POS!="100"', "-o", str(out)]) == 0
+    assert _body_ids(out) == ["rs2", "rs3", "rs1"]
+    # error/list modes also see the post-filter set
+    assert run_cli(["filter", prefix, "--rm-dup", "error",
+                    "--include-var", 'POS!="100"', "-o", str(out)]) == 0
+    assert run_cli(["filter", prefix, "--rm-dup", "list",
+                    "--include-var", 'POS!="100"', "-o", str(out)]) == 0
+    assert (tmp_path / "o.vcf.rmdup.list").read_text() == ""
+
+
 def test_rm_dup_error_and_list(tmp_path, capsys):
     prefix = _fileset(tmp_path, IDS)
     out = tmp_path / "o.vcf"
