@@ -124,9 +124,14 @@ def _lower(node, table, extra=None):
             # true exactly on rows that are the first occurrence of their
             # ID (or whose ID is unique) AMONG rows satisfying the inner
             # condition; false elsewhere. Whole-column by nature, so only
-            # the vectorized engine can evaluate it (the row interpreter
-            # rejects it with an unknown-function error).
-            kind, v = _lower(node.args[0], table, extra)
+            # this engine can evaluate it — an inner condition outside
+            # the vectorizable subset (regex etc.) is evaluated with the
+            # row-exact interpreter HERE rather than failing the whole
+            # expression over to it.
+            try:
+                kind, v = _lower(node.args[0], table, extra)
+            except _Fallback:
+                kind, v = _MASK, _fallback_mask(node.args[0], table, extra)
             if kind == _SCALAR and isinstance(v, bool):
                 kind, v = _MASK, np.full(table.num_rows, v, dtype=bool)
             if kind != _MASK:

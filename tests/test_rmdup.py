@@ -149,3 +149,16 @@ def test_dup_query_subcommand(tmp_path, capsys):
     assert capsys.readouterr().out.splitlines() == [
         "rs1", "rs2", "rs1", "rs2", "rs1"
     ]
+
+
+def test_rm_dup_with_row_interpreter_condition(tmp_path):
+    """An inner condition outside the vectorizable subset (regex) must
+    still work: the builtin evaluates it row-exactly itself."""
+    prefix = _fileset(tmp_path, ["rs1", "rs2", "rs1", "xq9"])
+    out = tmp_path / "o.vcf"
+    assert run_cli([
+        "filter", prefix, "--rm-dup", "force-first",
+        "--include-var", 'str::regex_matches(ID, "^rs")',
+        "-o", str(out),
+    ]) == 0
+    assert _body_ids(out) == ["rs1", "rs2"]
