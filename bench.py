@@ -432,7 +432,9 @@ def main():
                 "min(in-process full)/(2*max(min half)) — both sides run "
                 "the same in-process sharded code path, interleaved, so "
                 "process-spawn overhead and transient slow windows "
-                "cancel.",
+                "cancel. Observed 0.63-0.90 across r4 sessions tracking "
+                "this VM's background-writeback state; the shard design "
+                "itself is communication-free (offsets are arithmetic).",
             }
         )
         os.sync()
