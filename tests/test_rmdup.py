@@ -162,3 +162,33 @@ def test_rm_dup_with_row_interpreter_condition(tmp_path):
         "-o", str(out),
     ]) == 0
     assert _body_ids(out) == ["rs1", "rs2"]
+
+
+def test_dup_within_property_vs_bruteforce(tmp_path):
+    """dup_*_within vs a brute-force reference over random ID/condition
+    combinations (including empty selections)."""
+    from pgen_tpu.formats.metadata import read_metadata
+    from pgen_tpu.query.compile import compile_predicate
+
+    rng = np.random.default_rng(77)
+    for trial in range(8):
+        nv = int(rng.integers(1, 40))
+        ids = [f"r{rng.integers(0, max(1, nv // 2))}" for _ in range(nv)]
+        alts = [rng.choice(["G", "T"]) for _ in range(nv)]
+        prefix = _fileset(tmp_path, ids, alts=list(alts))
+        pvar = read_metadata(f"{prefix}.pvar")
+        cond = [a == "G" for a in alts]
+        for fn, mode in (("dup_first_within", "first"),
+                         ("dup_unique_within", "unique")):
+            got = compile_predicate(f'{fn}((ALT == "G"))', pvar)
+            seen = {}
+            for i, (iid, c) in enumerate(zip(ids, cond)):
+                if c:
+                    seen.setdefault(iid, []).append(i)
+            exp = np.zeros(nv, dtype=bool)
+            for iid, rows in seen.items():
+                if mode == "first":
+                    exp[rows[0]] = True
+                elif len(rows) == 1:
+                    exp[rows[0]] = True
+            np.testing.assert_array_equal(got, exp, err_msg=f"{fn} t{trial}")
