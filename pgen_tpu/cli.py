@@ -661,8 +661,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     gl.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
     gl.add_argument("--pheno-name", dest="pheno_name", default="PHENO1",
-                    help="psam phenotype column (default PHENO1); NA/./-9 "
-                         "mark missing samples.")
+                    help="Phenotype column(s), comma-separated (default "
+                         "PHENO1); NA/./-9 mark missing samples. Multiple "
+                         "names run one GWAS each, writing one "
+                         "{base}.{pheno}.glm.{model} per phenotype "
+                         "(plink2 multi-phenotype behavior).")
     gl.add_argument("--pheno", dest="pheno_file", default=None,
                     metavar="FILE",
                     help="External phenotype TSV joined on IID (plink2 "
@@ -1760,41 +1763,61 @@ def main(argv=None) -> int:
                         ln.strip() for ln in fh
                         if ln.strip() and not ln.strip().startswith("#")
                     ]
-            result = glm_pfile(
-                args.pfile_prefix,
-                pheno_name=args.pheno_name,
-                covar_names=covars,
-                model=args.model,
-                var_query=apply_exclude(
-                    apply_regions(args.var_query, args.regions, args.regions_file),
-                    args.var_exclude,
-                ),
-                sam_query=apply_exclude(
-                    apply_samples(args.sam_query, args.samples, args.samples_file),
-                    args.sam_exclude,
-                ),
-                out_file=None if args.out_file == "-" else args.out_file,
-                out=sys.stdout if args.out_file == "-" else None,
-                provider=args.provider,
-                block_variants=args.block_variants,
-                firth=args.firth,
-                pheno_file=args.pheno_file,
-                covar_file=args.covar_file,
-                condition=condition,
-                interaction=args.interaction,
-                adjust=args.adjust,
-                adjust_lambda=args.adjust_lambda,
-            )
-            if args.stats:
-                print(result.timer.report(), file=sys.stderr)
-            dest = "stdout" if args.out_file == "-" else result.out_path
-            print(
-                f"glm: {result.model} {result.pheno_name} ~ ADD"
-                + (f" + {len(covars)} covar(s)" if covars else "")
-                + f" over {result.num_variants} variants x "
-                f"{result.num_samples} samples -> {dest}",
-                file=sys.stderr,
-            )
+            # plink2 runs every named phenotype (comma list) and writes
+            # one {base}.{pheno}.glm.{model} per phenotype
+            phenos = [
+                p_.strip() for p_ in args.pheno_name.split(",") if p_.strip()
+            ]
+            if len(phenos) > 1 and args.out_file == "-":
+                print("glm: error: multiple phenotypes write one file "
+                      "each; use a file -o, not '-'", file=sys.stderr)
+                return 2
+            for pheno in phenos:
+                if len(phenos) > 1 and args.out_file:
+                    out_file = f"{args.out_file}.{pheno}.glm"
+                elif args.out_file == "-":
+                    out_file = None
+                else:
+                    out_file = args.out_file
+                result = glm_pfile(
+                    args.pfile_prefix,
+                    pheno_name=pheno,
+                    covar_names=covars,
+                    model=args.model,
+                    var_query=apply_exclude(
+                        apply_regions(
+                            args.var_query, args.regions, args.regions_file
+                        ),
+                        args.var_exclude,
+                    ),
+                    sam_query=apply_exclude(
+                        apply_samples(
+                            args.sam_query, args.samples, args.samples_file
+                        ),
+                        args.sam_exclude,
+                    ),
+                    out_file=out_file,
+                    out=sys.stdout if args.out_file == "-" else None,
+                    provider=args.provider,
+                    block_variants=args.block_variants,
+                    firth=args.firth,
+                    pheno_file=args.pheno_file,
+                    covar_file=args.covar_file,
+                    condition=condition,
+                    interaction=args.interaction,
+                    adjust=args.adjust,
+                    adjust_lambda=args.adjust_lambda,
+                )
+                if args.stats:
+                    print(result.timer.report(), file=sys.stderr)
+                dest = "stdout" if args.out_file == "-" else result.out_path
+                print(
+                    f"glm: {result.model} {result.pheno_name} ~ ADD"
+                    + (f" + {len(covars)} covar(s)" if covars else "")
+                    + f" over {result.num_variants} variants x "
+                    f"{result.num_samples} samples -> {dest}",
+                    file=sys.stderr,
+                )
             return 0
         if args.command == "clump":
             from pgen_tpu.pipeline.clump import clump_pfile

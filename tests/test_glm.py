@@ -658,3 +658,41 @@ def test_cli_glm_condition_list(tmp_path):
     assert run_cli([
         "glm", prefix, "--condition", "nosuch", "-o", str(out),
     ]) == 1
+
+
+def test_cli_glm_multi_pheno(tmp_path):
+    """Comma-listed --pheno-name runs one GWAS per phenotype and writes
+    one output file each (plink2 multi-phenotype behavior)."""
+    rng = np.random.default_rng(61)
+    nv, ns = 8, 50
+    codes = rng.binomial(2, 0.4, size=(nv, ns)).astype(np.uint8)
+    q1 = 1.2 * codes[2].astype(float) + rng.normal(size=ns)
+    q2 = rng.normal(size=ns)
+    pvar_rows = [f"1\t{100+i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(nv)]
+    psam_rows = [
+        f"s{i}\tM\t{q1[i]:.6g}\t{q2[i]:.6g}" for i in range(ns)
+    ]
+    prefix = build_fileset(
+        tmp_path, "mp", codes, pvar_rows, psam_rows,
+        psam_columns="#IID\tSEX\tQ1\tQ2",
+    )
+    base = tmp_path / "gw"
+    assert run_cli(["glm", prefix, "--pheno-name", "Q1,Q2",
+                    "-o", str(base)]) == 0
+    out1 = tmp_path / "gw.Q1.glm"
+    out2 = tmp_path / "gw.Q2.glm"
+    assert out1.exists() and out2.exists()
+    r1 = [ln.split("\t") for ln in out1.read_text().splitlines()[1:]]
+    r2 = [ln.split("\t") for ln in out2.read_text().splitlines()[1:]]
+    assert len(r1) == nv and len(r2) == nv
+    # the planted Q1 effect at rs2 is significant there, not in Q2
+    p1 = float(r1[2][-1])
+    p2 = float(r2[2][-1])
+    assert p1 < 1e-6 and p2 > 1e-6
+    # per-pheno results equal the single-pheno runs
+    assert run_cli(["glm", prefix, "--pheno-name", "Q1",
+                    "-o", str(tmp_path / "solo")]) == 0
+    assert (tmp_path / "solo").read_text() == out1.read_text()
+    # stdout + multiple phenotypes is rejected
+    assert run_cli(["glm", prefix, "--pheno-name", "Q1,Q2",
+                    "-o", "-"]) == 2
