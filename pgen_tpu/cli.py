@@ -736,6 +736,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
              "the interaction IRLS (vanilla Newton, no Firth rescue).",
     )
     gl.add_argument(
+        "--covar-variance-standardize", dest="covar_vs",
+        action="store_true",
+        help="Standardize each covariate to mean 0 variance 1 over the "
+             "analysis cohort before fitting (plink2 "
+             "--covar-variance-standardize; the ADD test is invariant).",
+    )
+    gl.add_argument(
         "--adjust", action="store_true",
         help="Also write {out}.adjusted (plink2 --adjust): rows sorted "
              "by UNADJ with GC / BONF / HOLM / SIDAK_SS / SIDAK_SD / "
@@ -1807,6 +1814,7 @@ def main(argv=None) -> int:
                     interaction=args.interaction,
                     adjust=args.adjust,
                     adjust_lambda=args.adjust_lambda,
+                    covar_variance_standardize=args.covar_vs,
                 )
                 if args.stats:
                     print(result.timer.report(), file=sys.stderr)

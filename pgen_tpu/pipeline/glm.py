@@ -171,6 +171,7 @@ def glm_pfile(
     interaction: bool = False,
     adjust: bool = False,
     adjust_lambda: float | None = None,
+    covar_variance_standardize: bool = False,
 ) -> GlmRunResult:
     """See the module docstring. Additional plink2 surfaces:
 
@@ -309,6 +310,21 @@ def glm_pfile(
                 f"glm: {n_sam} analyzable samples is too few for {k} "
                 f"covariate(s) incl. --condition (need >= {k + 3})"
             )
+    if covar_variance_standardize and k:
+        # plink2 --covar-variance-standardize: each covariate column to
+        # mean 0 variance 1 over the analysis cohort (stabilizes the
+        # logistic IRLS with wild-scale covariates; the ADD test is
+        # invariant under this affine transform — pinned by test)
+        mu = covars.mean(axis=0)
+        sd = covars.std(axis=0)
+        zero = sd == 0
+        if zero.any():
+            bad = [covar_labels[i] for i in np.flatnonzero(zero)]
+            raise ValueError(
+                "glm: --covar-variance-standardize: constant covariate "
+                f"column(s) over the cohort: {', '.join(bad)}"
+            )
+        covars = (covars - mu) / sd
     if np.nanstd(y) == 0:
         raise ValueError(f"glm: phenotype {pheno_name} is constant")
     model, y = detect_model(y, model)

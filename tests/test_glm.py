@@ -696,3 +696,40 @@ def test_cli_glm_multi_pheno(tmp_path):
     # stdout + multiple phenotypes is rejected
     assert run_cli(["glm", prefix, "--pheno-name", "Q1,Q2",
                     "-o", "-"]) == 2
+
+
+def test_cli_glm_covar_variance_standardize_add_invariant(tmp_path):
+    """--covar-variance-standardize leaves the ADD test unchanged (an
+    affine covariate transform) while stabilizing wild scales."""
+    rng = np.random.default_rng(71)
+    nv, ns = 6, 60
+    codes = rng.binomial(2, 0.4, size=(nv, ns)).astype(np.uint8)
+    big = rng.normal(5e6, 1e6, size=ns)  # wild-scale covariate
+    y = 0.8 * codes[1].astype(float) + 1e-7 * big + rng.normal(size=ns)
+    pvar_rows = [f"1\t{100+i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(nv)]
+    psam_rows = [f"s{i}\t{y[i]:.8g}\t{big[i]:.8g}" for i in range(ns)]
+    prefix = build_fileset(
+        tmp_path, "cvs", codes, pvar_rows, psam_rows,
+        psam_columns="#IID\tPHENO1\tBIGC",
+    )
+    o1 = tmp_path / "a.glm"
+    o2 = tmp_path / "b.glm"
+    assert run_cli(["glm", prefix, "--covar-name", "BIGC",
+                    "-o", str(o1)]) == 0
+    assert run_cli(["glm", prefix, "--covar-name", "BIGC",
+                    "--covar-variance-standardize", "-o", str(o2)]) == 0
+    r1 = [ln.split("\t") for ln in o1.read_text().splitlines()[1:]]
+    r2 = [ln.split("\t") for ln in o2.read_text().splitlines()[1:]]
+    for a, b in zip(r1, r2):
+        # BETA/SE/T/P of the ADD test agree to solver precision
+        for c in range(8, 12):
+            np.testing.assert_allclose(float(a[c]), float(b[c]), rtol=1e-6)
+    # constant covariate errors clearly
+    psam_rows_c = [f"s{i}\t{y[i]:.8g}\t7" for i in range(ns)]
+    prefix_c = build_fileset(
+        tmp_path, "cvc", codes, pvar_rows, psam_rows_c,
+        psam_columns="#IID\tPHENO1\tBIGC",
+    )
+    assert run_cli(["glm", prefix_c, "--covar-name", "BIGC",
+                    "--covar-variance-standardize",
+                    "-o", str(o1)]) != 0
