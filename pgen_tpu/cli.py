@@ -1355,11 +1355,20 @@ def main(argv=None) -> int:
                 print("filter: error: --hwe-midp requires --hwe X",
                       file=sys.stderr)
                 return 2
+            if args.hwe is not None:
+                hwe_var = "GT_HWE_MIDP" if args.hwe_midp else "GT_HWE_P"
+                args.var_query = _and_cond(
+                    args.var_query, f"{hwe_var} >= {args.hwe!r}"
+                )
+            if args.mind is not None:
+                args.sam_query = _and_cond(
+                    args.sam_query, f"GT_MISSING_RATE <= {args.mind!r}"
+                )
             # plink2 --rm-dup operates on the POST-filter variant set
-            # (dedup applies after --extract/--maf/... like plink2's
-            # filter order): force-first/exclude-all wrap the composed
-            # query in the dup_*_within builtins; error/list evaluate the
-            # same post-filter set
+            # (dedup applies after --extract/--maf/--geno/--hwe/--mind
+            # like plink2's filter order): force-first/exclude-all wrap
+            # the fully composed query in the dup_*_within builtins;
+            # error/list evaluate the same post-filter set
             if args.rm_dup in ("force-first", "exclude-all"):
                 fn = (
                     "dup_first_within"
@@ -1398,15 +1407,6 @@ def main(argv=None) -> int:
                         f"ID(s) -> {lst}",
                         file=sys.stderr,
                     )
-            if args.hwe is not None:
-                hwe_var = "GT_HWE_MIDP" if args.hwe_midp else "GT_HWE_P"
-                args.var_query = _and_cond(
-                    args.var_query, f"{hwe_var} >= {args.hwe!r}"
-                )
-            if args.mind is not None:
-                args.sam_query = _and_cond(
-                    args.sam_query, f"GT_MISSING_RATE <= {args.mind!r}"
-                )
             if args.out_file == "-":
                 # stdout streaming rides the pipe sink of the single-process
                 # VCF writer; every other path pwrites at computed offsets
@@ -1780,8 +1780,12 @@ def main(argv=None) -> int:
                       "each; use a file -o, not '-'", file=sys.stderr)
                 return 2
             for pheno in phenos:
+                out_base = None
                 if len(phenos) > 1 and args.out_file:
-                    out_file = f"{args.out_file}.{pheno}.glm"
+                    # model suffix appended by glm_pfile once detected:
+                    # {base}.{pheno}.glm.{model} (matches --pheno-name help)
+                    out_base = f"{args.out_file}.{pheno}"
+                    out_file = None
                 elif args.out_file == "-":
                     out_file = None
                 else:
@@ -1815,6 +1819,7 @@ def main(argv=None) -> int:
                     adjust=args.adjust,
                     adjust_lambda=args.adjust_lambda,
                     covar_variance_standardize=args.covar_vs,
+                    out_base=out_base,
                 )
                 if args.stats:
                     print(result.timer.report(), file=sys.stderr)

@@ -172,6 +172,7 @@ def glm_pfile(
     adjust: bool = False,
     adjust_lambda: float | None = None,
     covar_variance_standardize: bool = False,
+    out_base: str | None = None,
 ) -> GlmRunResult:
     """See the module docstring. Additional plink2 surfaces:
 
@@ -431,7 +432,16 @@ def glm_pfile(
             res = glm_solve(moments, k)
         stat = res.t_stat
 
-    out_path = out_file or f"{pfile_prefix}.{pheno_name}.glm.{model}"
+    # explicit -o wins; out_base (multi-pheno CLI) appends the model
+    # suffix once it is known, matching the documented
+    # {base}.{pheno}.glm.{model} layout so linear/logistic runs of the
+    # same phenotype never collide on one name
+    if out_file is not None:
+        out_path = out_file
+    elif out_base is not None:
+        out_path = f"{out_base}.glm.{model}"
+    else:
+        out_path = f"{pfile_prefix}.{pheno_name}.glm.{model}"
     if write:
         with timer.stage("emit"):
             import contextlib

@@ -95,8 +95,48 @@ def _lower(node, table, extra=None):
             raise ExprError("unary -: expected a number, got String")
         raise _Fallback
     if isinstance(node, Binary):
-        lk, lv = _lower(node.left, table, extra)
-        rk, rv = _lower(node.right, table, extra)
+        try:
+            lk, lv = _lower(node.left, table, extra)
+        except _Fallback:
+            lk = lv = None
+        try:
+            rk, rv = _lower(node.right, table, extra)
+        except _Fallback:
+            rk = rv = None
+        if lk is None and rk is None:
+            raise _Fallback
+        if lk is None or rk is None:
+            # One operand left the vectorizable subset. Normally the whole
+            # expression falls back to the row interpreter — but if the
+            # OTHER operand holds a dup_* builtin (whole-column by nature,
+            # the interpreter cannot evaluate it), substitute that side's
+            # compiled mask as a precomputed boolean variable and row-eval
+            # the binary itself, keeping evalexpr's per-row short-circuit
+            # semantics exact (r4 advisor finding).
+            good_node = node.right if lk is None else node.left
+            gk, gv = (rk, rv) if lk is None else (lk, lv)
+            if node.op in ("&&", "||") and _contains_dup(good_node):
+                if gk == _SCALAR and isinstance(gv, bool):
+                    gk, gv = _MASK, np.full(table.num_rows, gv, dtype=bool)
+                if gk == _MASK:
+                    gv = (
+                        np.broadcast_to(gv, (table.num_rows,))
+                        if np.ndim(gv) == 0
+                        else np.asarray(gv, dtype=bool)
+                    )
+                    name = "__dup_compiled__"
+                    sub = Var(name)
+                    # substitute the compiled (dup) side; keep the
+                    # fallback side for row-exact evaluation
+                    newnode = (
+                        Binary(node.op, sub, node.right)
+                        if rk is None
+                        else Binary(node.op, node.left, sub)
+                    )
+                    extra2 = dict(extra or {})
+                    extra2[name] = gv
+                    return (_MASK, _fallback_mask(newnode, table, extra2))
+            raise _Fallback
         return _lower_binary(node.op, lk, lv, rk, rv)
     if isinstance(node, Call):
         if node.name == "num" and len(node.args) == 1:
@@ -171,6 +211,20 @@ def _lower(node, table, extra=None):
             raise _Fallback
         raise _Fallback
     raise _Fallback
+
+
+def _contains_dup(node) -> bool:
+    """True if the subtree references a dup_* whole-column builtin (only
+    the compiler can evaluate those; the row interpreter has no binding)."""
+    if isinstance(node, Call):
+        return node.name in ("dup_first_within", "dup_unique_within") or any(
+            _contains_dup(a) for a in node.args
+        )
+    if isinstance(node, Binary):
+        return _contains_dup(node.left) or _contains_dup(node.right)
+    if isinstance(node, Unary):
+        return _contains_dup(node.operand)
+    return False
 
 
 def _lower_in_list(node, table, extra):

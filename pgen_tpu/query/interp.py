@@ -548,6 +548,15 @@ def _call_builtin(name, args):
                     return True
             return False
         raise ExprError(f"in_list: expected String or number, got {_type_name(v)}")
+    if name in ("dup_first_within", "dup_unique_within"):
+        # whole-column duplicate-group builtins exist only in the
+        # vectorized compiler (query/compile.py); a row at a time there
+        # is no duplicate group to consult
+        raise ExprError(
+            f"{name}: whole-column builtin is unavailable in row-exact "
+            "evaluation; it composes only with vectorizable (or "
+            "&&/||-sibling) subexpressions"
+        )
     raise ExprError(f"function identifier is not bound: {name}")
 
 

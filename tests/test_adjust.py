@@ -75,6 +75,26 @@ def test_adjust_gc_deflates_inflated_stats():
     np.testing.assert_allclose(res.gc[i], exp, rtol=1e-12)
 
 
+def test_adjust_gc_small_df_t_not_inflated():
+    """GC chisq comes from the p-value (qchisq(1-p,1)), so a null
+    Student-t at tiny df must give lambda ~ 1 — squaring the t itself
+    would give ~df/(df-2) (r4 advisor finding)."""
+    df = 4
+    # exact null: t values at the uniform p quantiles for this df
+    qs = (np.arange(1, 402) - 0.5) / 401.0
+    t = scipy_stats.t.ppf(1.0 - qs / 2.0, df)
+    p = 2.0 * scipy_stats.t.sf(np.abs(t), df)
+    res = adjust_pvalues(p, stat=t)
+    # t^2 median here is ~ df/(df-2) * chi2 median ~= 1.32; p-derived must be ~1
+    assert res.lambda_gc == pytest.approx(1.0, abs=0.02)
+    np.testing.assert_allclose(res.gc, res.unadj, rtol=1e-6)
+    # underflowed p == 0.0 falls back to stat^2 (finite GC input)
+    p0 = np.array([0.0, 0.5, 0.9])
+    z0 = np.array([40.0, 0.6744898, 0.1256613])
+    res0 = adjust_pvalues(p0, stat=z0, lambda_gc=1.0)
+    assert np.isfinite(res0.gc).all() and res0.gc[0] < 1e-300
+
+
 def test_adjust_nan_rows_excluded_and_lambda_override():
     p = np.array([0.01, np.nan, 0.5, np.nan, 0.2])
     z = np.array([2.575829, np.nan, 0.6744898, np.nan, 1.281552])

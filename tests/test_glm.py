@@ -679,8 +679,10 @@ def test_cli_glm_multi_pheno(tmp_path):
     base = tmp_path / "gw"
     assert run_cli(["glm", prefix, "--pheno-name", "Q1,Q2",
                     "-o", str(base)]) == 0
-    out1 = tmp_path / "gw.Q1.glm"
-    out2 = tmp_path / "gw.Q2.glm"
+    # documented layout: {base}.{pheno}.glm.{model} (r4 advisor finding —
+    # the model suffix keeps linear/logistic runs from colliding)
+    out1 = tmp_path / "gw.Q1.glm.linear"
+    out2 = tmp_path / "gw.Q2.glm.linear"
     assert out1.exists() and out2.exists()
     r1 = [ln.split("\t") for ln in out1.read_text().splitlines()[1:]]
     r2 = [ln.split("\t") for ln in out2.read_text().splitlines()[1:]]

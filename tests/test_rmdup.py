@@ -114,6 +114,37 @@ def test_rm_dup_is_post_filter(tmp_path):
     assert (tmp_path / "o.vcf.rmdup.list").read_text() == ""
 
 
+def test_rm_dup_composes_with_hwe(tmp_path):
+    """--hwe belongs to the post-filter set --rm-dup dedups over (r4
+    advisor finding): an HWE-failing file-order-first copy must not
+    consume the DUP-first slot and then get dropped by the HWE clause."""
+    ns = 20
+    hwe_bad = np.full(ns, 1, dtype=np.uint8)  # all-het: HWE p ~ 0
+    hwe_ok = np.array([0] * 5 + [1] * 10 + [2] * 5, dtype=np.uint8)
+    codes = np.stack([hwe_bad, hwe_ok, hwe_ok])
+    pvar_rows = [
+        f"1\t{100 + i}\t{vid}\tA\tG\t.\tPASS\t."
+        for i, vid in enumerate(["rs1", "rs2", "rs1"])
+    ]
+    psam_rows = [f"s{i}\tM" for i in range(ns)]
+    prefix = build_fileset(tmp_path, "rdh", codes, pvar_rows, psam_rows)
+    out = tmp_path / "o.vcf"
+    # row 0 (rs1 first copy) fails HWE; force-first must promote row 2
+    assert run_cli(["filter", prefix, "--rm-dup", "force-first",
+                    "--hwe", "0.05", "-o", str(out)]) == 0
+    assert _body_ids(out) == ["rs2", "rs1"]
+    # exclude-all: post-HWE rs1 appears once -> unique, kept
+    assert run_cli(["filter", prefix, "--rm-dup", "exclude-all",
+                    "--hwe", "0.05", "-o", str(out)]) == 0
+    assert _body_ids(out) == ["rs2", "rs1"]
+    # error/list modes see the post-HWE set: no duplicates remain
+    assert run_cli(["filter", prefix, "--rm-dup", "error",
+                    "--hwe", "0.05", "-o", str(out)]) == 0
+    assert run_cli(["filter", prefix, "--rm-dup", "list",
+                    "--hwe", "0.05", "-o", str(out)]) == 0
+    assert (tmp_path / "o.vcf.rmdup.list").read_text() == ""
+
+
 def test_rm_dup_error_and_list(tmp_path, capsys):
     prefix = _fileset(tmp_path, IDS)
     out = tmp_path / "o.vcf"
@@ -162,6 +193,48 @@ def test_rm_dup_with_row_interpreter_condition(tmp_path):
         "-o", str(out),
     ]) == 0
     assert _body_ids(out) == ["rs1", "rs2"]
+
+
+def test_dup_builtin_with_fallback_sibling(tmp_path):
+    """A non-vectorizable sibling at the same boolean level (regex) must
+    not fail the whole expression over to the row interpreter, which has
+    no dup_* bindings (r4 advisor finding): the dup side's compiled mask
+    is substituted into the row-exact evaluation."""
+    prefix = _fileset(tmp_path, ["rs1", "rs2", "rs1", "xq9"])
+    out = tmp_path / "o.vcf"
+    # dup on the left, fallback sibling on the right
+    assert run_cli([
+        "filter", prefix, "--include-var",
+        'dup_first_within(true) && str::regex_matches(ID, "^rs")',
+        "-o", str(out),
+    ]) == 0
+    assert _body_ids(out) == ["rs1", "rs2"]
+    # fallback on the left, dup on the right; || composition
+    assert run_cli([
+        "filter", prefix, "--include-var",
+        'str::regex_matches(ID, "^xq") || dup_unique_within(true)',
+        "-o", str(out),
+    ]) == 0
+    assert _body_ids(out) == ["rs2", "xq9"]
+    # composes with a narrowed dup inner condition too
+    assert run_cli([
+        "filter", prefix, "--include-var",
+        'dup_unique_within(ID=="xq9") && str::regex_matches(ID, "^x")',
+        "-o", str(out),
+    ]) == 0
+    assert _body_ids(out) == ["xq9"]
+    # dup nested where the compiler cannot lift it still errors, now with
+    # a pointed message instead of "function identifier is not bound"
+    from pgen_tpu.formats.metadata import read_metadata
+    from pgen_tpu.query.ast import ExprError
+    from pgen_tpu.query.compile import compile_predicate
+
+    pvar = read_metadata(f"{prefix}.pvar")
+    with pytest.raises(ExprError, match="whole-column builtin"):
+        compile_predicate(
+            'str::to_lowercase(str::from(dup_first_within(true))) == "true"',
+            pvar,
+        )
 
 
 def test_dup_within_property_vs_bruteforce(tmp_path):
