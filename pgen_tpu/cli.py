@@ -38,7 +38,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
         description=(
             "Queries the pgen, outputting to stdout. All expressions have as "
             "variables the metadata being queried; e.g. when querying "
-            "variants, CHROM and ID hold their respective values."
+            "variants, CHROM and ID hold their respective values. "
+            "Genotype extensions (each opts into one pass over the packed "
+            "records): GT_* stat variables (GT_AC, GT_MAF, GT_HWE_P, ...); "
+            "per-sample indexing GT(\"IID\")/GT(i) (Int alt dosage, "
+            "missing = -9) and GT_TEXT(\"IID\") (\"0/0\"... String); and "
+            "GT_ROW, the whole row's genotype texts tab-joined (bcftools "
+            "[%GT] analog). Under -s the GT()/GT_TEXT() argument names a "
+            "variant ID/index instead."
         ),
     )
     q.add_argument(
@@ -111,7 +118,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Filters the pgen, outputting to a VCF.",
         description=(
             "Filters the pgen, outputting to a VCF. All expressions have as "
-            "variables the variant metadata."
+            "variables the variant metadata, plus genotype extensions: GT_* "
+            "stat variables, per-sample indexing GT(\"IID\")/GT_TEXT(\"IID\") "
+            "(in --include-sam the argument names a variant instead), and "
+            "DUP_*/GT_ROW whole-column variables."
         ),
     )
     f.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")

@@ -64,6 +64,48 @@ def _resolve_provider(provider: str) -> str:
     return provider
 
 
+def _maybe_gt_index_masks(var_node, sam_node, pvar, psam, header, records):
+    """Bind GT()/GT_TEXT()/GT_ROW genotype-indexing references in the two
+    include-predicates (query/gt_index.py). Variant-axis calls name a
+    sample (psam IID); sample-axis calls name a variant (pvar ID)."""
+    from pgen_tpu.query.gt_index import bind_gt_index, uses_gt_index
+
+    var_idx_extra = sam_idx_extra = None
+    if uses_gt_index((var_node,)):
+        if pvar.num_rows > header.num_variants:
+            raise ValueError(
+                f"{pvar.path} has {pvar.num_rows} rows but the pgen holds "
+                f"{header.num_variants} variant records (GT indexing "
+                f"requires matching counts)"
+            )
+
+        def _iids():
+            if "IID" not in psam.columns:
+                raise ValueError(f"{psam.path} has no IID column")
+            return psam.get_column_bytes("IID")
+
+        (var_node,), var_idx_extra = bind_gt_index(
+            (var_node,), records, header.num_samples, pvar, False, _iids
+        )
+    if uses_gt_index((sam_node,)):
+        if psam.num_rows > header.num_samples:
+            raise ValueError(
+                f"{psam.path} has {psam.num_rows} rows but the pgen holds "
+                f"{header.num_samples} samples (GT indexing requires "
+                f"matching counts)"
+            )
+
+        def _vids():
+            if "ID" not in pvar.columns:
+                raise ValueError(f"{pvar.path} has no ID column")
+            return pvar.get_column_bytes("ID")
+
+        (sam_node,), sam_idx_extra = bind_gt_index(
+            (sam_node,), records, header.num_samples, psam, True, _vids
+        )
+    return var_node, sam_node, var_idx_extra, sam_idx_extra
+
+
 def compute_masks(var_query, sam_query, pvar, psam, header, records, provider):
     """Evaluate both include-predicates, supporting GT_* genotype-stat
     variables on BOTH axes (an extension over the reference —
@@ -85,6 +127,11 @@ def compute_masks(var_query, sam_query, pvar, psam, header, records, provider):
 
     var_node = parse(var_query) if isinstance(var_query, str) else var_query
     sam_node = parse(sam_query) if isinstance(sam_query, str) else sam_query
+    # GT("IID")/GT_TEXT()/GT_ROW per-sample indexing (query/gt_index.py):
+    # rewrite the ASTs up front so every later path sees plain variables
+    var_node, sam_node, var_idx_extra, sam_idx_extra = _maybe_gt_index_masks(
+        var_node, sam_node, pvar, psam, header, records
+    )
     uses_gt = var_node is not None and bool(
         variables(var_node) & set(GT_VARIABLE_NAMES)
     )
@@ -98,10 +145,12 @@ def compute_masks(var_query, sam_query, pvar, psam, header, records, provider):
         if var_node is not None
         else None
     )
+    if var_idx_extra:
+        dup_extra = {**(dup_extra or {}), **var_idx_extra}
     if not uses_gt and not sam_uses_gt:
         return (
             compile_predicate(var_node, pvar, dup_extra),
-            compile_predicate(sam_node, psam),
+            compile_predicate(sam_node, psam, sam_idx_extra),
         )
     if sam_uses_gt:
         from pgen_tpu.ops.gt_stats import gt_variables, sample_counts
@@ -119,9 +168,11 @@ def compute_masks(var_query, sam_query, pvar, psam, header, records, provider):
         sc = sample_counts(records, header.num_samples, stats_provider)
         sam_extra = gt_variables(sc, header.num_variants, used)
         sam_extra = {k: v[: psam.num_rows] for k, v in sam_extra.items()}
+        if sam_idx_extra:
+            sam_extra = {**sam_extra, **sam_idx_extra}
         sam_mask = compile_predicate(sam_node, psam, sam_extra)
     else:
-        sam_mask = compile_predicate(sam_node, psam)
+        sam_mask = compile_predicate(sam_node, psam, sam_idx_extra)
     if not uses_gt:
         return compile_predicate(var_node, pvar, dup_extra), sam_mask
     sam_idx = np.flatnonzero(sam_mask)

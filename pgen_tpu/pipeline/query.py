@@ -78,6 +78,48 @@ def _maybe_gt_extra(
     return {k: v[: table.num_rows] for k, v in extra.items()}
 
 
+def _maybe_gt_index(
+    pfile_prefix, header, table, query_samples, query, query_fstring, extra
+):
+    """Bind GT("IID")/GT_TEXT(...)/GT_ROW per-sample genotype references
+    (query/gt_index.py). Like GT_*, referencing one opts into reading the
+    packed records; metadata-only queries never touch them."""
+    from pgen_tpu.query.gt_index import bind_gt_index, uses_gt_index
+
+    if not uses_gt_index((query, query_fstring)):
+        return query, query_fstring, extra
+    axis_rows = header.num_samples if query_samples else header.num_variants
+    if table.num_rows > axis_rows:
+        raise ValueError(
+            f"{table.path} has {table.num_rows} rows but the pgen holds "
+            f"{axis_rows} (GT indexing requires matching counts)"
+        )
+    rec = header.record_size
+    mm = np.memmap(f"{pfile_prefix}.pgen", dtype=np.uint8, mode="r")
+    records = mm[12 : 12 + header.num_variants * rec].reshape(
+        header.num_variants, rec
+    )
+
+    def lookup_ids():
+        if query_samples:
+            other = read_metadata(f"{pfile_prefix}.pvar")
+            col = "ID"
+        else:
+            other = read_metadata(f"{pfile_prefix}.psam")
+            col = "IID"
+        if col not in other.columns:
+            raise ValueError(f"{other.path} has no {col} column")
+        return other.get_column_bytes(col)
+
+    (query, query_fstring), gt_extra = bind_gt_index(
+        (query, query_fstring), records, header.num_samples, table,
+        query_samples, lookup_ids,
+    )
+    if gt_extra:
+        extra = {**(extra or {}), **gt_extra}
+    return query, query_fstring, extra
+
+
 def query_metadata(
     pfile_prefix: str,
     query_fstring: str,
@@ -100,6 +142,10 @@ def query_metadata(
     )
     extra = _maybe_gt_extra(
         pfile_prefix, header, table, query_samples, (query, query_fstring)
+    )
+    query, query_fstring, extra = _maybe_gt_index(
+        pfile_prefix, header, table, query_samples, query, query_fstring,
+        extra,
     )
     if not query_samples:
         from pgen_tpu.query.ast import variables

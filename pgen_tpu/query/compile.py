@@ -66,8 +66,11 @@ def _lower(node, table, extra=None):
     if isinstance(node, Var):
         if extra and node.name in extra:
             col = extra[node.name]
-            if getattr(col, "dtype", None) is not None and col.dtype == bool:
+            dt = getattr(col, "dtype", None)
+            if dt is not None and dt == bool:
                 return (_MASK, col)  # DUP_* whole-column boolean variables
+            if dt is not None and dt.kind == "S":
+                return (_STRCOL, col)  # GT_TEXT()/GT_ROW string columns
             return (_NUMCOL, col)
         if node.name not in table.columns:
             virt = table.get_virtual_bytes(node.name)
@@ -501,6 +504,8 @@ def _row_context(table, i, extra=None, virtuals=None):
             v = arr[i]
             if arr.dtype == bool:
                 ctx[name] = bool(v)  # DUP_* boolean variables
+            elif arr.dtype.kind == "S":
+                ctx[name] = v.decode("utf-8")  # GT_TEXT()/GT_ROW strings
             else:
                 ctx[name] = (
                     float(v)

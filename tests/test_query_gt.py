@@ -122,3 +122,113 @@ def test_str_from_vectorized_matches_interp(tiny_fileset):
     assert [float(x.split(":")[1]) for x in slow] == [
         float(x.split(":")[1]) for x in fast
     ]
+
+
+# ---- GT()/GT_TEXT()/GT_ROW per-sample genotype indexing (gt_index.py) ----
+# Closes the reference's wished-for redesign: indexing into genotypes in
+# filters and format strings (/root/reference/README.md:200-204, 259-264).
+
+TOKS = ["0/0", "0/1", "1/1", "./."]
+DOS = [0, 1, 2, -9]
+
+
+def test_gt_call_fstring_and_predicate_vs_oracle(tiny_fileset):
+    prefix, codes = tiny_fileset
+    nv, ns = codes.shape
+    # by IID and by index, text and dosage, against the scalar oracle
+    n, lines = _run(prefix, 'ID + " " + GT_TEXT("s2") + " " + str::from(GT(2))')
+    assert lines == [
+        f"rs{i} {TOKS[codes[i, 2]]} {DOS[codes[i, 2]]}" for i in range(nv)
+    ]
+    n, lines = _run(prefix, "ID", query='GT("s2") == 1')
+    assert lines == [f"rs{i}" for i in range(nv) if codes[i, 2] == 1]
+    # missing calls are -9, selectable
+    n, lines = _run(prefix, "ID", query="GT(0) == -9")
+    assert lines == [f"rs{i}" for i in range(nv) if codes[i, 0] == 3]
+
+
+def test_gt_row_expansion(tiny_fileset):
+    prefix, codes = tiny_fileset
+    nv, ns = codes.shape
+    n, lines = _run(prefix, 'ID + "\t" + GT_ROW')
+    assert lines == [
+        f"rs{i}\t" + "\t".join(TOKS[c] for c in codes[i]) for i in range(nv)
+    ]
+
+
+def test_gt_sample_axis(tiny_fileset):
+    """Under -s the argument names a variant; GT_ROW spans variants."""
+    prefix, codes = tiny_fileset
+    nv, ns = codes.shape
+    n, lines = _run(
+        prefix, 'IID + " " + str::from(GT("rs3"))', query_samples=True
+    )
+    assert lines == [f"s{j} {DOS[codes[3, j]]}" for j in range(ns)]
+    n, lines = _run(prefix, "GT_ROW", query_samples=True)
+    assert lines == [
+        "\t".join(TOKS[codes[i, j]] for i in range(nv)) for j in range(ns)
+    ]
+
+
+def test_gt_call_in_filter_both_axes(tiny_fileset, tmp_path):
+    prefix, codes = tiny_fileset
+    nv, ns = codes.shape
+    out = tmp_path / "o.vcf"
+    assert run_cli(["filter", prefix, "--include-var", 'GT("s0")==2',
+                    "-o", str(out)]) == 0
+    kept = [l.split("\t")[2] for l in open(out) if not l.startswith("#")]
+    assert kept == [f"rs{i}" for i in range(nv) if codes[i, 0] == 2]
+    # sample axis: keep samples het-or-hom-alt at rs1
+    assert run_cli(["filter", prefix, "--include-sam", 'GT("rs1")>=1',
+                    "-o", str(out)]) == 0
+    hdr = [l for l in open(out) if l.startswith("#CHROM")][0]
+    assert hdr.rstrip("\n").split("\t")[9:] == [
+        f"s{j}" for j in range(ns) if codes[1, j] in (1, 2)
+    ]
+    # sharded parity
+    out2 = tmp_path / "o2.vcf"
+    assert run_cli(["filter", prefix, "--include-var", 'GT("s0")==2',
+                    "-o", str(out2), "--shards", "2"]) == 0
+    assert out.exists()
+
+
+def test_gt_call_composes_with_interpreter_fallback(tiny_fileset):
+    """Rewritten GT columns are plain variables: regex and other
+    row-exact constructs see them too."""
+    prefix, codes = tiny_fileset
+    nv, _ = codes.shape
+    n, lines = _run(
+        prefix, "ID", query='str::regex_matches(GT_TEXT("s1"), "^0/")'
+    )
+    assert lines == [f"rs{i}" for i in range(nv) if codes[i, 1] in (0, 1)]
+
+
+def test_gt_call_errors(tiny_fileset):
+    from pgen_tpu.query.ast import ExprError
+
+    prefix, codes = tiny_fileset
+    with pytest.raises(ExprError, match="not found"):
+        _run(prefix, 'str::from(GT("nosuch"))')
+    with pytest.raises(ExprError, match="out of range"):
+        _run(prefix, "str::from(GT(99))")
+    with pytest.raises(ExprError, match="literal"):
+        _run(prefix, "str::from(GT(ID))")
+    with pytest.raises(ExprError, match="one argument"):
+        _run(prefix, 'str::from(GT("a", "b"))')
+
+
+def test_gt_query_without_index_stays_metadata_only(tiny_fileset, tmp_path):
+    """Queries not referencing GT*/GT_ROW never open the records (the
+    reference's metadata-only scaling property)."""
+    import shutil
+
+    prefix, codes = tiny_fileset
+    bad = tmp_path / "trunc"
+    shutil.copyfile(f"{prefix}.pvar", f"{bad}.pvar")
+    shutil.copyfile(f"{prefix}.psam", f"{bad}.psam")
+    # valid 12-byte header, zero record bytes
+    with open(f"{prefix}.pgen", "rb") as f:
+        hdr12 = f.read(12)
+    (tmp_path / "trunc.pgen").write_bytes(hdr12)
+    n, lines = _run(str(bad), "ID")  # fine: metadata only
+    assert n == codes.shape[0]
