@@ -739,6 +739,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="Report non-converged logistic sites as NA "
                          "(plink2 --glm no-firth).")
     gl.add_argument(
+        "--modifier", dest="modifier", default=None,
+        choices=("genotypic", "hethom", "dominant", "recessive"),
+        help="plink2 --glm model modifier: genotypic = ADD + DOMDEV + "
+             "joint GENO_2DF rows; hethom = HOM + HET + GENO_2DF; "
+             "dominant/recessive = a single DOM/REC recoded-dosage test. "
+             "Works with both models (the joint stat is F for linear, "
+             "Wald chi-square for logistic); mutually exclusive with "
+             "--interaction.",
+    )
+    gl.add_argument(
         "--interaction", action="store_true",
         help="plink2 '--glm interaction': add dosage x covariate terms "
              "to the design and report each (ADD plus ADDxCOVAR rows in "
@@ -1830,6 +1840,7 @@ def main(argv=None) -> int:
                     adjust_lambda=args.adjust_lambda,
                     covar_variance_standardize=args.covar_vs,
                     out_base=out_base,
+                    modifier=args.modifier,
                 )
                 if args.stats:
                     print(result.timer.report(), file=sys.stderr)

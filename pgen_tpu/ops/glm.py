@@ -403,6 +403,310 @@ def glm_linear(
     return glm_solve(m, covars.shape[1])
 
 
+# ---- model modifiers: dominant / recessive / genotypic / hethom ----
+#
+# plink2 `--glm genotypic|hethom|dominant|recessive` analogs. Every
+# modified design's genotype columns are linear combinations of the HET
+# (g==1) and HOM-ALT (g==2) indicator columns, and indicators satisfy
+# het^2 = het, hom^2 = hom, het*hom = 0 — so ONE extra masked-moment
+# block pair (HET @ q2, HOM @ q2 with q2 = [1, y, C]) supplies every
+# normal-equation entry of every modifier, including the 2-df designs.
+# The (het, hom) weights per genotype column:
+
+MODIFIER_COLS = {
+    "dominant": ((1.0, 1.0),),              # DOM  = 1{g >= 1}
+    "recessive": ((0.0, 1.0),),             # REC  = 1{g == 2}
+    "genotypic": ((1.0, 2.0), (1.0, 0.0)),  # ADD  + DOMDEV (het)
+    "hethom": ((0.0, 1.0), (1.0, 0.0)),     # HOM  + HET
+}
+MODIFIER_TESTS = {
+    "dominant": ("DOM",),
+    "recessive": ("REC",),
+    "genotypic": ("ADD", "DOMDEV"),
+    "hethom": ("HOM", "HET"),
+}
+JOINT_TEST_NAME = "GENO_2DF"
+
+
+class GlmGenoMoments(NamedTuple):
+    """Indicator-decomposed per-variant moments (f64, host-side).
+
+    q2 layout: [1, y, c_1..c_k] so hetq[:, 0] = sum het,
+    hetq[:, 1] = sum het*y, hetq[:, 2:] = het @ C (same for homq)."""
+
+    n: np.ndarray    # (V,) called count
+    mp: np.ndarray   # (V, P) masked sums M @ moment columns
+    hetq: np.ndarray  # (V, k+2) het-indicator sums
+    homq: np.ndarray  # (V, k+2) hom-indicator sums
+
+
+class GlmModResult(NamedTuple):
+    """Per-variant modifier fit; test axis follows MODIFIER_TESTS."""
+
+    n_obs: np.ndarray    # (V,) i64
+    beta: np.ndarray     # (V, T) f64, NaN where unestimable
+    se: np.ndarray       # (V, T)
+    t_stat: np.ndarray   # (V, T)
+    p: np.ndarray        # (V, T)
+    joint_stat: np.ndarray | None  # (V,) F statistic (2-df designs)
+    joint_p: np.ndarray | None     # (V,)
+
+
+def glm_geno_moments_numpy(
+    packed: np.ndarray,
+    num_samples: int,
+    y: np.ndarray,
+    covars: np.ndarray,
+    block_variants: int = 1 << 13,
+    sample_idx=None,
+) -> GlmGenoMoments:
+    """Host provider: three f64 dgemms per block (M/HET/HOM)."""
+    from pgen_tpu.ops.unpack_host import unpack_codes_numpy
+
+    packed = np.asarray(packed, dtype=np.uint8)
+    nvar = packed.shape[0]
+    ns = num_samples if sample_idx is None else len(sample_idx)
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    y, covars = _centered(y, covars)
+    pcols = _moment_columns(y, covars)
+    q2 = np.concatenate([np.ones((ns, 1)), y[:, None], covars], axis=1)
+    n = np.empty(nvar, dtype=np.float64)
+    mp = np.empty((nvar, pcols.shape[1]), dtype=np.float64)
+    hetq = np.empty((nvar, q2.shape[1]), dtype=np.float64)
+    homq = np.empty((nvar, q2.shape[1]), dtype=np.float64)
+    bv = min(block_variants, max(nvar, 1))
+    for lo in range(0, nvar, bv):
+        codes = unpack_codes_numpy(packed[lo : lo + bv], num_samples)
+        if sample_idx is not None:
+            codes = codes[:, sample_idx]
+        sl = slice(lo, lo + codes.shape[0])
+        m = (codes != 3).astype(np.float64)
+        het = (codes == 1).astype(np.float64)
+        hom = (codes == 2).astype(np.float64)
+        n[sl] = m.sum(axis=1)
+        mp[sl] = m @ pcols
+        hetq[sl] = het @ q2
+        homq[sl] = hom @ q2
+    return GlmGenoMoments(n, mp, hetq, homq)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "block_variants", "interpret")
+)
+def _glm_geno_moments_device_jit(
+    packed, pcols, q2, sel, num_samples, block_variants, interpret
+):
+    """Blocked scan: unpack -> three f32 moment matmuls (M/HET/HOM).
+    Pad rows must be 0xFF (all-missing): every moment is 0."""
+    import jax.numpy as jnp
+
+    from pgen_tpu.ops.unpack import unpack_codes
+
+    nvar = packed.shape[0]
+    nblk = max(1, -(-nvar // block_variants))
+    pad = nblk * block_variants - nvar
+    packed = jnp.pad(packed, ((0, pad), (0, 0)), constant_values=0xFF)
+
+    def body(_, blk):
+        codes = unpack_codes(blk, num_samples, interpret=interpret)
+        if sel is not None:
+            codes = jnp.take(codes, sel, axis=1)
+        mf = (codes != 3).astype(jnp.float32)
+        het = (codes == 1).astype(jnp.float32)
+        hom = (codes == 2).astype(jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        mm = functools.partial(
+            jnp.matmul, preferred_element_type=jnp.float32, precision=hi
+        )
+        return None, (
+            jnp.sum(mf, axis=1), mm(mf, pcols), mm(het, q2), mm(hom, q2)
+        )
+
+    blocks = packed.reshape(nblk, block_variants, packed.shape[1])
+    _, outs = jax.lax.scan(body, None, blocks)
+    return tuple(o.reshape(-1, *o.shape[2:])[:nvar] for o in outs)
+
+
+def glm_geno_moments(
+    packed, num_samples: int, y, covars, provider: str = "numpy",
+    block_variants: int = 1 << 14, sample_idx=None,
+) -> GlmGenoMoments:
+    """Provider dispatch for the indicator moments."""
+    if provider == "device":
+        from pgen_tpu.pipeline.device import is_interpret_backend
+
+        y64 = np.asarray(y, dtype=np.float64)
+        c64 = np.asarray(covars, dtype=np.float64)
+        yc, cc = _centered(y64, c64)
+        pcols = _moment_columns(yc, cc).astype(np.float32)
+        q2 = np.concatenate(
+            [np.ones((yc.shape[0], 1)), yc[:, None], cc], axis=1
+        ).astype(np.float32)
+        if packed.shape[0] == 0:
+            z = np.zeros(0)
+            return GlmGenoMoments(
+                z, np.zeros((0, pcols.shape[1])),
+                np.zeros((0, q2.shape[1])), np.zeros((0, q2.shape[1])),
+            )
+        sel = None if sample_idx is None else np.asarray(sample_idx, np.int32)
+        outs = _glm_geno_moments_device_jit(
+            np.asarray(packed, np.uint8), pcols, q2, sel, num_samples,
+            int(block_variants), is_interpret_backend(),
+        )
+        return GlmGenoMoments(*(np.asarray(o, np.float64) for o in outs))
+    return glm_geno_moments_numpy(
+        packed, num_samples, y, covars,
+        block_variants=int(block_variants), sample_idx=sample_idx,
+    )
+
+
+def glm_solve_modifier(
+    moments: GlmGenoMoments, num_covars: int, modifier: str
+) -> GlmModResult:
+    """Assemble and solve the per-variant modified-design normal
+    equations in f64 ([1, C, g_1(, g_2)]); for the 2-df designs also
+    run the covariate-only fit per variant and report the joint F test
+    (plink2 GENO_2DF)."""
+    cols = MODIFIER_COLS[modifier]
+    k = num_covars
+    nt = len(cols)
+    d = k + 1 + nt
+    n = moments.n
+    nvar = n.shape[0]
+    mp, hetq, homq = moments.mp, moments.hetq, moments.homq
+    sc = mp[:, 1 : 1 + k]
+    sy = mp[:, 1 + k]
+    syy = mp[:, 2 + k]
+    syc = mp[:, 3 + k : 3 + 2 * k]
+    sh, sho = hetq[:, 0], homq[:, 0]
+    a = np.zeros((nvar, d, d), dtype=np.float64)
+    rhs = np.zeros((nvar, d, 1 + nt), dtype=np.float64)
+    a[:, 0, 0] = n
+    a[:, 0, 1 : 1 + k] = sc
+    a[:, 1 : 1 + k, 0] = sc
+    pos = 3 + 2 * k
+    for i in range(k):
+        for j in range(i, k):
+            a[:, 1 + i, 1 + j] = mp[:, pos]
+            a[:, 1 + j, 1 + i] = mp[:, pos]
+            pos += 1
+    rhs[:, 0, 0] = sy
+    rhs[:, 1 : 1 + k, 0] = syc
+    gsum = []
+    for t, (a1, a2) in enumerate(cols):
+        j = k + 1 + t
+        sg_t = a1 * sh + a2 * sho
+        gsum.append(sg_t)
+        a[:, 0, j] = sg_t
+        a[:, j, 0] = sg_t
+        gc_t = a1 * hetq[:, 2:] + a2 * homq[:, 2:]
+        a[:, 1 : 1 + k, j] = gc_t
+        a[:, j, 1 : 1 + k] = gc_t
+        rhs[:, j, 0] = a1 * hetq[:, 1] + a2 * homq[:, 1]
+        rhs[:, j, 1 + t] = 1.0
+        for u, (b1, b2) in enumerate(cols):
+            # indicator algebra: het*hom == 0, het^2 == het, hom^2 == hom
+            a[:, j, k + 1 + u] = a1 * b1 * sh + a2 * b2 * sho
+
+    df = n - d
+    ok = df >= 1
+    # each genotype column needs complete-case variance
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for t, (a1, a2) in enumerate(cols):
+            sq_t = a1 * a1 * sh + a2 * a2 * sho
+            gv = sq_t - np.where(n > 0, gsum[t] ** 2 / np.maximum(n, 1), 0.0)
+            ok &= gv > 1e-9 * np.maximum(n, 1)
+    if nt == 2:
+        # non-collinear columns (e.g. no hom-ref calls makes ADD ~ const
+        # + DOMDEV): Gram determinant of the centered pair
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c00 = a[:, k + 1, k + 1] - gsum[0] ** 2 / np.maximum(n, 1)
+            c11 = a[:, k + 2, k + 2] - gsum[1] ** 2 / np.maximum(n, 1)
+            c01 = a[:, k + 1, k + 2] - gsum[0] * gsum[1] / np.maximum(n, 1)
+        ok &= (c00 * c11 - c01 * c01) > 1e-9 * np.maximum(n, 1)
+    beta = np.full((nvar, nt), np.nan)
+    se = np.full((nvar, nt), np.nan)
+    tt_out = np.full((nvar, nt), np.nan)
+    p = np.full((nvar, nt), np.nan)
+    joint_f = np.full(nvar, np.nan) if nt == 2 else None
+    joint_p = np.full(nvar, np.nan) if nt == 2 else None
+    idx = np.flatnonzero(ok)
+    if idx.size:
+        try:
+            sol = np.linalg.solve(a[idx], rhs[idx])
+        except np.linalg.LinAlgError:
+            sol = np.full((idx.size, d, 1 + nt), np.nan)
+            for r, v in enumerate(idx):
+                try:
+                    sol[r] = np.linalg.solve(a[v], rhs[v])
+                except np.linalg.LinAlgError:
+                    ok[v] = False
+        coefs = sol[..., 0]
+        rss = syy[idx] - np.einsum("vi,vi->v", coefs, rhs[idx, :, 0])
+        rss = np.maximum(rss, 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sigma2 = rss / df[idx]
+            for t in range(nt):
+                j = k + 1 + t
+                zjj = sol[:, j, 1 + t]
+                b = coefs[:, j]
+                s = np.sqrt(sigma2 * zjj)
+                tv = b / s
+                pv = t_sf2(tv, df[idx])
+                good = ok[idx] & np.isfinite(s) & (s > 0) & (zjj > 0)
+                beta[idx, t] = np.where(good, b, np.nan)
+                se[idx, t] = np.where(good, s, np.nan)
+                tt_out[idx, t] = np.where(good, tv, np.nan)
+                p[idx, t] = np.where(good, pv, np.nan)
+        if nt == 2:
+            # covariate-only RSS for the joint 2-df F test
+            d0 = k + 1
+            a0 = a[idx][:, :d0, :d0]
+            r0 = rhs[idx][:, :d0, :1]
+            try:
+                sol0 = np.linalg.solve(a0, r0)[..., 0]
+            except np.linalg.LinAlgError:
+                sol0 = np.full((idx.size, d0), np.nan)
+                for r in range(idx.size):
+                    try:
+                        sol0[r] = np.linalg.solve(a0[r], r0[r, :, 0])
+                    except np.linalg.LinAlgError:
+                        pass
+            rss0 = syy[idx] - np.einsum("vi,vi->v", sol0, r0[..., 0])
+            rss0 = np.maximum(rss0, 0.0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                f = ((rss0 - rss) / 2.0) / sigma2
+                f = np.maximum(f, 0.0)
+                x = df[idx] / (df[idx] + 2.0 * f)
+                pj = np.asarray(betainc_reg(df[idx] / 2.0, 1.0, x))
+            good = ok[idx] & np.isfinite(f) & (sigma2 > 0)
+            joint_f[idx] = np.where(good, f, np.nan)
+            joint_p[idx] = np.where(good, pj, np.nan)
+    return GlmModResult(
+        n.astype(np.int64), beta, se, tt_out, p, joint_f, joint_p
+    )
+
+
+def glm_linear_modifier(
+    packed, num_samples: int, y, covars, modifier: str,
+    provider: str = "numpy", **kw
+) -> GlmModResult:
+    """Full per-variant modified-design OLS (plink2 --glm
+    genotypic/hethom/dominant/recessive, linear model)."""
+    if modifier not in MODIFIER_COLS:
+        raise ValueError(f"glm: unknown modifier {modifier!r}")
+    y = np.asarray(y, dtype=np.float64)
+    covars = (
+        np.zeros((y.shape[0], 0)) if covars is None
+        else np.asarray(covars, dtype=np.float64)
+    )
+    m = glm_geno_moments(
+        packed, num_samples, y, covars, provider=provider, **kw
+    )
+    return glm_solve_modifier(m, covars.shape[1], modifier)
+
+
 # ---- interaction model: [1, C, g, g*C] (plink2 --glm interaction) ----
 
 

@@ -103,6 +103,85 @@ def normal_sf2(z) -> np.ndarray:
     return out
 
 
+# additive recode: het weight 1, hom-alt weight 2 (the classic dosage)
+_ADD_GLUT = ((1.0, 2.0),)
+
+
+def _geno_columns(codes: np.ndarray, gluts) -> list:
+    """(Vb, S) genotype design columns from the (het, hom) weights.
+    Missing (code 3) contributes 0 to every column, like the mask."""
+    het = (codes == 1).astype(np.float64)
+    hom = (codes == 2).astype(np.float64)
+    return [a1 * het + a2 * hom for (a1, a2) in gluts]
+
+
+def _geno_gates(n, gs, ncase, d):
+    """Per-variant estimability gate shared by the IRLS drivers: enough
+    complete cases, both outcome classes, variance in every genotype
+    column, and (2-column designs) a non-singular genotype Gram."""
+    ok = (n >= d + 1) & (ncase > 0) & (ncase < n)
+    nz = np.maximum(n, 1)
+    sums = [g.sum(axis=1) for g in gs]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for g, s in zip(gs, sums):
+            gvar = (g * g).sum(axis=1) - np.where(n > 0, s * s / nz, 0.0)
+            ok &= gvar > 1e-9 * nz
+        if len(gs) == 2:
+            c00 = (gs[0] * gs[0]).sum(axis=1) - sums[0] ** 2 / nz
+            c11 = (gs[1] * gs[1]).sum(axis=1) - sums[1] ** 2 / nz
+            c01 = (gs[0] * gs[1]).sum(axis=1) - sums[0] * sums[1] / nz
+            ok &= (c00 * c11 - c01 * c01) > 1e-9 * nz
+    return ok
+
+
+def _assemble_hess_multi(h1, hc, hcc, hgs, hgcs, hggs, k: int) -> np.ndarray:
+    """Symmetric (V, d, d) from weighted moments for m genotype columns;
+    d = k + 1 + m, layout [1, c_1..c_k, g_1..g_m]. hgs/hgcs are length-m
+    lists; hggs maps (i, j) i<=j to the (V,) cross sums."""
+    m = len(hgs)
+    v = h1.shape[0]
+    d = k + 1 + m
+    h = np.zeros((v, d, d), dtype=np.float64)
+    h[:, 0, 0] = h1
+    h[:, 0, 1 : 1 + k] = hc
+    h[:, 1 : 1 + k, 0] = hc
+    pos = 0
+    for i in range(k):
+        for j in range(i, k):
+            h[:, 1 + i, 1 + j] = hcc[:, pos]
+            h[:, 1 + j, 1 + i] = hcc[:, pos]
+            pos += 1
+    for t in range(m):
+        j = k + 1 + t
+        h[:, 0, j] = hgs[t]
+        h[:, j, 0] = hgs[t]
+        h[:, 1 : 1 + k, j] = hgcs[t]
+        h[:, j, 1 : 1 + k] = hgcs[t]
+        for u in range(t, m):
+            h[:, j, k + 1 + u] = hggs[(t, u)]
+            h[:, k + 1 + u, j] = hggs[(t, u)]
+    return h
+
+
+def _joint_wald(zsol, b, k: int, m: int):
+    """2-df Wald chi-square from the unit-column solves: S = the m x m
+    genotype block of H^-1, chi2 = b' S^-1 b (NaN on a bad block)."""
+    gidx = np.arange(k + 1, k + 1 + m)
+    s = zsol[:, gidx, :][:, :, :]  # (F, m, m)
+    det = s[:, 0, 0] * s[:, 1, 1] - s[:, 0, 1] * s[:, 1, 0]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        inv00 = s[:, 1, 1] / det
+        inv11 = s[:, 0, 0] / det
+        inv01 = -s[:, 0, 1] / det
+        chi2 = (
+            b[:, 0] ** 2 * inv00
+            + b[:, 1] ** 2 * inv11
+            + 2.0 * b[:, 0] * b[:, 1] * inv01
+        )
+    bad = ~(np.isfinite(chi2) & (det > 0) & (chi2 >= 0))
+    return np.where(bad, np.nan, chi2)
+
+
 def _irls_block(
     codes: np.ndarray,  # (Vb, S) u8, 3 = missing
     y: np.ndarray,  # (S,) f64 in {0, 1}
@@ -111,35 +190,31 @@ def _irls_block(
     max_iter: int,
     tol: float,
     matmul=None,
+    gluts=_ADD_GLUT,
 ):
-    """IRLS over one variant block; returns per-variant (n, beta_g, se,
-    niter, converged). `matmul(A, B)` computes the masked-moment products
-    (host dgemm by default; the device provider supplies an MXU closure).
+    """IRLS over one variant block; returns per-variant (n, beta (Vb, m),
+    se (Vb, m), niter, converged, ok, joint_chi2). `matmul(A, B)` computes
+    the masked-moment products (host dgemm by default; the device provider
+    supplies an MXU closure). `gluts` selects the genotype design columns
+    (ops/glm.py MODIFIER_COLS recodes); the default is the additive model.
     """
     vb, ns = codes.shape
     k = covars.shape[1]
-    d = k + 2
+    nm = len(gluts)
+    d = k + 1 + nm
     mm = matmul if matmul is not None else lambda a, b: a @ b
     cal = codes != 3
     m = cal.astype(np.float64)
-    g = codes.astype(np.float64) * cal
+    gs = _geno_columns(codes, gluts)
     n = m.sum(axis=1)
     ncase = m @ y
-    with np.errstate(invalid="ignore", divide="ignore"):
-        gvar = (g * g).sum(axis=1) - np.where(
-            n > 0, g.sum(axis=1) ** 2 / np.maximum(n, 1), 0.0
-        )
-    ok = (
-        (n >= d + 1)
-        & (gvar > 1e-9 * np.maximum(n, 1))
-        & (ncase > 0)
-        & (ncase < n)
-    )
+    ok = _geno_gates(n, gs, ncase, d)
     beta = np.zeros((vb, d), dtype=np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
         p0 = np.clip(ncase / np.maximum(n, 1), 1e-12, 1 - 1e-12)
     beta[:, 0] = np.where(ok, np.log(p0 / (1.0 - p0)), 0.0)
-    se = np.full(vb, np.nan)
+    se = np.full((vb, nm), np.nan)
+    joint = np.full(vb, np.nan)
     niter = np.zeros(vb, dtype=np.int32)
     converged = np.zeros(vb, dtype=bool)
     active = np.flatnonzero(ok)
@@ -150,25 +225,34 @@ def _irls_block(
         if active.size == 0:
             break
         ba = beta[active]
-        ma, ga = m[active], g[active]
+        ma = m[active]
+        gas = [g[active] for g in gs]
         # eta/mu/w/r: (Va, S) elementwise — the only non-matmul bulk work
-        eta = ba[:, [0]] + ba[:, 1 : 1 + k] @ covars.T + ba[:, [d - 1]] * ga
+        eta = ba[:, [0]] + ba[:, 1 : 1 + k] @ covars.T
+        for t, ga in enumerate(gas):
+            eta += ba[:, [k + 1 + t]] * ga
         np.clip(eta, -30.0, 30.0, out=eta)
         mu = 1.0 / (1.0 + np.exp(-eta))
         w = mu * (1.0 - mu) * ma
         r = (y[None, :] - mu) * ma
-        wg = w * ga
-        # moment matmuls: grad and Hessian entries in two (Va,S)x(S,P) GEMMs
+        wgs = [w * ga for ga in gas]
+        # moment matmuls: grad and Hessian entries in (Va,S)x(S,P) GEMMs
         rq = mm(r, covars)  # (Va, k)
         wq = mm(w, q)  # (Va, k + kk): [w@C | w@CC]
-        wgc = mm(wg, covars)  # (Va, k)
+        wgcs = [mm(wg, covars) for wg in wgs]  # (Va, k) each
         grad = np.concatenate(
-            [r.sum(axis=1)[:, None], rq, (r * ga).sum(axis=1)[:, None]],
+            [r.sum(axis=1)[:, None], rq]
+            + [(r * ga).sum(axis=1)[:, None] for ga in gas],
             axis=1,
         )
-        hess = _assemble_hess(
+        hggs = {
+            (t, u): (wgs[t] * gas[u]).sum(axis=1)
+            for t in range(nm)
+            for u in range(t, nm)
+        }
+        hess = _assemble_hess_multi(
             w.sum(axis=1), wq[:, :k], wq[:, k : k + kk],
-            wg.sum(axis=1), wgc, (wg * ga).sum(axis=1), k,
+            [wg.sum(axis=1) for wg in wgs], wgcs, hggs, k,
         )
         try:
             delta = np.linalg.solve(hess, grad[:, :, None])[:, :, 0]
@@ -191,24 +275,31 @@ def _irls_block(
         if done.any() or bad.any():
             fin = active[done]
             converged[fin] = True
-            # SE at the optimum: (H^-1)_gg via one more solve on e_g
+            # SE at the optimum: (H^-1)_gjgj via solves on the unit cols
             if fin.size:
                 hf = hess[done]
-                eg = np.zeros((fin.size, d, 1))
-                eg[:, d - 1, 0] = 1.0
+                eg = np.zeros((fin.size, d, nm))
+                for t in range(nm):
+                    eg[:, k + 1 + t, t] = 1.0
                 try:
-                    zg = np.linalg.solve(hf, eg)[:, d - 1, 0]
+                    zsol = np.linalg.solve(hf, eg)
                 except np.linalg.LinAlgError:
-                    zg = np.full(fin.size, np.nan)
+                    zsol = np.full((fin.size, d, nm), np.nan)
                     for i in range(fin.size):
                         try:
-                            zg[i] = np.linalg.solve(hf[i], eg[i])[d - 1, 0]
+                            zsol[i] = np.linalg.solve(hf[i], eg[i])
                         except np.linalg.LinAlgError:
                             pass
-                se[fin] = np.sqrt(np.where(zg > 0, zg, np.nan))
+                for t in range(nm):
+                    zg = zsol[:, k + 1 + t, t]
+                    se[fin, t] = np.sqrt(np.where(zg > 0, zg, np.nan))
+                if nm == 2:
+                    joint[fin] = _joint_wald(
+                        zsol, beta[fin][:, k + 1 :], k, nm
+                    )
             keep = ~(done | bad)
             active = active[keep]
-    return n, beta[:, d - 1], se, niter, converged, ok
+    return n, beta[:, k + 1 :], se, niter, converged, ok, joint
 
 
 def _batched_inv(h: np.ndarray):
@@ -236,24 +327,27 @@ def _firth_block(
     max_iter: int,
     tol: float,
     matmul=None,
+    gluts=_ADD_GLUT,
 ):
     """Firth-penalized IRLS over the selected variants.
 
     Identical moment structure to `_irls_block` plus the hat diagonal:
-    with A = (X^T W X)^-1 and x_s = [1, C_s, g_vs],
+    with A = (X^T W X)^-1 and x_s = [1, C_s, g_1s(, g_2s)],
         x_s^T A x_s = A_00 + 2 A_0c.C_s + C_s^T A_cc C_s
-                      + 2 g (A_0g + A_gc.C_s) + g^2 A_gg
+                      + sum_j 2 g_j (A_0gj + A_gjc.C_s)
+                      + sum_{i<=j} (2 - [i==j]) g_i g_j A_gigj
     — the covariate quadratic reuses the same upper-triangle pair columns
-    `cc` the Hessian moments use. SE comes from A_gg at the optimum (the
+    `cc` the Hessian moments use. SE comes from A_gjgj at the optimum (the
     penalized-likelihood Wald convention, same as logistf/plink2).
     """
     mm = matmul if matmul is not None else lambda a, b: a @ b
     k = covars.shape[1]
     kk = cc.shape[1]
-    d = k + 2
+    nm = len(gluts)
+    d = k + 1 + nm
     cal = codes[idx] != 3
     m = cal.astype(np.float64)
-    g = codes[idx].astype(np.float64) * cal
+    gs = _geno_columns(codes[idx], gluts)
     n = m.sum(axis=1)
     ncase = m @ y
     q = np.concatenate([covars, cc], axis=1)
@@ -263,7 +357,8 @@ def _firth_block(
     # count: the matching intercept start is the shrunk log-odds
     p0 = np.clip((ncase + 0.5) / (n + 1.0), 1e-12, 1 - 1e-12)
     beta[:, 0] = np.log(p0 / (1.0 - p0))
-    se = np.full(nb, np.nan)
+    se = np.full((nb, nm), np.nan)
+    joint = np.full(nb, np.nan)
     niter = np.zeros(nb, dtype=np.int32)
     converged = np.zeros(nb, dtype=bool)
     active = np.arange(nb)
@@ -275,38 +370,52 @@ def _firth_block(
         if active.size == 0:
             break
         ba = beta[active]
-        ma, ga = m[active], g[active]
-        eta = ba[:, [0]] + ba[:, 1 : 1 + k] @ covars.T + ba[:, [d - 1]] * ga
+        ma = m[active]
+        gas = [g[active] for g in gs]
+        eta = ba[:, [0]] + ba[:, 1 : 1 + k] @ covars.T
+        for t, ga in enumerate(gas):
+            eta += ba[:, [k + 1 + t]] * ga
         np.clip(eta, -30.0, 30.0, out=eta)
         mu = 1.0 / (1.0 + np.exp(-eta))
         w = mu * (1.0 - mu) * ma
-        wg = w * ga
+        wgs = [w * ga for ga in gas]
         wq = mm(w, q)
-        wgc = mm(wg, covars)
-        hess = _assemble_hess(
+        wgcs = [mm(wg, covars) for wg in wgs]
+        hggs = {
+            (t, u): (wgs[t] * gas[u]).sum(axis=1)
+            for t in range(nm)
+            for u in range(t, nm)
+        }
+        hess = _assemble_hess_multi(
             w.sum(axis=1), wq[:, :k], wq[:, k : k + kk],
-            wg.sum(axis=1), wgc, (wg * ga).sum(axis=1), k,
+            [wg.sum(axis=1) for wg in wgs], wgcs, hggs, k,
         )
         ainv, inv_ok = _batched_inv(hess)
         a00 = ainv[:, 0, 0]
         a0c = ainv[:, 0, 1 : 1 + k]
-        a0g = ainv[:, 0, d - 1]
-        agc = ainv[:, d - 1, 1 : 1 + k]
-        agg = ainv[:, d - 1, d - 1]
         acc_pairs = ainv[:, 1 + ii, 1 + jj] * pw if kk else np.zeros((len(active), 0))
         with np.errstate(invalid="ignore"):
             xax = (
                 a00[:, None]
                 + 2.0 * (a0c @ covars.T)
                 + (acc_pairs @ cc.T)
-                + ga * (2.0 * (a0g[:, None] + agc @ covars.T))
-                + ga * ga * agg[:, None]
             )
+            for t, ga in enumerate(gas):
+                jt = k + 1 + t
+                xax += ga * (
+                    2.0 * (ainv[:, 0, jt][:, None]
+                           + ainv[:, jt, 1 : 1 + k] @ covars.T)
+                )
+                for u in range(t, nm):
+                    ju = k + 1 + u
+                    wgt = 1.0 if t == u else 2.0
+                    xax += wgt * gas[t] * gas[u] * ainv[:, jt, ju][:, None]
             h = w * xax
             r = (y[None, :] - mu + h * (0.5 - mu)) * ma
         rq = mm(r, covars)
         grad = np.concatenate(
-            [r.sum(axis=1)[:, None], rq, (r * ga).sum(axis=1)[:, None]],
+            [r.sum(axis=1)[:, None], rq]
+            + [(r * ga).sum(axis=1)[:, None] for ga in gas],
             axis=1,
         )
         with np.errstate(invalid="ignore"):
@@ -322,30 +431,46 @@ def _firth_block(
         if done.any() or bad.any():
             fin = active[done]
             converged[fin] = True
-            se[fin] = np.sqrt(np.where(agg[done] > 0, agg[done], np.nan))
+            for t in range(nm):
+                jt = k + 1 + t
+                agg_t = ainv[done, jt, jt]
+                se[fin, t] = np.sqrt(np.where(agg_t > 0, agg_t, np.nan))
+            if nm == 2:
+                zsol = ainv[done][:, :, k + 1 :]  # A columns for g block
+                joint[fin] = _joint_wald(zsol, beta[fin][:, k + 1 :], k, nm)
             active = active[~(done | bad)]
-    return n, beta[:, d - 1], se, niter, converged
+    return n, beta[:, k + 1 :], se, niter, converged, joint
 
 
-def glm_logistic_numpy(
+class LogisticModResult(NamedTuple):
+    """Modifier-design logistic fit; test axis follows the gluts order
+    (ops/glm.py MODIFIER_TESTS)."""
+
+    n_obs: np.ndarray    # (V,) i64
+    beta: np.ndarray     # (V, T) f64 log-odds, NaN on failure
+    se: np.ndarray       # (V, T)
+    z_stat: np.ndarray   # (V, T)
+    p: np.ndarray        # (V, T)
+    joint_stat: np.ndarray | None  # (V,) 2-df Wald chi-square
+    joint_p: np.ndarray | None     # (V,)
+    n_iter: np.ndarray
+    firth: np.ndarray
+
+
+def _logistic_fit_multi(
     packed: np.ndarray,
     num_samples: int,
     y: np.ndarray,
     covars: np.ndarray,
-    block_variants: int = 1 << 12,
-    sample_idx=None,
-    max_iter: int = 24,
-    tol: float = 1e-7,
-    matmul=None,
-    firth: str = "fallback",
-) -> LogisticResult:
-    """Host provider. y must be 0/1; covars (S, k).
-
-    firth: "fallback" (default, plink2's `--glm firth-fallback`) re-fits
-    non-converged sites with Firth regression; "always" (`--glm firth`)
-    fits every estimable site with Firth; "none" (`--glm no-firth`)
-    reports non-converged sites as NA.
-    """
+    block_variants: int,
+    sample_idx,
+    max_iter: int,
+    tol: float,
+    matmul,
+    firth: str,
+    gluts,
+):
+    """Shared blocked IRLS driver; (V, m)-shaped per-test outputs."""
     from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     if firth not in ("fallback", "always", "none"):
@@ -362,10 +487,12 @@ def glm_logistic_numpy(
         )
     if not np.isin(y, (0.0, 1.0)).all():
         raise ValueError("logistic: y must be 0/1")
+    nm = len(gluts)
     cc = _cov_pairs(covars)
     n = np.empty(nvar)
-    beta = np.empty(nvar)
-    se = np.empty(nvar)
+    beta = np.empty((nvar, nm))
+    se = np.empty((nvar, nm))
+    joint = np.full(nvar, np.nan)
     niter = np.empty(nvar, dtype=np.int32)
     conv = np.empty(nvar, dtype=bool)
     fused = np.zeros(nvar, dtype=bool)
@@ -381,27 +508,125 @@ def glm_logistic_numpy(
         if sample_idx is not None:
             codes = codes[:, sample_idx]
         sl = slice(lo, lo + codes.shape[0])
-        nb, bb, sb, ib, cb, ok = _irls_block(
+        nb, bb, sb, ib, cb, ok, jb = _irls_block(
             codes, y, covars, cc,
-            0 if firth == "always" else max_iter, tol, matmul,
+            0 if firth == "always" else max_iter, tol, matmul, gluts,
         )
         if firth != "none":
             retry = np.flatnonzero(ok & ~cb)
             if retry.size:
-                _, fb, fs, fi, fc = _firth_block(
-                    codes, y, covars, cc, retry, firth_iter, tol, matmul
+                _, fb, fs, fi, fc, fj = _firth_block(
+                    codes, y, covars, cc, retry, firth_iter, tol, matmul,
+                    gluts,
                 )
                 bb[retry], sb[retry], ib[retry], cb[retry] = fb, fs, fi, fc
+                jb[retry] = fj
                 fused[lo + retry] = fc
-        n[sl], beta[sl], se[sl], niter[sl], conv[sl] = nb, bb, sb, ib, cb
-    good = conv & np.isfinite(se)
-    beta = np.where(good, beta, np.nan)
-    se = np.where(good, se, np.nan)
+        n[sl], beta[sl], se[sl] = nb, bb, sb
+        niter[sl], conv[sl], joint[sl] = ib, cb, jb
+    good = conv & np.isfinite(se).all(axis=1)
+    beta = np.where(good[:, None], beta, np.nan)
+    se = np.where(good[:, None], se, np.nan)
+    joint = np.where(good, joint, np.nan)
     with np.errstate(invalid="ignore"):
         z = beta / se
-    return LogisticResult(
-        n.astype(np.int64), beta, se, z, normal_sf2(z), niter, fused & good
+    p = normal_sf2(z)
+    if nm == 2:
+        # chi2_2 survival is exactly exp(-x/2)
+        with np.errstate(invalid="ignore", over="ignore"):
+            joint_p = np.where(
+                np.isfinite(joint), np.exp(-0.5 * joint), np.nan
+            )
+    else:
+        joint = joint_p = None
+    return (
+        n.astype(np.int64), beta, se, z, p, joint, joint_p, niter,
+        fused & good,
     )
+
+
+def glm_logistic_numpy(
+    packed: np.ndarray,
+    num_samples: int,
+    y: np.ndarray,
+    covars: np.ndarray,
+    block_variants: int = 1 << 12,
+    sample_idx=None,
+    max_iter: int = 24,
+    tol: float = 1e-7,
+    matmul=None,
+    firth: str = "fallback",
+) -> LogisticResult:
+    """Host provider, additive model. y must be 0/1; covars (S, k).
+
+    firth: "fallback" (default, plink2's `--glm firth-fallback`) re-fits
+    non-converged sites with Firth regression; "always" (`--glm firth`)
+    fits every estimable site with Firth; "none" (`--glm no-firth`)
+    reports non-converged sites as NA.
+    """
+    n, beta, se, z, p, _, _, niter, fused = _logistic_fit_multi(
+        packed, num_samples, y, covars, block_variants, sample_idx,
+        max_iter, tol, matmul, firth, _ADD_GLUT,
+    )
+    return LogisticResult(
+        n, beta[:, 0], se[:, 0], z[:, 0], p[:, 0], niter, fused
+    )
+
+
+def glm_logistic_modifier(
+    packed,
+    num_samples: int,
+    y,
+    covars,
+    modifier: str,
+    provider: str = "numpy",
+    block_variants: int = 1 << 12,
+    sample_idx=None,
+    max_iter: int = 24,
+    tol: float = 1e-7,
+    firth: str = "fallback",
+) -> LogisticModResult:
+    """plink2 `--glm genotypic|hethom|dominant|recessive` logistic analog:
+    the IRLS design's genotype column(s) follow the modifier recode
+    (ops/glm.py MODIFIER_COLS); the 2-df designs also report the joint
+    Wald chi-square (GENO_2DF). Firth fallback/always applies to every
+    design (the hat-diagonal generalizes per column)."""
+    from pgen_tpu.ops.glm import MODIFIER_COLS
+
+    if modifier not in MODIFIER_COLS:
+        raise ValueError(f"glm: unknown modifier {modifier!r}")
+    y = np.asarray(y, dtype=np.float64)
+    covars = (
+        np.zeros((y.shape[0], 0)) if covars is None
+        else np.asarray(covars, dtype=np.float64)
+    )
+    matmul = None
+    if provider == "device":
+        matmul = _device_matmul()
+        tol = max(tol, 1e-5)
+    n, beta, se, z, p, joint, joint_p, niter, fused = _logistic_fit_multi(
+        packed, num_samples, y, covars, block_variants, sample_idx,
+        max_iter, tol, matmul, firth, MODIFIER_COLS[modifier],
+    )
+    return LogisticModResult(
+        n, beta, se, z, p, joint, joint_p, niter, fused
+    )
+
+
+def _device_matmul():
+    """MXU closure for the per-iteration masked-moment products."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _mm(a, b):
+        return jnp.matmul(
+            a.astype(jnp.float32), b.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    return lambda a, b: np.asarray(_mm(a, b), np.float64)
 
 
 def glm_logistic(
@@ -416,18 +641,7 @@ def glm_logistic(
         else np.asarray(covars, dtype=np.float64)
     )
     if provider == "device":
-        import jax
-        import jax.numpy as jnp
-
-        @jax.jit
-        def _mm(a, b):
-            return jnp.matmul(
-                a.astype(jnp.float32), b.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-
-        kw = dict(kw, matmul=lambda a, b: np.asarray(_mm(a, b), np.float64))
+        kw = dict(kw, matmul=_device_matmul())
         # f32 moment noise in the gradient can exceed the host step
         # tolerance for large cohorts; a provider-matched tol keeps
         # device convergence decisions aligned with the numpy provider

@@ -173,6 +173,7 @@ def glm_pfile(
     adjust_lambda: float | None = None,
     covar_variance_standardize: bool = False,
     out_base: str | None = None,
+    modifier: str | None = None,
 ) -> GlmRunResult:
     """See the module docstring. Additional plink2 surfaces:
 
@@ -184,6 +185,13 @@ def glm_pfile(
     analysis cohort (pinned spec — plink2 dosage semantics differ by
     input format). The conditioned variants still get tested; their own
     rows come back NA (self-collinearity), like plink2.
+    modifier: plink2 --glm model modifier — genotypic (ADD + DOMDEV +
+    joint GENO_2DF), hethom (HOM + HET + GENO_2DF), dominant (DOM),
+    recessive (REC) — for both models; 2-df designs add a GENO_2DF row
+    per variant (BETA/SE NA; the stat column holds the joint F [linear]
+    or Wald chi-square [logistic], header T_OR_F_STAT /
+    Z_OR_CHISQ_STAT like plink2). --adjust and the scalar result
+    surface follow the FIRST test column (ADD/HOM/DOM/REC).
     """
     if adjust and out is not None:
         # validate BEFORE any table is emitted: a late error would leave
@@ -192,6 +200,16 @@ def glm_pfile(
             "glm: --adjust writes a separate .adjusted file; use a "
             "file -o, not '-'"
         )
+    if modifier is not None:
+        from pgen_tpu.ops.glm import MODIFIER_COLS
+
+        if modifier not in MODIFIER_COLS:
+            raise ValueError(f"glm: unknown modifier {modifier!r}")
+        if interaction:
+            raise ValueError(
+                "glm: --modifier and --interaction are mutually exclusive "
+                "(pick one design)"
+            )
     provider = _resolve_provider(provider)
     if provider == "native":
         provider = "numpy"  # BLAS is the host gemm engine (ops/glm.py)
@@ -345,7 +363,52 @@ def glm_pfile(
     subset = None if n_sam == header.num_samples else sam_idx.astype(np.int32)
     kw = {"block_variants": int(block_variants)} if block_variants else {}
     int_res = None
-    if interaction:
+    mod_res = None
+    joint_stat = joint_p = None
+    if modifier is not None:
+        if model == "logistic":
+            from pgen_tpu.ops.logistic import glm_logistic_modifier
+
+            with timer.stage("irls", kept.shape[0] * rec):
+                lmod = glm_logistic_modifier(
+                    kept, header.num_samples, y, covars, modifier,
+                    provider=provider, sample_idx=subset, firth=firth, **kw,
+                )
+            if lmod.firth is not None and lmod.firth.any():
+                log.info(
+                    "glm: %d site(s) fit by Firth regression (%s)",
+                    int(lmod.firth.sum()), firth,
+                )
+
+            class _LModView:  # normalize z_stat -> t_stat column name
+                n_obs = lmod.n_obs
+                beta = lmod.beta
+                se = lmod.se
+                t_stat = lmod.z_stat
+                p = lmod.p
+
+            mod_res = _LModView()
+            joint_stat, joint_p = lmod.joint_stat, lmod.joint_p
+        else:
+            from pgen_tpu.ops.glm import glm_linear_modifier
+
+            with timer.stage("moments", kept.shape[0] * rec):
+                mod_res = glm_linear_modifier(
+                    kept, header.num_samples, y, covars, modifier,
+                    provider=provider, sample_idx=subset, **kw,
+                )
+            joint_stat, joint_p = mod_res.joint_stat, mod_res.joint_p
+
+        class _ModView:  # first test column drives the scalar surface
+            n_obs = mod_res.n_obs
+            beta = mod_res.beta[:, 0]
+            se = mod_res.se[:, 0]
+            t_stat = mod_res.t_stat[:, 0]
+            p = mod_res.p[:, 0]
+
+        res = _ModView()
+        stat = res.t_stat
+    elif interaction:
         # plink2 `--glm interaction`: the design grows to [1, C, g, g*C];
         # each dosage term (ADD + every ADDxC_i) is reported as its own
         # TEST row. Linear runs the closed-form interaction OLS; logistic
@@ -456,14 +519,24 @@ def glm_pfile(
                 if out is not None
                 else open(out_path, "w")
             )
+            from pgen_tpu.ops.glm import JOINT_TEST_NAME
+
+            has_joint = joint_stat is not None
             if model == "logistic":
-                cols = "OR\tLOG(OR)_SE\tZ_STAT\tP"
+                statname = "Z_OR_CHISQ_STAT" if has_joint else "Z_STAT"
+                cols = f"OR\tLOG(OR)_SE\t{statname}\tP"
             else:
-                cols = "BETA\tSE\tT_STAT\tP"
-            tests = (
-                ["ADD"] + [f"ADDx{lab}" for lab in covar_labels]
-                if interaction else ["ADD"]
-            )
+                statname = "T_OR_F_STAT" if has_joint else "T_STAT"
+                cols = f"BETA\tSE\t{statname}\tP"
+            if interaction:
+                tests = ["ADD"] + [f"ADDx{lab}" for lab in covar_labels]
+            elif modifier is not None:
+                from pgen_tpu.ops.glm import MODIFIER_TESTS
+
+                tests = list(MODIFIER_TESTS[modifier])
+            else:
+                tests = ["ADD"]
+            multi = int_res if interaction else mod_res
             with cm as fh:
                 fh.write(
                     f"#CHROM\tPOS\tID\tREF\tALT\tA1\tTEST\tOBS_CT\t{cols}\n"
@@ -475,11 +548,11 @@ def glm_pfile(
                         f"{alts[v]}\t{alts[v]}"
                     )
                     for ti, tname in enumerate(tests):
-                        if interaction:
-                            b = int_res.beta[r, ti]
-                            s_ = int_res.se[r, ti]
-                            st = int_res.t_stat[r, ti]
-                            pv = int_res.p[r, ti]
+                        if multi is not None:
+                            b = multi.beta[r, ti]
+                            s_ = multi.se[r, ti]
+                            st = multi.t_stat[r, ti]
+                            pv = multi.p[r, ti]
                         else:
                             b, s_, st, pv = (
                                 res.beta[r], res.se[r], stat[r], res.p[r]
@@ -496,6 +569,18 @@ def glm_pfile(
                         fh.write(
                             f"{prefix_row}\t{tname}\t{res.n_obs[r]}\t"
                             f"{tail}\n"
+                        )
+                    if has_joint:
+                        # plink2 joint-test row: BETA/SE are NA; the stat
+                        # column carries F (linear) / chi2 (logistic)
+                        js, jp = joint_stat[r], joint_p[r]
+                        jtail = (
+                            "NA\tNA\tNA\tNA" if np.isnan(js)
+                            else f"NA\tNA\t{js:.6g}\t{jp:.6g}"
+                        )
+                        fh.write(
+                            f"{prefix_row}\t{JOINT_TEST_NAME}\t"
+                            f"{res.n_obs[r]}\t{jtail}\n"
                         )
     if adjust:
         # plink2 --adjust: the ADD test's p-values, corrected; rows
