@@ -439,6 +439,55 @@ def build_arg_parser() -> argparse.ArgumentParser:
         rp.add_argument("--stats", action="store_true",
                         help="Print per-stage timing to stderr.")
 
+    fs = sub.add_parser(
+        "fst",
+        help="Fixation index between cohorts (plink2 --fst analog).",
+        description=(
+            "plink2 --fst analog: Hudson (default, Bhatia 2013 "
+            "ratio-of-sums) or Weir-Cockerham 1984 Fst between every "
+            "pair of cohorts. Cohorts come from a categorical psam/"
+            "--pheno-file column (--pheno-name) or a plink --within "
+            "cluster file; 'NA'/'.'/''/'0'/'-9' mark a sample "
+            "unassigned. Writes {out}.fst.summary (one row per pair) "
+            "and, with --report-variants, per-pair "
+            "{out}.{pop1}.{pop2}.fst.var tables."
+        ),
+    )
+    fs.add_argument("pfile_prefix", help="The prefix of the pgen file triples.")
+    fs.add_argument("--pheno-name", dest="pheno_name", default=None,
+                    help="Categorical cohort column (psam, or --pheno-file "
+                         "TSV joined on IID).")
+    fs.add_argument("--pheno", dest="pheno_file", default=None,
+                    metavar="FILE",
+                    help="External phenotype TSV holding --pheno-name "
+                         "(plink2 --pheno).")
+    fs.add_argument("--within", dest="within_file", default=None,
+                    metavar="FILE",
+                    help="plink --within cluster file: 'IID CLUSTER' or "
+                         "'FID IID CLUSTER', whitespace-delimited.")
+    fs.add_argument("--method", choices=["hudson", "wc"], default="hudson",
+                    help="Estimator (plink2 --fst method=; default hudson).")
+    fs.add_argument("--report-variants", action="store_true",
+                    help="Also write per-variant Fst tables per pair "
+                         "(plink2 --fst report-variants).")
+    fs.add_argument("-o", "--out", dest="out_file", default=None,
+                    help="Output base (default {prefix}; '-' streams the "
+                         "summary to stdout).")
+    fs.add_argument("--include-var", dest="var_query", default=None)
+    fs.add_argument("--include-sam", dest="sam_query", default=None)
+    fs.add_argument("--exclude-var", dest="var_exclude", default=None)
+    fs.add_argument("--exclude-sam", dest="sam_exclude", default=None)
+    fs.add_argument("-r", "--regions", dest="regions", default=None)
+    fs.add_argument("-R", "--regions-file", dest="regions_file", default=None)
+    fs.add_argument("--samples", dest="samples", default=None)
+    fs.add_argument("--samples-file", dest="samples_file", default=None)
+    fs.add_argument(
+        "--provider", choices=["auto", "native", "device", "numpy"],
+        default="auto",
+    )
+    fs.add_argument("--stats", action="store_true",
+                    help="Print per-stage timing to stderr.")
+
     kg = sub.add_parser(
         "king",
         help="Pairwise KING-robust kinship table (MXU matmul workload).",
@@ -1570,6 +1619,47 @@ def main(argv=None) -> int:
                 ),
                 provider=args.provider,
                 per_sample=args.per_sample,
+            )
+            return 0
+        if args.command == "fst":
+            from pgen_tpu.pipeline.fst import fst_pfile
+            from pgen_tpu.query.exclude import apply_exclude
+            from pgen_tpu.query.regions import apply_regions
+            from pgen_tpu.query.samples import apply_samples
+
+            result = fst_pfile(
+                args.pfile_prefix,
+                pheno_name=args.pheno_name,
+                pheno_file=args.pheno_file,
+                within_file=args.within_file,
+                method=args.method,
+                report_variants=args.report_variants,
+                var_query=apply_exclude(
+                    apply_regions(
+                        args.var_query, args.regions, args.regions_file
+                    ),
+                    args.var_exclude,
+                ),
+                sam_query=apply_exclude(
+                    apply_samples(
+                        args.sam_query, args.samples, args.samples_file
+                    ),
+                    args.sam_exclude,
+                ),
+                out_file=args.out_file,
+                provider=args.provider,
+            )
+            if args.stats:
+                print(result.timer.report(), file=sys.stderr)
+            print(
+                f"fst: {result.method} over {len(result.pairs)} cohort "
+                f"pair(s), {result.num_variants} variants x "
+                f"{result.num_samples} assigned samples"
+                + (
+                    f" -> {result.out_paths[0]}"
+                    if result.out_paths else ""
+                ),
+                file=sys.stderr,
             )
             return 0
         if args.command in ("freq", "missing", "hardy", "het", "gcount"):

@@ -121,6 +121,13 @@ def _external_column(path: str, colname: str, psam_iids) -> np.ndarray:
     `#IID`/`IID`, or `#FID IID ...`) joined onto the psam's sample order.
     Samples absent from the file get NaN (missing). Duplicate IIDs in the
     file error (ambiguous join)."""
+    raw = _external_strs(path, colname, psam_iids)
+    return parse_numeric_column(raw, f"{path}:{colname}")
+
+
+def _external_strs(path: str, colname: str, psam_iids) -> list:
+    """The raw-string form of the --pheno/--covar join (categorical
+    columns: fst --pheno-name); absent samples get 'NA'."""
     with open(path) as fh:
         header = fh.readline()
         if not header:
@@ -148,8 +155,7 @@ def _external_column(path: str, colname: str, psam_iids) -> np.ndarray:
             if iid in vals:
                 raise ValueError(f"glm: {path} lists IID {iid!r} twice")
             vals[iid] = parts[col_j]
-    raw = [vals.get(iid, "NA") for iid in psam_iids]
-    return parse_numeric_column(raw, f"{path}:{colname}")
+    return [vals.get(iid, "NA") for iid in psam_iids]
 
 
 def glm_pfile(
