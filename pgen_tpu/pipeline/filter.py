@@ -566,6 +566,12 @@ def filter_to_vcf(
             out_mm = np.memmap(out_file, dtype=np.uint8, mode="r+")
         else:
             out_mm = np.memmap(out_file, dtype=np.uint8, mode="w+", shape=(total,))
+            if os.environ.get("PGEN_TPU_PRETOUCH") == "1":
+                # fresh mapping: overlap the kernel/hypervisor first-touch
+                # page backing with emission (cold-output mitigation; on
+                # lazy-backing hypervisors the backing rate, not the
+                # format work, dominates a cold run)
+                _start_pretouch(out_mm)
         out_mm[: len(header_bytes)] = np.frombuffer(header_bytes, dtype=np.uint8)
         # Every block's output offset is known up front (exact size
         # arithmetic), so blocks emit independently — parallel threads
@@ -792,6 +798,36 @@ def _gather_rows(records: np.ndarray, idx: np.ndarray) -> np.ndarray:
     if len(idx) and int(idx[-1]) - int(idx[0]) + 1 == len(idx):
         return records[int(idx[0]) : int(idx[-1]) + 1]
     return records[idx]
+
+
+def _start_pretouch(out_mm: np.memmap) -> None:
+    """Kick off asynchronous page backing for a FRESH output mapping.
+
+    madvise(MADV_WILLNEED) asks the kernel to populate the (hole) pages
+    in the background, and a daemon READER thread walks one byte per
+    page front-to-back — reads allocate the page-cache page (the
+    expensive hypervisor-backed step) without racing the emit threads'
+    writes, which then only take the cheap write-protect fault. Gated by
+    PGEN_TPU_PRETOUCH=1; a measured experiment, not a default (on a
+    2-core box the toucher competes with the emitters for CPU)."""
+    import mmap as _mmap
+    import threading
+
+    try:
+        out_mm._mmap.madvise(_mmap.MADV_WILLNEED)
+    except (AttributeError, OSError):
+        pass
+
+    def _touch(view=out_mm, step=4096):
+        sink = 0
+        try:
+            for off in range(0, len(view), step):
+                sink += int(view[off])
+        except (ValueError, SystemError):
+            pass  # mapping closed mid-walk: emission already finished
+        return sink
+
+    threading.Thread(target=_touch, daemon=True).start()
 
 
 def _can_mmap(path: str) -> bool:
