@@ -528,12 +528,93 @@ def _glm_geno_moments_device_jit(
     return tuple(o.reshape(-1, *o.shape[2:])[:nvar] for o in outs)
 
 
+def glm_geno_moments_mesh(
+    packed: np.ndarray,
+    num_samples: int,
+    y,
+    covars,
+    block_variants: int = 1 << 14,
+    sample_idx=None,
+) -> GlmGenoMoments:
+    """Variant-sharded indicator moments over all local devices (same
+    collective-free structure as glm_moments_mesh: per-variant outputs)."""
+    from pgen_tpu.parallel.mesh import make_mesh, pad_to_multiple
+
+    nvar = int(packed.shape[0])
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    if nvar == 0:
+        return glm_geno_moments_numpy(packed, num_samples, y, covars,
+                                      sample_idx=sample_idx)
+    mesh = make_mesh()
+    padded = pad_to_multiple(np.asarray(packed, dtype=np.uint8),
+                             mesh.devices.size)
+    if padded.shape[0] != nvar:
+        padded[nvar:] = 0xFF  # all-missing pad rows: zero moments
+    step = build_glm_geno_mesh_step(
+        mesh, num_samples, y, covars, block_variants=block_variants,
+        sample_idx=sample_idx,
+    )
+    outs = step(padded)
+    return GlmGenoMoments(*(np.asarray(o, np.float64)[:nvar] for o in outs))
+
+
+def build_glm_geno_mesh_step(
+    mesh, num_samples: int, y, covars, block_variants: int = 1 << 14,
+    sample_idx=None,
+):
+    """Variant-sharded modifier (het/hom indicator) moments: per-shard
+    matmuls, sharded outputs. packed (V, R) u8 shards as P('v', None);
+    pad rows must be 0xFF."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pgen_tpu.parallel.mesh import VARIANT_AXIS
+    from pgen_tpu.pipeline.device import is_interpret_backend
+
+    interpret = is_interpret_backend()
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    yc, cc = _centered(y, covars)
+    pcols = _moment_columns(yc, cc).astype(np.float32)
+    q2 = np.concatenate(
+        [np.ones((yc.shape[0], 1)), yc[:, None], cc], axis=1
+    ).astype(np.float32)
+    sel = None if sample_idx is None else np.asarray(sample_idx, np.int32)
+
+    def step(packed):
+        def inner(packed_l):
+            return _glm_geno_moments_device_jit(
+                packed_l, pcols, q2, sel, num_samples, block_variants,
+                interpret,
+            )
+
+        return jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(VARIANT_AXIS, None),),
+            out_specs=(P(VARIANT_AXIS), P(VARIANT_AXIS, None),
+                       P(VARIANT_AXIS, None), P(VARIANT_AXIS, None)),
+            check_vma=False,
+        )(packed)
+
+    in_shardings = (NamedSharding(mesh, P(VARIANT_AXIS, None)),)
+    return jax.jit(step, in_shardings=in_shardings)
+
+
 def glm_geno_moments(
     packed, num_samples: int, y, covars, provider: str = "numpy",
     block_variants: int = 1 << 14, sample_idx=None,
 ) -> GlmGenoMoments:
-    """Provider dispatch for the indicator moments."""
+    """Provider dispatch for the indicator moments. `device` shards the
+    variant axis over all local devices when more than one is visible."""
     if provider == "device":
+        import jax as _jax
+
+        if len(_jax.devices()) > 1 and packed.shape[0] > 0:
+            return glm_geno_moments_mesh(
+                np.asarray(packed), num_samples, y, covars,
+                block_variants=int(block_variants), sample_idx=sample_idx,
+            )
         from pgen_tpu.pipeline.device import is_interpret_backend
 
         y64 = np.asarray(y, dtype=np.float64)
