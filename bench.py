@@ -500,9 +500,9 @@ def main():
     _phase("import", 120, import_vcf_row, gate="PGEN_BENCH_IMPORT")
 
 
-    # ---- phases 9-10: cold + import LAST — cold mostly measures the
-    # hypervisor's first-touch backing (up to ~250 s on a bad day) and
-    # must not starve the kernel/MXU evidence rows ---------------------
+    # ---- cold rows after the evidence phases — cold mostly measures
+    # the hypervisor's first-touch backing (up to ~250 s on a bad day)
+    # and must not starve the kernel/MXU/distributed rows --------------
     def cold():
         prefix = uctx.get("prefix") or rctx.get("prefix")
         out = uctx.get("out") or rctx.get("out")
@@ -569,9 +569,14 @@ def main():
         gate="PGEN_BENCH_DEVICE",
     )
 
-    # ---- phase 5: scaling (2-host projection) — runs BEFORE the cold/
-    # import phases whose multi-GB writeback backlog inflates half-shard
-    # timings (measured r5: 0.625 after cold/import vs 0.896 quiet) ------
+    # ---- scaling (2-host wall-clock-ratio projection): SUPERSEDED as
+    # 2-host evidence by the measured dist_* decomposition above; kept
+    # for cross-round continuity only, and now deliberately LAST among
+    # the timed phases — it therefore runs against the cold/import
+    # writeback backlog, which deflates the ratio (measured r5: 0.625
+    # post-backlog vs 0.896 quiet). Read scaling_2host_projected_
+    # efficiency as a lower bound; dist_2host_projected_efficiency is
+    # the number to quote. --------------------------------------------
     def scaling():
         from pgen_tpu.parallel.shard import (
             filter_to_vcf_parallel,

@@ -1935,8 +1935,16 @@ def main(argv=None) -> int:
                 if args.stats:
                     print(result.timer.report(), file=sys.stderr)
                 dest = "stdout" if args.out_file == "-" else result.out_path
+                if args.modifier:
+                    from pgen_tpu.ops.glm import MODIFIER_TESTS
+
+                    design = "+".join(MODIFIER_TESTS[args.modifier])
+                elif args.interaction:
+                    design = "ADD+ADDxC"
+                else:
+                    design = "ADD"
                 print(
-                    f"glm: {result.model} {result.pheno_name} ~ ADD"
+                    f"glm: {result.model} {result.pheno_name} ~ {design}"
                     + (f" + {len(covars)} covar(s)" if covars else "")
                     + f" over {result.num_variants} variants x "
                     f"{result.num_samples} samples -> {dest}",

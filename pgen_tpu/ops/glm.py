@@ -428,6 +428,21 @@ MODIFIER_TESTS = {
 JOINT_TEST_NAME = "GENO_2DF"
 
 
+def _geno_moment_inputs(y, covars, dtype=np.float64):
+    """Shared preamble for every geno-moments provider: centered y/C,
+    the M-block moment columns, and the het/hom-block columns
+    q2 = [1, y, C]. The q2 LAYOUT is load-bearing — glm_solve_modifier
+    indexes hetq/homq as [:,0]=sum, [:,1]=*y, [:,2:]=@C."""
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    yc, cc = _centered(y, covars)
+    pcols = _moment_columns(yc, cc).astype(dtype)
+    q2 = np.concatenate(
+        [np.ones((yc.shape[0], 1)), yc[:, None], cc], axis=1
+    ).astype(dtype)
+    return pcols, q2
+
+
 class GlmGenoMoments(NamedTuple):
     """Indicator-decomposed per-variant moments (f64, host-side).
 
@@ -465,12 +480,7 @@ def glm_geno_moments_numpy(
 
     packed = np.asarray(packed, dtype=np.uint8)
     nvar = packed.shape[0]
-    ns = num_samples if sample_idx is None else len(sample_idx)
-    y = np.asarray(y, dtype=np.float64)
-    covars = np.asarray(covars, dtype=np.float64)
-    y, covars = _centered(y, covars)
-    pcols = _moment_columns(y, covars)
-    q2 = np.concatenate([np.ones((ns, 1)), y[:, None], covars], axis=1)
+    pcols, q2 = _geno_moment_inputs(y, covars)
     n = np.empty(nvar, dtype=np.float64)
     mp = np.empty((nvar, pcols.shape[1]), dtype=np.float64)
     hetq = np.empty((nvar, q2.shape[1]), dtype=np.float64)
@@ -572,13 +582,7 @@ def build_glm_geno_mesh_step(
     from pgen_tpu.pipeline.device import is_interpret_backend
 
     interpret = is_interpret_backend()
-    y = np.asarray(y, dtype=np.float64)
-    covars = np.asarray(covars, dtype=np.float64)
-    yc, cc = _centered(y, covars)
-    pcols = _moment_columns(yc, cc).astype(np.float32)
-    q2 = np.concatenate(
-        [np.ones((yc.shape[0], 1)), yc[:, None], cc], axis=1
-    ).astype(np.float32)
+    pcols, q2 = _geno_moment_inputs(y, covars, dtype=np.float32)
     sel = None if sample_idx is None else np.asarray(sample_idx, np.int32)
 
     def step(packed):
@@ -617,13 +621,7 @@ def glm_geno_moments(
             )
         from pgen_tpu.pipeline.device import is_interpret_backend
 
-        y64 = np.asarray(y, dtype=np.float64)
-        c64 = np.asarray(covars, dtype=np.float64)
-        yc, cc = _centered(y64, c64)
-        pcols = _moment_columns(yc, cc).astype(np.float32)
-        q2 = np.concatenate(
-            [np.ones((yc.shape[0], 1)), yc[:, None], cc], axis=1
-        ).astype(np.float32)
+        pcols, q2 = _geno_moment_inputs(y, covars, dtype=np.float32)
         if packed.shape[0] == 0:
             z = np.zeros(0)
             return GlmGenoMoments(

@@ -67,29 +67,6 @@ def _cov_pairs(covars: np.ndarray) -> np.ndarray:
     ) if k else np.zeros((covars.shape[0], 0))
 
 
-def _assemble_hess(h1, hc, hcc, hg, hgc, hgg, k: int) -> np.ndarray:
-    """Symmetric (V, d, d) from weighted moments; d = k + 2, layout
-    [1, c_1..c_k, g]."""
-    v = h1.shape[0]
-    d = k + 2
-    h = np.zeros((v, d, d), dtype=np.float64)
-    h[:, 0, 0] = h1
-    h[:, 0, 1 : 1 + k] = hc
-    h[:, 1 : 1 + k, 0] = hc
-    pos = 0
-    for i in range(k):
-        for j in range(i, k):
-            h[:, 1 + i, 1 + j] = hcc[:, pos]
-            h[:, 1 + j, 1 + i] = hcc[:, pos]
-            pos += 1
-    h[:, 0, d - 1] = hg
-    h[:, d - 1, 0] = hg
-    h[:, 1 : 1 + k, d - 1] = hgc
-    h[:, d - 1, 1 : 1 + k] = hgc
-    h[:, d - 1, d - 1] = hgg
-    return h
-
-
 _erfc = np.vectorize(math.erfc)
 
 

@@ -150,6 +150,12 @@ def fst_pfile(
         raise ValueError(
             "fst: exactly one of --pheno-name or --within is required"
         )
+    if report_variants and out_file == "-":
+        # validate BEFORE the summary streams: a late error would leave
+        # a half-written table on stdout (same rule as glm --adjust)
+        raise ValueError(
+            "fst: --report-variants writes files; use a file -o, not '-'"
+        )
     provider = _resolve_provider(provider)
     counts_provider = "numpy" if provider == "device" else provider
     timer = StageTimer()
@@ -239,11 +245,6 @@ def fst_pfile(
                     fcell = "NA" if np.isnan(fst) else f"{fst:.6g}"
                     sfh.write(f"{pops[i]}\t{pops[j]}\t{fcell}\t{used}\n")
                     if report_variants:
-                        if out_file == "-":
-                            raise ValueError(
-                                "fst: --report-variants writes files; use a "
-                                "file -o, not '-'"
-                            )
                         vpath = f"{base}.{pops[i]}.{pops[j]}.fst.var"
                         out_paths.append(vpath)
                         with np.errstate(invalid="ignore", divide="ignore"):

@@ -106,6 +106,15 @@ def _lower(node, table, extra=None):
             rk, rv = _lower(node.right, table, extra)
         except _Fallback:
             rk = rv = None
+        except ExprError:
+            # the left operand already fell back: unless the right side
+            # holds a dup_* builtin (whose errors are real — the row
+            # interpreter cannot evaluate it either), hand the WHOLE
+            # expression to the interpreter, whose per-row
+            # short-circuit may never evaluate the erroring side
+            if lk is not None or _contains_dup(node.right):
+                raise
+            raise _Fallback from None
         if lk is None and rk is None:
             raise _Fallback
         if lk is None or rk is None:

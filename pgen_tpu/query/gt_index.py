@@ -180,11 +180,13 @@ def bind_gt_index(
             idx = int(hit[0])  # first occurrence, like the IID column scan
         else:
             idx = key
-            if not 0 <= idx < other_len:
-                raise ExprError(
-                    f"{builtin}({key}): {other_desc} index out of range "
-                    f"(0..{other_len - 1})"
-                )
+        if not 0 <= idx < other_len:
+            # also guards string-resolved rows past the pgen's axis (an
+            # oversized metadata file must not read pad bits / crash)
+            raise ExprError(
+                f"{builtin}({key!r}): {other_desc} index {idx} out of "
+                f"range (pgen holds {other_len})"
+            )
         if axis_samples:
             # one record decoded for every sample
             codes = _codes_matrix(records[idx : idx + 1], num_samples)[0]

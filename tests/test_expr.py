@@ -356,3 +356,28 @@ def test_num_on_info_subfield(tmp_path):
     t = read_metadata(p)
     mask = compile_predicate('num(INFO_AF) > 0.5', t)
     assert mask.tolist() == [True, False]
+
+
+def test_fallback_sibling_expr_error_routes_to_interpreter(tmp_path):
+    """One operand outside the vectorizable subset + a sibling whose
+    LOWERING raises a type error: the whole expression hands over to the
+    row interpreter, which reports the same eager-operand-evaluation
+    error evalexpr would (operands of ``||`` evaluate eagerly — pinned
+    in interp.py — so this errs either way; the handover keeps the
+    error MESSAGE on the interpreter's evalexpr-parity wording and
+    keeps dup-free mixed expressions on one code path)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tests.conftest import build_fileset
+
+    from pgen_tpu.formats.metadata import read_metadata
+    from pgen_tpu.query.ast import ExprError
+    from pgen_tpu.query.compile import compile_predicate
+
+    codes = np.zeros((3, 2), dtype=np.uint8)
+    pvar_rows = [f"1\t{100+i}\trs{i}\tA\tG\t.\tPASS\t." for i in range(3)]
+    prefix = build_fileset(tmp_path, "fb", codes, pvar_rows, ["s0\tM", "s1\tM"])
+    pvar = read_metadata(f"{prefix}.pvar")
+    with _pytest.raises(ExprError, match="expected two numbers, got"):
+        compile_predicate('str::regex_matches(ID, ".") || ID - 1 > 0', pvar)

@@ -232,3 +232,34 @@ def test_gt_query_without_index_stays_metadata_only(tiny_fileset, tmp_path):
     (tmp_path / "trunc.pgen").write_bytes(hdr12)
     n, lines = _run(str(bad), "ID")  # fine: metadata only
     assert n == codes.shape[0]
+
+
+def test_gt_string_id_bounds_checked_against_pgen(tiny_fileset, tmp_path):
+    """String-ID lookups resolve through the (possibly oversized)
+    metadata file; rows past the pgen's axis must error cleanly, not
+    read pad bits or crash (r5 review finding)."""
+    import shutil
+
+    from pgen_tpu.query.ast import ExprError
+
+    prefix, codes = tiny_fileset
+    nv, ns = codes.shape
+    big = tmp_path / "big"
+    shutil.copyfile(f"{prefix}.pgen", f"{big}.pgen")
+    shutil.copyfile(f"{prefix}.pvar", f"{big}.pvar")
+    psam = open(f"{prefix}.psam").read()
+    (tmp_path / "big.psam").write_text(
+        psam + "".join(f"s{ns + i}\tM\n" for i in range(3))
+    )
+    with pytest.raises(ExprError, match="out of range"):
+        _run(str(big), f'str::from(GT("s{ns + 1}"))')
+    # sample axis: variant-ID rows past the pgen's record count
+    big2 = tmp_path / "big2"
+    shutil.copyfile(f"{prefix}.pgen", f"{big2}.pgen")
+    shutil.copyfile(f"{prefix}.psam", f"{big2}.psam")
+    pvar = open(f"{prefix}.pvar").read()
+    (tmp_path / "big2.pvar").write_text(
+        pvar + f"1\t999\trs{nv + 2}\tA\tG\t100\tPASS\t.\n"
+    )
+    with pytest.raises(ExprError, match="out of range"):
+        _run(str(big2), f'str::from(GT("rs{nv + 2}"))', query_samples=True)
