@@ -1348,6 +1348,11 @@ def _glm_bench() -> dict:
 
 
 if __name__ == "__main__":
+    # NOTE: the persistent jax compilation cache is NOT enabled here —
+    # measured r5, writing serialized executables through this rig's
+    # axon tunnel hung the device subcommands past 300 s (vs 56-80 s
+    # without). PGEN_TPU_COMPILE_CACHE=1 opts in on real hosts
+    # (pipeline/device.py ensure_compilation_cache).
     if "--compile-smoke" in sys.argv:
         print(json.dumps(_compile_smoke()))
     elif "--kernel-bench" in sys.argv:

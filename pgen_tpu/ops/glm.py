@@ -95,11 +95,16 @@ def glm_moments_numpy(
     num_samples: int,
     y: np.ndarray,
     covars: np.ndarray,
-    block_variants: int = 1 << 13,
+    block_variants: int = 512,
     sample_idx=None,
 ) -> GlmMoments:
     """Host provider: f64 masked-moment dgemms per block, in-place block
-    buffers (first-touch tax — see ROADMAP.md Host IO)."""
+    buffers (first-touch tax — see ROADMAP.md Host IO).
+
+    Block default 512: at 2504 samples the (bv, S) f64 block buffers are
+    ~10 MB — cache-resident for the 4-5 elementwise passes per block.
+    The old 1<<13 default streamed 165 MB buffers through DRAM every
+    pass and measured 10x slower (4.4k vs 46k variants/s, r5)."""
     from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     packed = np.asarray(packed, dtype=np.uint8)
@@ -472,10 +477,11 @@ def glm_geno_moments_numpy(
     num_samples: int,
     y: np.ndarray,
     covars: np.ndarray,
-    block_variants: int = 1 << 13,
+    block_variants: int = 512,
     sample_idx=None,
 ) -> GlmGenoMoments:
-    """Host provider: three f64 dgemms per block (M/HET/HOM)."""
+    """Host provider: three f64 dgemms per block (M/HET/HOM).
+    Cache-resident block default — see glm_moments_numpy."""
     from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     packed = np.asarray(packed, dtype=np.uint8)
@@ -607,17 +613,20 @@ def build_glm_geno_mesh_step(
 
 def glm_geno_moments(
     packed, num_samples: int, y, covars, provider: str = "numpy",
-    block_variants: int = 1 << 14, sample_idx=None,
+    block_variants: int | None = None, sample_idx=None,
 ) -> GlmGenoMoments:
     """Provider dispatch for the indicator moments. `device` shards the
-    variant axis over all local devices when more than one is visible."""
+    variant axis over all local devices when more than one is visible.
+    block_variants None = provider-appropriate default (device scans
+    want big HBM-resident blocks; host wants cache-resident ones)."""
     if provider == "device":
         import jax as _jax
 
+        bv = int(block_variants) if block_variants else 1 << 14
         if len(_jax.devices()) > 1 and packed.shape[0] > 0:
             return glm_geno_moments_mesh(
                 np.asarray(packed), num_samples, y, covars,
-                block_variants=int(block_variants), sample_idx=sample_idx,
+                block_variants=bv, sample_idx=sample_idx,
             )
         from pgen_tpu.pipeline.device import is_interpret_backend
 
@@ -631,12 +640,13 @@ def glm_geno_moments(
         sel = None if sample_idx is None else np.asarray(sample_idx, np.int32)
         outs = _glm_geno_moments_device_jit(
             np.asarray(packed, np.uint8), pcols, q2, sel, num_samples,
-            int(block_variants), is_interpret_backend(),
+            bv, is_interpret_backend(),
         )
         return GlmGenoMoments(*(np.asarray(o, np.float64) for o in outs))
     return glm_geno_moments_numpy(
         packed, num_samples, y, covars,
-        block_variants=int(block_variants), sample_idx=sample_idx,
+        block_variants=int(block_variants) if block_variants else 512,
+        sample_idx=sample_idx,
     )
 
 
@@ -821,10 +831,11 @@ def glm_int_moments_numpy(
     num_samples: int,
     y: np.ndarray,
     covars: np.ndarray,
-    block_variants: int = 1 << 13,
+    block_variants: int = 512,
     sample_idx=None,
 ) -> GlmIntMoments:
-    """Host provider: three f64 dgemms per block (M/G/G^2 @ P)."""
+    """Host provider: three f64 dgemms per block (M/G/G^2 @ P).
+    Cache-resident block default — see glm_moments_numpy."""
     from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     packed = np.asarray(packed, dtype=np.uint8)
@@ -904,7 +915,7 @@ def _glm_int_moments_device_jit(
 
 def glm_int_moments(
     packed, num_samples: int, y, covars, provider: str = "numpy",
-    block_variants: int = 1 << 14, sample_idx=None,
+    block_variants: int | None = None, sample_idx=None,
 ) -> GlmIntMoments:
     """Provider dispatch (`native` -> numpy; `device` = single-device
     scan — per-variant outputs are embarrassingly parallel, so chunk
@@ -923,12 +934,14 @@ def glm_int_moments(
         sel = None if sample_idx is None else np.asarray(sample_idx, np.int32)
         outs = _glm_int_moments_device_jit(
             np.asarray(packed, np.uint8), pcols, sel, num_samples,
-            int(block_variants), is_interpret_backend(),
+            int(block_variants) if block_variants else 1 << 14,
+            is_interpret_backend(),
         )
         return GlmIntMoments(*(np.asarray(o, np.float64) for o in outs))
     return glm_int_moments_numpy(
         packed, num_samples, y, covars,
-        block_variants=int(block_variants), sample_idx=sample_idx,
+        block_variants=int(block_variants) if block_variants else 512,
+        sample_idx=sample_idx,
     )
 
 

@@ -527,7 +527,7 @@ def glm_logistic_numpy(
     num_samples: int,
     y: np.ndarray,
     covars: np.ndarray,
-    block_variants: int = 1 << 12,
+    block_variants: int = 256,
     sample_idx=None,
     max_iter: int = 24,
     tol: float = 1e-7,
@@ -535,6 +535,11 @@ def glm_logistic_numpy(
     firth: str = "fallback",
 ) -> LogisticResult:
     """Host provider, additive model. y must be 0/1; covars (S, k).
+
+    Block default 256: each IRLS iteration makes 4-5 elementwise passes
+    over (bv, S) f64 arrays; at 2504 samples a 256-row block (~5 MB)
+    stays cache-resident, measured 11x faster than the old 1<<12
+    default (0.28k vs 3.1k variants/s, r5).
 
     firth: "fallback" (default, plink2's `--glm firth-fallback`) re-fits
     non-converged sites with Firth regression; "always" (`--glm firth`)
@@ -557,7 +562,7 @@ def glm_logistic_modifier(
     covars,
     modifier: str,
     provider: str = "numpy",
-    block_variants: int = 1 << 12,
+    block_variants: int = 256,
     sample_idx=None,
     max_iter: int = 24,
     tol: float = 1e-7,
