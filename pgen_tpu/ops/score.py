@@ -49,11 +49,16 @@ def score_numpy(
     weights: np.ndarray,
     flip: np.ndarray,
     mean_impute: bool = True,
-    block_variants: int = 1 << 13,
+    block_variants: int = 1024,
     sample_idx=None,
 ) -> ScoreResult:
     """Host provider: f64 dosage + dgemm per block, in-place block buffers
-    (fresh temporaries pay the first-touch tax — see ROADMAP.md Host IO)."""
+    (fresh temporaries pay the first-touch tax — see ROADMAP.md Host IO).
+
+    Block default 1024: cache-resident (bv, S) f64 buffers for the
+    elementwise dosage passes — the old 1<<13 streamed 165 MB through
+    DRAM every pass, measured 2x slower (25k vs 51k var/s, r5; same
+    cliff as ops/glm.py's moment providers)."""
     from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
     packed = np.asarray(packed, dtype=np.uint8)
