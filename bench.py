@@ -1306,7 +1306,9 @@ def _glm_bench() -> dict:
         cut = pvar.get_column_strs("POS")[host_nvar - 1]
         hq = f'num(POS) <= {cut}'
     t0 = time.perf_counter()
-    res = glm_pfile(prefix, provider="numpy", var_query=hq, **kw)
+    # "native" = the production host default: the C++ sparse-complement
+    # moments kernel (2x the blocked-dgemm numpy path on realistic data)
+    res = glm_pfile(prefix, provider="native", var_query=hq, **kw)
     host_slice_s = time.perf_counter() - t0
     scale = nvar / res.num_variants
     out["host_slice_wall_s"] = round(host_slice_s, 2)

@@ -167,6 +167,15 @@ class _Native:
             lib.pgen_sample_counts.argtypes = [
                 u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p,
             ]
+        f64p = ctypes.POINTER(ctypes.c_double)
+        self.has_glm_moments = hasattr(lib, "pgen_glm_moments_par")
+        if self.has_glm_moments:
+            lib.pgen_glm_moments_par.restype = None
+            lib.pgen_glm_moments_par.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                u8p, f64p, ctypes.c_int64, f64p, ctypes.c_int64, f64p,
+                ctypes.c_double, f64p, f64p, f64p, f64p, f64p,
+            ]
         self.has_vcf_import = hasattr(lib, "pgen_vcf_import_rows")
         if self.has_vcf_import:
             lib.pgen_vcf_import_rows.restype = ctypes.c_int64
@@ -408,6 +417,41 @@ class _Native:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         return out
+
+    def glm_moments(
+        self,
+        packed: np.ndarray,
+        keep: np.ndarray,
+        pcols: np.ndarray,
+        qcols: np.ndarray,
+        ptot: np.ndarray,
+        n_kept: float,
+        n_samples: int,
+    ):
+        """Sparse-complement GLM moments (see pgen_glm_moments).
+
+        pcols/qcols: (S, P)/(S, K) f64 C-contiguous, zero rows for
+        dropped samples; keep: (S,) u8; ptot: (P,) column sums over
+        kept. Returns (n, mp, gq, sg, sg2) f64 arrays."""
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        n_var, rec = packed.shape
+        np_, nq = pcols.shape[1], qcols.shape[1]
+        f64p = ctypes.POINTER(ctypes.c_double)
+
+        def fp(a):
+            return a.ctypes.data_as(f64p)
+
+        n = np.empty(n_var)
+        mp = np.empty((n_var, np_))
+        gq = np.empty((n_var, nq))
+        sg = np.empty(n_var)
+        sg2 = np.empty(n_var)
+        self._lib.pgen_glm_moments_par(
+            self._u8(packed), n_var, rec, n_samples, self._u8(keep),
+            fp(pcols), np_, fp(qcols), nq, fp(ptot),
+            ctypes.c_double(n_kept), fp(n), fp(mp), fp(gq), fp(sg), fp(sg2),
+        )
+        return n, mp, gq, sg, sg2
 
     def bgzf_compress(self, data: np.ndarray, level: int = 1) -> np.ndarray:
         """Compress bytes into independent BGZF blocks (bcftools/tabix

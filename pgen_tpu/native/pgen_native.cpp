@@ -879,6 +879,86 @@ void pgen_unpack_codes(const unsigned char* packed, int64_t n_var,
   }
 }
 
+// GLM masked moments, sparse-complement form (ops/glm.py native path).
+// Realistic genotype data is overwhelmingly hom-ref (code 0), and the
+// per-variant complete-case moment sums decompose so that ONLY
+// non-hom-ref samples cost work:
+//     n      = n_kept - #missing
+//     M @ P  = colsum_kept(P) - sum_{missing} P[s]
+//     G @ Q  = sum_{het} Q[s] + 2 sum_{hom} Q[s]
+//     sum g  = #het + 2 #hom ;   sum g^2 = #het + 4 #hom
+// A zero record byte (four hom-ref calls) is skipped outright, so a
+// rare variant costs a memchr-speed scan plus a handful of f64 adds —
+// vs the dense provider's full (bv, S) f64 materialization + dgemm.
+// pcols/qcols are FULL-S row-major with zero rows for dropped samples;
+// keep[s] gates subset cohorts; ptot = column sums of pcols over KEPT
+// samples. Pad bits are guarded by the n_samples bound.
+void pgen_glm_moments(const unsigned char* packed, int64_t n_var,
+                      int64_t rec_size, int64_t n_samples,
+                      const unsigned char* keep, const double* pcols,
+                      int64_t np_, const double* qcols, int64_t nq,
+                      const double* ptot, double n_kept, double* n_out,
+                      double* mp, double* gq, double* sg, double* sg2) {
+  std::vector<double> het((size_t)nq), hom((size_t)nq);
+  for (int64_t v = 0; v < n_var; ++v) {
+    const unsigned char* rec = packed + v * rec_size;
+    double* mpo = mp + v * np_;
+    std::memcpy(mpo, ptot, (size_t)np_ * sizeof(double));
+    std::fill(het.begin(), het.end(), 0.0);
+    std::fill(hom.begin(), hom.end(), 0.0);
+    double nm = 0.0, nhet = 0.0, nhom = 0.0;
+    for (int64_t j = 0; j < rec_size; ++j) {
+      const unsigned char b = rec[j];
+      if (!b) continue;
+      const int64_t base = 4 * j;
+      const int lim = (int)(base + 4 <= n_samples ? 4 : n_samples - base);
+      for (int p = 0; p < lim; ++p) {
+        const int code = (b >> (2 * p)) & 3;
+        if (!code) continue;
+        const int64_t s = base + p;
+        if (!keep[s]) continue;
+        if (code == 3) {
+          const double* pr = pcols + s * np_;
+          for (int64_t c = 0; c < np_; ++c) mpo[c] -= pr[c];
+          nm += 1.0;
+        } else {
+          const double* q = qcols + s * nq;
+          double* acc = (code == 1) ? het.data() : hom.data();
+          for (int64_t c = 0; c < nq; ++c) acc[c] += q[c];
+          if (code == 1) nhet += 1.0; else nhom += 1.0;
+        }
+      }
+    }
+    double* gqo = gq + v * nq;
+    for (int64_t c = 0; c < nq; ++c) gqo[c] = het[c] + 2.0 * hom[c];
+    n_out[v] = n_kept - nm;
+    sg[v] = nhet + 2.0 * nhom;
+    sg2[v] = nhet + 4.0 * nhom;
+  }
+}
+
+void pgen_glm_moments_par(const unsigned char* packed, int64_t n_var,
+                          int64_t rec_size, int64_t n_samples,
+                          const unsigned char* keep, const double* pcols,
+                          int64_t np_, const double* qcols, int64_t nq,
+                          const double* ptot, double n_kept, double* n_out,
+                          double* mp, double* gq, double* sg, double* sg2) {
+  if (n_var * rec_size < (16 << 20)) {
+    pgen_glm_moments(packed, n_var, rec_size, n_samples, keep, pcols, np_,
+                     qcols, nq, ptot, n_kept, n_out, mp, gq, sg, sg2);
+    return;
+  }
+  const int64_t mid = n_var / 2;
+  std::thread th([&] {
+    pgen_glm_moments(packed, mid, rec_size, n_samples, keep, pcols, np_,
+                     qcols, nq, ptot, n_kept, n_out, mp, gq, sg, sg2);
+  });
+  pgen_glm_moments(packed + mid * rec_size, n_var - mid, rec_size, n_samples,
+                   keep, pcols, np_, qcols, nq, ptot, n_kept, n_out + mid,
+                   mp + mid * np_, gq + mid * nq, sg + mid, sg2 + mid);
+  th.join();
+}
+
 // Pack a (n_var, n_samples) u8 code matrix into mode-0x02 records.
 void pgen_pack_codes(const unsigned char* codes, int64_t n_var,
                      int64_t n_samples, unsigned char* packed) {

@@ -218,12 +218,58 @@ def glm_moments_device(
     return GlmMoments(*(np.asarray(o, np.float64) for o in outs))
 
 
+def glm_moments_native(
+    packed, num_samples: int, y, covars, sample_idx=None, **_ignored
+) -> GlmMoments | None:
+    """C++ sparse-complement provider (pgen_native.cpp pgen_glm_moments):
+    only non-hom-ref samples cost work, so realistic (mostly-hom-ref)
+    data runs several times faster than the blocked dgemm path. Returns
+    None when the native runtime is unavailable (caller falls back)."""
+    try:
+        from pgen_tpu.native import HAVE_NATIVE, native
+    except ImportError:
+        return None
+    if not HAVE_NATIVE or not getattr(native, "has_glm_moments", False):
+        return None
+    packed = np.asarray(packed, dtype=np.uint8)
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    yc, cc = _centered(y, covars)
+    pk = _moment_columns(yc, cc)  # (n_kept, P)
+    qk = np.concatenate([yc[:, None], cc], axis=1)  # (n_kept, k+1)
+    s = num_samples
+    if sample_idx is None:
+        rows = None
+        keep = np.ones(s, dtype=np.uint8)
+        pfull, qfull = np.ascontiguousarray(pk), np.ascontiguousarray(qk)
+    else:
+        rows = np.asarray(sample_idx)
+        keep = np.zeros(s, dtype=np.uint8)
+        keep[rows] = 1
+        pfull = np.zeros((s, pk.shape[1]))
+        qfull = np.zeros((s, qk.shape[1]))
+        pfull[rows] = pk
+        qfull[rows] = qk
+    ptot = np.ascontiguousarray(pk.sum(axis=0))
+    outs = native.glm_moments(
+        packed, keep, pfull, qfull, ptot, float(pk.shape[0]), s
+    )
+    return GlmMoments(*outs)
+
+
 def glm_moments(
     packed, num_samples: int, y, covars, provider: str = "numpy", **kw
 ) -> GlmMoments:
-    """Provider dispatch (`native` -> numpy: BLAS is the host gemm engine).
-    `device` shards the variant axis over all local devices when more
-    than one is visible (per-variant outputs: embarrassingly parallel)."""
+    """Provider dispatch. `native` = the C++ sparse-complement kernel
+    (numpy/BLAS fallback when the toolchain is absent); `device` shards
+    the variant axis over all local devices when more than one is
+    visible (per-variant outputs: embarrassingly parallel)."""
+    if provider == "native":
+        m = glm_moments_native(packed, num_samples, y, covars,
+                               sample_idx=kw.get("sample_idx"))
+        if m is not None:
+            return m
+        provider = "numpy"
     if provider == "device":
         import jax
 

@@ -217,8 +217,10 @@ def glm_pfile(
                 "(pick one design)"
             )
     provider = _resolve_provider(provider)
-    if provider == "native":
-        provider = "numpy"  # BLAS is the host gemm engine (ops/glm.py)
+    # "native" now reaches ops/glm.py's sparse-complement C++ moments
+    # for the plain linear design; every other op under this provider
+    # (interaction/modifier moments, logistic IRLS) dispatches to the
+    # numpy/BLAS engine internally
     timer = StageTimer()
 
     header = read_pgen_header(f"{pfile_prefix}.pgen")
