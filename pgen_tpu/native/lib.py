@@ -176,6 +176,14 @@ class _Native:
                 u8p, f64p, ctypes.c_int64, f64p, ctypes.c_int64, f64p,
                 ctypes.c_double, f64p, f64p, f64p, f64p, f64p,
             ]
+        self.has_geno_moments = hasattr(lib, "pgen_glm_geno_moments_par")
+        if self.has_geno_moments:
+            lib.pgen_glm_geno_moments_par.restype = None
+            lib.pgen_glm_geno_moments_par.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                u8p, f64p, ctypes.c_int64, f64p, ctypes.c_int64, f64p,
+                ctypes.c_double, f64p, f64p, f64p, f64p,
+            ]
         self.has_vcf_import = hasattr(lib, "pgen_vcf_import_rows")
         if self.has_vcf_import:
             lib.pgen_vcf_import_rows.restype = ctypes.c_int64
@@ -452,6 +460,38 @@ class _Native:
             ctypes.c_double(n_kept), fp(n), fp(mp), fp(gq), fp(sg), fp(sg2),
         )
         return n, mp, gq, sg, sg2
+
+    def glm_geno_moments(
+        self,
+        packed: np.ndarray,
+        keep: np.ndarray,
+        pcols: np.ndarray,
+        qcols: np.ndarray,
+        ptot: np.ndarray,
+        n_kept: float,
+        n_samples: int,
+    ):
+        """Sparse-complement modifier moments (pgen_glm_geno_moments):
+        like glm_moments but het/hom q2-sums stay separate. Returns
+        (n, mp, hetq, homq)."""
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        n_var, rec = packed.shape
+        np_, nq = pcols.shape[1], qcols.shape[1]
+        f64p = ctypes.POINTER(ctypes.c_double)
+
+        def fp(a):
+            return a.ctypes.data_as(f64p)
+
+        n = np.empty(n_var)
+        mp = np.empty((n_var, np_))
+        hetq = np.empty((n_var, nq))
+        homq = np.empty((n_var, nq))
+        self._lib.pgen_glm_geno_moments_par(
+            self._u8(packed), n_var, rec, n_samples, self._u8(keep),
+            fp(pcols), np_, fp(qcols), nq, fp(ptot),
+            ctypes.c_double(n_kept), fp(n), fp(mp), fp(hetq), fp(homq),
+        )
+        return n, mp, hetq, homq
 
     def bgzf_compress(self, data: np.ndarray, level: int = 1) -> np.ndarray:
         """Compress bytes into independent BGZF blocks (bcftools/tabix

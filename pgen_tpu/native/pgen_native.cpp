@@ -937,6 +937,78 @@ void pgen_glm_moments(const unsigned char* packed, int64_t n_var,
   }
 }
 
+// Modifier-design (het/hom indicator) variant of pgen_glm_moments:
+// same sparse-complement decomposition, but the het and hom column
+// sums stay SEPARATE (ops/glm.py GlmGenoMoments) so any (het, hom)
+// recode — dominant/recessive/genotypic/hethom — derives from them.
+// qcols here is the q2 = [1, y, C] block; hetq/homq are (V, K).
+void pgen_glm_geno_moments(const unsigned char* packed, int64_t n_var,
+                           int64_t rec_size, int64_t n_samples,
+                           const unsigned char* keep, const double* pcols,
+                           int64_t np_, const double* qcols, int64_t nq,
+                           const double* ptot, double n_kept, double* n_out,
+                           double* mp, double* hetq, double* homq) {
+  for (int64_t v = 0; v < n_var; ++v) {
+    const unsigned char* rec = packed + v * rec_size;
+    double* mpo = mp + v * np_;
+    double* heto = hetq + v * nq;
+    double* homo = homq + v * nq;
+    std::memcpy(mpo, ptot, (size_t)np_ * sizeof(double));
+    std::memset(heto, 0, (size_t)nq * sizeof(double));
+    std::memset(homo, 0, (size_t)nq * sizeof(double));
+    double nm = 0.0;
+    for (int64_t j = 0; j < rec_size; ++j) {
+      const unsigned char b = rec[j];
+      if (!b) continue;
+      const int64_t base = 4 * j;
+      const int lim = (int)(base + 4 <= n_samples ? 4 : n_samples - base);
+      for (int p = 0; p < lim; ++p) {
+        const int code = (b >> (2 * p)) & 3;
+        if (!code) continue;
+        const int64_t s = base + p;
+        if (!keep[s]) continue;
+        if (code == 3) {
+          const double* pr = pcols + s * np_;
+          for (int64_t c = 0; c < np_; ++c) mpo[c] -= pr[c];
+          nm += 1.0;
+        } else {
+          const double* q = qcols + s * nq;
+          double* acc = (code == 1) ? heto : homo;
+          for (int64_t c = 0; c < nq; ++c) acc[c] += q[c];
+        }
+      }
+    }
+    n_out[v] = n_kept - nm;
+  }
+}
+
+void pgen_glm_geno_moments_par(const unsigned char* packed, int64_t n_var,
+                               int64_t rec_size, int64_t n_samples,
+                               const unsigned char* keep,
+                               const double* pcols, int64_t np_,
+                               const double* qcols, int64_t nq,
+                               const double* ptot, double n_kept,
+                               double* n_out, double* mp, double* hetq,
+                               double* homq) {
+  if (n_var * rec_size < (16 << 20)) {
+    pgen_glm_geno_moments(packed, n_var, rec_size, n_samples, keep, pcols,
+                          np_, qcols, nq, ptot, n_kept, n_out, mp, hetq,
+                          homq);
+    return;
+  }
+  const int64_t mid = n_var / 2;
+  std::thread th([&] {
+    pgen_glm_geno_moments(packed, mid, rec_size, n_samples, keep, pcols,
+                          np_, qcols, nq, ptot, n_kept, n_out, mp, hetq,
+                          homq);
+  });
+  pgen_glm_geno_moments(packed + mid * rec_size, n_var - mid, rec_size,
+                        n_samples, keep, pcols, np_, qcols, nq, ptot, n_kept,
+                        n_out + mid, mp + mid * np_, hetq + mid * nq,
+                        homq + mid * nq);
+  th.join();
+}
+
 void pgen_glm_moments_par(const unsigned char* packed, int64_t n_var,
                           int64_t rec_size, int64_t n_samples,
                           const unsigned char* keep, const double* pcols,

@@ -657,14 +657,57 @@ def build_glm_geno_mesh_step(
     return jax.jit(step, in_shardings=in_shardings)
 
 
+def glm_geno_moments_native(
+    packed, num_samples: int, y, covars, sample_idx=None
+) -> GlmGenoMoments | None:
+    """C++ sparse-complement modifier moments (pgen_glm_geno_moments);
+    None when the native runtime is unavailable."""
+    try:
+        from pgen_tpu.native import HAVE_NATIVE, native
+    except ImportError:
+        return None
+    if not HAVE_NATIVE or not getattr(native, "has_geno_moments", False):
+        return None
+    packed = np.asarray(packed, dtype=np.uint8)
+    y = np.asarray(y, dtype=np.float64)
+    covars = np.asarray(covars, dtype=np.float64)
+    yc, cc = _centered(y, covars)
+    pk = _moment_columns(yc, cc)
+    qk = np.concatenate([np.ones((yc.shape[0], 1)), yc[:, None], cc], axis=1)
+    s = num_samples
+    if sample_idx is None:
+        keep = np.ones(s, dtype=np.uint8)
+        pfull, qfull = np.ascontiguousarray(pk), np.ascontiguousarray(qk)
+    else:
+        rows = np.asarray(sample_idx)
+        keep = np.zeros(s, dtype=np.uint8)
+        keep[rows] = 1
+        pfull = np.zeros((s, pk.shape[1]))
+        qfull = np.zeros((s, qk.shape[1]))
+        pfull[rows] = pk
+        qfull[rows] = qk
+    ptot = np.ascontiguousarray(pk.sum(axis=0))
+    outs = native.glm_geno_moments(
+        packed, keep, pfull, qfull, ptot, float(pk.shape[0]), s
+    )
+    return GlmGenoMoments(*outs)
+
+
 def glm_geno_moments(
     packed, num_samples: int, y, covars, provider: str = "numpy",
     block_variants: int | None = None, sample_idx=None,
 ) -> GlmGenoMoments:
-    """Provider dispatch for the indicator moments. `device` shards the
+    """Provider dispatch for the indicator moments. `native` = the C++
+    sparse-complement kernel (numpy fallback); `device` shards the
     variant axis over all local devices when more than one is visible.
     block_variants None = provider-appropriate default (device scans
     want big HBM-resident blocks; host wants cache-resident ones)."""
+    if provider == "native":
+        m = glm_geno_moments_native(packed, num_samples, y, covars,
+                                    sample_idx=sample_idx)
+        if m is not None:
+            return m
+        provider = "numpy"
     if provider == "device":
         import jax as _jax
 

@@ -285,3 +285,48 @@ def test_geno_moments_mesh_matches_numpy(tmp_path):
     np.testing.assert_allclose(
         r_host.beta[both], r_mesh.beta[both], rtol=1e-4, atol=1e-6
     )
+
+
+def test_native_geno_moments_match_numpy(tmp_path):
+    """The C++ sparse-complement modifier moments (pgen_glm_geno_moments)
+    are bit-equivalent to the numpy path, full and subset cohorts."""
+    from pgen_tpu.ops.glm import (
+        glm_geno_moments_native,
+        glm_geno_moments_numpy,
+        glm_solve_modifier,
+    )
+
+    rng = np.random.default_rng(51)
+    nv, ns, k = 30, 41, 2
+    codes = rng.integers(0, 4, size=(nv, ns)).astype(np.uint8)
+    codes[2] = 0
+    codes[4] = 3
+    packed = _pack(codes, tmp_path)
+    y = rng.normal(size=ns)
+    cov = rng.normal(size=(ns, k))
+    b = glm_geno_moments_native(packed, ns, y, cov)
+    if b is None:
+        pytest.skip("native runtime unavailable")
+    a = glm_geno_moments_numpy(packed, ns, y, cov)
+    for x, z, name in zip(a, b, a._fields):
+        np.testing.assert_allclose(x, z, rtol=1e-12, atol=1e-9,
+                                   err_msg=name)
+    idx = np.sort(rng.choice(ns, size=25, replace=False)).astype(np.int32)
+    a2 = glm_geno_moments_numpy(packed, ns, y[idx], cov[idx],
+                                sample_idx=idx)
+    b2 = glm_geno_moments_native(packed, ns, y[idx], cov[idx],
+                                 sample_idx=idx)
+    for x, z, name in zip(a2, b2, a2._fields):
+        np.testing.assert_allclose(x, z, rtol=1e-12, atol=1e-9,
+                                   err_msg=f"subset {name}")
+    # full modifier solve via the provider switch
+    ra = glm_linear_modifier(packed, ns, y, cov, "genotypic",
+                             provider="numpy")
+    rb = glm_linear_modifier(packed, ns, y, cov, "genotypic",
+                             provider="native")
+    both = np.isfinite(ra.beta) & np.isfinite(rb.beta)
+    np.testing.assert_allclose(ra.beta[both], rb.beta[both], rtol=1e-10)
+    np.testing.assert_allclose(
+        ra.joint_stat[np.isfinite(ra.joint_stat)],
+        rb.joint_stat[np.isfinite(rb.joint_stat)], rtol=1e-9,
+    )
