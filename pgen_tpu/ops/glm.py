@@ -218,6 +218,56 @@ def glm_moments_device(
     return GlmMoments(*(np.asarray(o, np.float64) for o in outs))
 
 
+def _native_moment_lib():
+    """The native runtime with the sparse moment kernels, or None."""
+    try:
+        from pgen_tpu.native import HAVE_NATIVE, native
+    except ImportError:
+        return None
+    if not HAVE_NATIVE or not getattr(native, "has_glm_moments", False):
+        return None
+    return native
+
+
+def _scatter_cohort(pk, qk, sample_idx, num_samples: int):
+    """(keep, pfull, qfull) for the native kernels: full-S row-major
+    moment matrices with zero rows for dropped samples + a keep bitmap.
+    Returns None for inputs the kernels cannot represent (a duplicated
+    sample index means the numpy column-gather counts a sample twice —
+    the keep bitmap cannot; fall back rather than silently diverge).
+    Shape mismatches raise exactly like the numpy provider."""
+    s = num_samples
+    n_kept = pk.shape[0]
+    if sample_idx is None:
+        if n_kept != s:
+            raise ValueError(
+                f"glm: y/covars hold {n_kept} samples but the pgen "
+                f"holds {s}"
+            )
+        return (
+            np.ones(s, dtype=np.uint8),
+            np.ascontiguousarray(pk),
+            np.ascontiguousarray(qk),
+        )
+    rows = np.asarray(sample_idx)
+    if len(rows) != n_kept:
+        raise ValueError(
+            f"glm: y/covars hold {n_kept} samples but sample_idx lists "
+            f"{len(rows)}"
+        )
+    if rows.size and (rows.min() < 0 or rows.max() >= s):
+        raise ValueError("glm: sample_idx out of range")
+    if len(np.unique(rows)) != len(rows):
+        return None  # duplicated indices: numpy path semantics required
+    keep = np.zeros(s, dtype=np.uint8)
+    keep[rows] = 1
+    pfull = np.zeros((s, pk.shape[1]))
+    qfull = np.zeros((s, qk.shape[1]))
+    pfull[rows] = pk
+    qfull[rows] = qk
+    return keep, pfull, qfull
+
+
 def glm_moments_native(
     packed, num_samples: int, y, covars, sample_idx=None, **_ignored
 ) -> GlmMoments | None:
@@ -225,11 +275,8 @@ def glm_moments_native(
     only non-hom-ref samples cost work, so realistic (mostly-hom-ref)
     data runs several times faster than the blocked dgemm path. Returns
     None when the native runtime is unavailable (caller falls back)."""
-    try:
-        from pgen_tpu.native import HAVE_NATIVE, native
-    except ImportError:
-        return None
-    if not HAVE_NATIVE or not getattr(native, "has_glm_moments", False):
+    native = _native_moment_lib()
+    if native is None:
         return None
     packed = np.asarray(packed, dtype=np.uint8)
     y = np.asarray(y, dtype=np.float64)
@@ -237,22 +284,13 @@ def glm_moments_native(
     yc, cc = _centered(y, covars)
     pk = _moment_columns(yc, cc)  # (n_kept, P)
     qk = np.concatenate([yc[:, None], cc], axis=1)  # (n_kept, k+1)
-    s = num_samples
-    if sample_idx is None:
-        rows = None
-        keep = np.ones(s, dtype=np.uint8)
-        pfull, qfull = np.ascontiguousarray(pk), np.ascontiguousarray(qk)
-    else:
-        rows = np.asarray(sample_idx)
-        keep = np.zeros(s, dtype=np.uint8)
-        keep[rows] = 1
-        pfull = np.zeros((s, pk.shape[1]))
-        qfull = np.zeros((s, qk.shape[1]))
-        pfull[rows] = pk
-        qfull[rows] = qk
+    scattered = _scatter_cohort(pk, qk, sample_idx, num_samples)
+    if scattered is None:
+        return None
+    keep, pfull, qfull = scattered
     ptot = np.ascontiguousarray(pk.sum(axis=0))
     outs = native.glm_moments(
-        packed, keep, pfull, qfull, ptot, float(pk.shape[0]), s
+        packed, keep, pfull, qfull, ptot, float(pk.shape[0]), num_samples
     )
     return GlmMoments(*outs)
 
@@ -662,33 +700,18 @@ def glm_geno_moments_native(
 ) -> GlmGenoMoments | None:
     """C++ sparse-complement modifier moments (pgen_glm_geno_moments);
     None when the native runtime is unavailable."""
-    try:
-        from pgen_tpu.native import HAVE_NATIVE, native
-    except ImportError:
-        return None
-    if not HAVE_NATIVE or not getattr(native, "has_geno_moments", False):
+    native = _native_moment_lib()
+    if native is None or not getattr(native, "has_geno_moments", False):
         return None
     packed = np.asarray(packed, dtype=np.uint8)
-    y = np.asarray(y, dtype=np.float64)
-    covars = np.asarray(covars, dtype=np.float64)
-    yc, cc = _centered(y, covars)
-    pk = _moment_columns(yc, cc)
-    qk = np.concatenate([np.ones((yc.shape[0], 1)), yc[:, None], cc], axis=1)
-    s = num_samples
-    if sample_idx is None:
-        keep = np.ones(s, dtype=np.uint8)
-        pfull, qfull = np.ascontiguousarray(pk), np.ascontiguousarray(qk)
-    else:
-        rows = np.asarray(sample_idx)
-        keep = np.zeros(s, dtype=np.uint8)
-        keep[rows] = 1
-        pfull = np.zeros((s, pk.shape[1]))
-        qfull = np.zeros((s, qk.shape[1]))
-        pfull[rows] = pk
-        qfull[rows] = qk
+    pk, qk = _geno_moment_inputs(y, covars)
+    scattered = _scatter_cohort(pk, qk, sample_idx, num_samples)
+    if scattered is None:
+        return None
+    keep, pfull, qfull = scattered
     ptot = np.ascontiguousarray(pk.sum(axis=0))
     outs = native.glm_geno_moments(
-        packed, keep, pfull, qfull, ptot, float(pk.shape[0]), s
+        packed, keep, pfull, qfull, ptot, float(pk.shape[0]), num_samples
     )
     return GlmGenoMoments(*outs)
 
@@ -711,7 +734,7 @@ def glm_geno_moments(
     if provider == "device":
         import jax as _jax
 
-        bv = int(block_variants) if block_variants else 1 << 14
+        bv = 1 << 14 if block_variants is None else int(block_variants)
         if len(_jax.devices()) > 1 and packed.shape[0] > 0:
             return glm_geno_moments_mesh(
                 np.asarray(packed), num_samples, y, covars,
@@ -734,7 +757,7 @@ def glm_geno_moments(
         return GlmGenoMoments(*(np.asarray(o, np.float64) for o in outs))
     return glm_geno_moments_numpy(
         packed, num_samples, y, covars,
-        block_variants=int(block_variants) if block_variants else 512,
+        block_variants=512 if block_variants is None else int(block_variants),
         sample_idx=sample_idx,
     )
 
@@ -1023,13 +1046,13 @@ def glm_int_moments(
         sel = None if sample_idx is None else np.asarray(sample_idx, np.int32)
         outs = _glm_int_moments_device_jit(
             np.asarray(packed, np.uint8), pcols, sel, num_samples,
-            int(block_variants) if block_variants else 1 << 14,
+            1 << 14 if block_variants is None else int(block_variants),
             is_interpret_backend(),
         )
         return GlmIntMoments(*(np.asarray(o, np.float64) for o in outs))
     return glm_int_moments_numpy(
         packed, num_samples, y, covars,
-        block_variants=int(block_variants) if block_variants else 512,
+        block_variants=512 if block_variants is None else int(block_variants),
         sample_idx=sample_idx,
     )
 

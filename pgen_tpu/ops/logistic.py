@@ -597,6 +597,9 @@ def glm_logistic_modifier(
 
 def _device_matmul():
     """MXU closure for the per-iteration masked-moment products."""
+    from pgen_tpu.pipeline.device import ensure_compilation_cache
+
+    ensure_compilation_cache()  # opt-in persistent cache (device.py)
     import jax
     import jax.numpy as jnp
 

@@ -769,3 +769,46 @@ def test_native_sparse_moments_match_numpy(tmp_path):
     rb = glm_linear(packed, ns, y, cov, provider="native")
     both = np.isfinite(ra.beta) & np.isfinite(rb.beta)
     np.testing.assert_allclose(ra.beta[both], rb.beta[both], rtol=1e-10)
+
+
+def test_native_moments_threaded_split_parity():
+    """A >=16 MiB input exercises pgen_glm_moments_par's two-thread
+    split (mid-offset pointer arithmetic over five output arrays) —
+    small parity tests never reach it (r5 review finding)."""
+    from pgen_tpu.ops.glm import glm_moments_native
+
+    ns = 2504
+    rec = (2 * ns + 7) // 8  # 626: no pad bits (2504 = 4*626)
+    nv = (16 << 20) // rec + 512  # just past the threaded threshold
+    rng = np.random.default_rng(60)
+    packed = rng.integers(0, 256, size=(nv, rec), dtype=np.uint8)
+    y = rng.normal(size=ns)
+    cov = rng.normal(size=(ns, 1))
+    b = glm_moments_native(packed, ns, y, cov)
+    if b is None:
+        pytest.skip("native runtime unavailable")
+    a = glm_moments_numpy(packed, ns, y, cov)
+    for x, z, name in zip(a, b, a._fields):
+        np.testing.assert_allclose(x, z, rtol=1e-12, atol=1e-8,
+                                   err_msg=name)
+    # the halves boundary specifically
+    mid = nv // 2
+    for v in (mid - 1, mid, mid + 1):
+        np.testing.assert_allclose(a.mp[v], b.mp[v], rtol=1e-12)
+
+
+def test_native_moments_rejects_bad_shapes_and_dup_idx(tmp_path):
+    from pgen_tpu.ops.glm import glm_moments_native
+
+    rng = np.random.default_rng(61)
+    codes = rng.integers(0, 4, size=(4, 8)).astype(np.uint8)
+    packed = _pack(codes, tmp_path)
+    if glm_moments_native(packed, 8, np.zeros(8), np.zeros((8, 0))) is None:
+        pytest.skip("native runtime unavailable")
+    with pytest.raises(ValueError, match="do not match|holds"):
+        glm_moments_native(packed, 8, np.zeros(5), np.zeros((5, 0)))
+    # duplicated sample indices: numpy semantics required -> fallback None
+    dup = np.array([0, 0, 1], dtype=np.int32)
+    assert glm_moments_native(
+        packed, 8, np.zeros(3), np.zeros((3, 0)), sample_idx=dup
+    ) is None
