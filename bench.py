@@ -626,6 +626,10 @@ def main():
                 t0 = time.perf_counter()
                 _half(si)
                 half_ts[si].append(time.perf_counter() - t0)
+        if not full_ts or not (half_ts[0] and half_ts[1]):
+            raise RuntimeError(
+                "deadline reached before a complete scaling round"
+            )
         halves = [min(ts) for ts in half_ts]
         t_full1 = min(full_ts)
         os.unlink(f"{out}.full1")
