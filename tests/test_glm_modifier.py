@@ -330,3 +330,37 @@ def test_native_geno_moments_match_numpy(tmp_path):
         ra.joint_stat[np.isfinite(ra.joint_stat)],
         rb.joint_stat[np.isfinite(rb.joint_stat)], rtol=1e-9,
     )
+
+
+def test_dominant_equals_additive_without_homalt(tmp_path):
+    """Exact invariant: with no hom-alt calls, the additive dosage IS
+    the dominant indicator (g in {0,1}), so the two fits agree to
+    machine precision — and REC has no variance (all-NA)."""
+    rng = np.random.default_rng(70)
+    nv, ns = 12, 45
+    codes = rng.choice([0, 1, 3], p=[0.6, 0.3, 0.1],
+                       size=(nv, ns)).astype(np.uint8)
+    packed = _pack(codes, tmp_path)
+    y = rng.normal(size=ns)
+    cov = rng.normal(size=(ns, 1))
+    from pgen_tpu.ops.glm import glm_linear
+
+    add = glm_linear(packed, ns, y, cov, provider="numpy")
+    dom = glm_linear_modifier(packed, ns, y, cov, "dominant")
+    both = np.isfinite(add.beta) & np.isfinite(dom.beta[:, 0])
+    assert both.any()
+    np.testing.assert_allclose(dom.beta[both, 0], add.beta[both],
+                               rtol=1e-12)
+    np.testing.assert_allclose(dom.se[both, 0], add.se[both], rtol=1e-12)
+    rec = glm_linear_modifier(packed, ns, y, cov, "recessive")
+    assert np.isnan(rec.beta).all()
+    # logistic: same identity
+    yb = (rng.random(ns) < 0.5).astype(float)
+    from pgen_tpu.ops.logistic import glm_logistic, glm_logistic_modifier
+
+    ladd = glm_logistic(packed, ns, yb, cov, firth="none")
+    ldom = glm_logistic_modifier(packed, ns, yb, cov, "dominant",
+                                 firth="none")
+    both = np.isfinite(ladd.beta) & np.isfinite(ldom.beta[:, 0])
+    np.testing.assert_allclose(ldom.beta[both, 0], ladd.beta[both],
+                               atol=1e-8)
