@@ -184,6 +184,14 @@ class _Native:
                 u8p, f64p, ctypes.c_int64, f64p, ctypes.c_int64, f64p,
                 ctypes.c_double, f64p, f64p, f64p, f64p,
             ]
+        self.has_score_moments = hasattr(lib, "pgen_score_moments_par")
+        if self.has_score_moments:
+            lib.pgen_score_moments_par.restype = None
+            lib.pgen_score_moments_par.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                u8p, u8p, f64p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_int64, f64p, i64p, f64p, i64p,
+            ]
         self.has_vcf_import = hasattr(lib, "pgen_vcf_import_rows")
         if self.has_vcf_import:
             lib.pgen_vcf_import_rows.restype = ctypes.c_int64
@@ -492,6 +500,37 @@ class _Native:
             ctypes.c_double(n_kept), fp(n), fp(mp), fp(hetq), fp(homq),
         )
         return n, mp, hetq, homq
+
+    def score_moments(
+        self,
+        packed: np.ndarray,
+        keep: np.ndarray,
+        flip: np.ndarray,
+        waug: np.ndarray,
+        mean_impute: bool,
+        n_kept: int,
+        n_samples: int,
+    ):
+        """Sparse-complement score accumulation (pgen_score_moments).
+        waug: (V, K+1) f64 C-contiguous with a trailing ones column;
+        returns (sums (S, K+1), miss_ct (S,), base (K+1,), m_used)."""
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        n_var, rec = packed.shape
+        kk = waug.shape[1]
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        sums = np.zeros((n_samples, kk))
+        miss = np.zeros(n_samples, dtype=np.int64)
+        base = np.zeros(kk)
+        m_used = np.zeros(1, dtype=np.int64)
+        self._lib.pgen_score_moments_par(
+            self._u8(packed), n_var, rec, n_samples, self._u8(keep),
+            self._u8(flip), waug.ctypes.data_as(f64p), kk,
+            int(bool(mean_impute)), n_kept,
+            sums.ctypes.data_as(f64p), miss.ctypes.data_as(i64p),
+            base.ctypes.data_as(f64p), m_used.ctypes.data_as(i64p),
+        )
+        return sums, miss, base, int(m_used[0])
 
     def bgzf_compress(self, data: np.ndarray, level: int = 1) -> np.ndarray:
         """Compress bytes into independent BGZF blocks (bcftools/tabix

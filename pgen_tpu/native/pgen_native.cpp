@@ -1031,6 +1031,113 @@ void pgen_glm_moments_par(const unsigned char* packed, int64_t n_var,
   th.join();
 }
 
+// Polygenic-score accumulation, sparse-complement form (ops/score.py
+// native path). For a NON-flipped variant only het/hom/missing samples
+// contribute (hom-ref dosage is 0); for a FLIPPED variant (effect
+// allele = REF, d = 2 - g on called samples) the bulk contribution is
+// a per-variant constant 2*w added to EVERY kept sample — accumulated
+// once into `base` (the caller broadcasts it) — plus sparse
+// corrections: het -1*w, hom -2*w, missing (-2 + mean_d)*w with mean
+// imputation or -2*w without. waug carries K+1 columns (the trailing
+// ones column yields the per-sample dosage sums for free). miss_ct
+// counts kept-sample missing calls in USED (>=1 called) variants, from
+// which the caller derives the no-imputation allele denominators.
+void pgen_score_moments(const unsigned char* packed, int64_t n_var,
+                        int64_t rec_size, int64_t n_samples,
+                        const unsigned char* keep, const unsigned char* flip,
+                        const double* waug, int64_t kk, int mean_impute,
+                        int64_t n_kept, double* sums, int64_t* miss_ct,
+                        double* base, int64_t* m_used) {
+  int64_t used = 0;
+  for (int64_t v = 0; v < n_var; ++v) {
+    const unsigned char* rec = packed + v * rec_size;
+    // pass 1: class counts over kept samples (rows are L1-resident, so
+    // the second pass below re-reads them for free)
+    int64_t nhet = 0, nhom = 0, nmiss = 0;
+    for (int64_t j = 0; j < rec_size; ++j) {
+      const unsigned char b = rec[j];
+      if (!b) continue;
+      const int64_t bbase = 4 * j;
+      const int lim = (int)(bbase + 4 <= n_samples ? 4 : n_samples - bbase);
+      for (int p = 0; p < lim; ++p) {
+        const int code = (b >> (2 * p)) & 3;
+        if (!code || !keep[bbase + p]) continue;
+        if (code == 1) ++nhet;
+        else if (code == 2) ++nhom;
+        else ++nmiss;
+      }
+    }
+    const int64_t n_called = n_kept - nmiss;
+    if (n_called <= 0) continue;  // unused variant: contributes nothing
+    ++used;
+    const double* wv = waug + v * kk;
+    const bool fl = flip[v] != 0;
+    const double mean_g = (double)(nhet + 2 * nhom) / (double)n_called;
+    // per-class coefficients relative to the (flip ? 2 : 0) base
+    const double c_het = fl ? -1.0 : 1.0;
+    const double c_hom = fl ? -2.0 : 2.0;
+    const double c_mis =
+        mean_impute ? (fl ? -mean_g : mean_g) : (fl ? -2.0 : 0.0);
+    if (fl)
+      for (int64_t c = 0; c < kk; ++c) base[c] += 2.0 * wv[c];
+    for (int64_t j = 0; j < rec_size; ++j) {
+      const unsigned char b = rec[j];
+      if (!b) continue;
+      const int64_t bbase = 4 * j;
+      const int lim = (int)(bbase + 4 <= n_samples ? 4 : n_samples - bbase);
+      for (int p = 0; p < lim; ++p) {
+        const int code = (b >> (2 * p)) & 3;
+        if (!code) continue;
+        const int64_t s = bbase + p;
+        if (!keep[s]) continue;
+        double coef;
+        if (code == 1) coef = c_het;
+        else if (code == 2) coef = c_hom;
+        else { coef = c_mis; ++miss_ct[s]; }
+        if (coef != 0.0) {
+          double* o = sums + s * kk;
+          for (int64_t c = 0; c < kk; ++c) o[c] += coef * wv[c];
+        }
+      }
+    }
+  }
+  *m_used += used;
+}
+
+void pgen_score_moments_par(const unsigned char* packed, int64_t n_var,
+                            int64_t rec_size, int64_t n_samples,
+                            const unsigned char* keep,
+                            const unsigned char* flip, const double* waug,
+                            int64_t kk, int mean_impute, int64_t n_kept,
+                            double* sums, int64_t* miss_ct, double* base,
+                            int64_t* m_used) {
+  if (n_var * rec_size < (16 << 20)) {
+    pgen_score_moments(packed, n_var, rec_size, n_samples, keep, flip, waug,
+                       kk, mean_impute, n_kept, sums, miss_ct, base, m_used);
+    return;
+  }
+  // sums/miss_ct/base are shared accumulators: give the second thread
+  // its own buffers and reduce after the join
+  const int64_t mid = n_var / 2;
+  std::vector<double> sums2((size_t)(n_samples * kk), 0.0);
+  std::vector<int64_t> miss2((size_t)n_samples, 0);
+  std::vector<double> base2((size_t)kk, 0.0);
+  int64_t used2 = 0;
+  std::thread th([&] {
+    pgen_score_moments(packed + mid * rec_size, n_var - mid, rec_size,
+                       n_samples, keep, flip + mid, waug + mid * kk, kk,
+                       mean_impute, n_kept, sums2.data(), miss2.data(),
+                       base2.data(), &used2);
+  });
+  pgen_score_moments(packed, mid, rec_size, n_samples, keep, flip, waug, kk,
+                     mean_impute, n_kept, sums, miss_ct, base, m_used);
+  th.join();
+  for (int64_t i = 0; i < n_samples * kk; ++i) sums[i] += sums2[(size_t)i];
+  for (int64_t i = 0; i < n_samples; ++i) miss_ct[i] += miss2[(size_t)i];
+  for (int64_t c = 0; c < kk; ++c) base[c] += base2[(size_t)c];
+  *m_used += used2;
+}
+
 // Pack a (n_var, n_samples) u8 code matrix into mode-0x02 records.
 void pgen_pack_codes(const unsigned char* codes, int64_t n_var,
                      int64_t n_samples, unsigned char* packed) {

@@ -204,13 +204,75 @@ def score_device(
     )
 
 
+def score_native(
+    packed,
+    num_samples: int,
+    weights,
+    flip,
+    mean_impute: bool = True,
+    sample_idx=None,
+    **_ignored,
+) -> ScoreResult | None:
+    """C++ sparse-complement provider (pgen_native.cpp
+    pgen_score_moments): hom-ref samples of non-flipped variants cost
+    nothing, flipped variants reduce to a per-variant constant plus
+    sparse corrections. Returns None when unavailable (caller falls
+    back to the dgemm path)."""
+    try:
+        from pgen_tpu.native import HAVE_NATIVE, native
+    except ImportError:
+        return None
+    if not HAVE_NATIVE or not getattr(native, "has_score_moments", False):
+        return None
+    packed = np.asarray(packed, dtype=np.uint8)
+    weights = np.asarray(weights, dtype=np.float64)
+    flip = np.asarray(flip, dtype=bool)
+    nvar = packed.shape[0]
+    if weights.ndim != 2 or weights.shape[0] != nvar or flip.shape != (nvar,):
+        raise ValueError(
+            f"score: weights {weights.shape} / flip {flip.shape} do not "
+            f"match {nvar} variants"
+        )
+    s = num_samples
+    if sample_idx is None:
+        rows = np.arange(s)
+        keep = np.ones(s, dtype=np.uint8)
+    else:
+        rows = np.asarray(sample_idx)
+        if rows.size and (rows.min() < 0 or rows.max() >= s):
+            raise ValueError("score: sample_idx out of range")
+        if len(np.unique(rows)) != len(rows):
+            return None  # duplicated indices: numpy column-gather semantics
+        keep = np.zeros(s, dtype=np.uint8)
+        keep[rows] = 1
+    waug = np.ascontiguousarray(
+        np.concatenate([weights, np.ones((nvar, 1))], axis=1)
+    )
+    sums_full, miss_full, base, m_used = native.score_moments(
+        packed, keep, flip.astype(np.uint8), waug, mean_impute,
+        int(len(rows)), s,
+    )
+    aug = sums_full[rows] + base[None, :]
+    miss = miss_full[rows]
+    if mean_impute:
+        ct = np.full(len(rows), 2 * m_used, dtype=np.int64)
+    else:
+        ct = 2 * (m_used - miss)
+    return ScoreResult(aug[:, :-1], aug[:, -1], ct, m_used)
+
+
 def score(
     packed, num_samples: int, weights, flip, provider: str = "numpy", **kw
 ) -> ScoreResult:
-    """Provider dispatch (`native` -> numpy: BLAS is the host gemm engine).
-    `device` shards the variant axis over all local devices when more than
-    one is visible (dosage/imputation is per-variant, so shard-local stats
-    ARE the global stats)."""
+    """Provider dispatch. `native` = the C++ sparse-complement kernel
+    (numpy/BLAS fallback); `device` shards the variant axis over all
+    local devices when more than one is visible (dosage/imputation is
+    per-variant, so shard-local stats ARE the global stats)."""
+    if provider == "native":
+        r = score_native(packed, num_samples, weights, flip, **kw)
+        if r is not None:
+            return r
+        provider = "numpy"
     if provider == "device":
         import jax
 

@@ -262,8 +262,8 @@ def score_pfile(
     streamed to it as ONE table with a leading RANGE column instead of
     per-range files."""
     provider = _resolve_provider(provider)
-    if provider == "native":
-        provider = "numpy"  # BLAS is the host gemm engine (ops/score.py)
+    # "native" reaches ops/score.py's sparse-complement C++ kernel
+    # (numpy/BLAS fallback when the toolchain is absent)
     timer = StageTimer()
 
     with timer.stage("score_file"):

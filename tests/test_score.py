@@ -483,3 +483,47 @@ def test_score_transform_guards(tmp_path):
                     "--score-sums", "-o", str(out)]) == 0
     got = [float(r.split("\t")[-1]) for r in out.read_text().splitlines()[1:]]
     assert all(abs(v) < 1e-12 for v in got)
+
+
+def test_native_sparse_score_matches_numpy(tmp_path):
+    """The C++ sparse-complement score provider (pgen_score_moments) is
+    exactly equivalent to the dgemm path: flips (constant-base +
+    corrections), both imputation modes, unused/monomorphic variants,
+    full and UNSORTED subset cohorts."""
+    from pgen_tpu.formats.writer import write_pgen
+    from pgen_tpu.ops.score import score_native, score_numpy
+
+    rng = np.random.default_rng(90)
+    nv, ns, k = 50, 33, 2
+    codes = rng.integers(0, 4, size=(nv, ns)).astype(np.uint8)
+    codes[3] = 3  # all missing: unused, contributes nothing
+    codes[6] = 0  # all hom-ref
+    w = rng.normal(size=(nv, k))
+    flip = rng.random(nv) < 0.5
+    write_pgen(str(tmp_path / "s.pgen"), codes)
+    rec = (2 * ns + 7) // 8
+    packed = np.fromfile(
+        str(tmp_path / "s.pgen"), dtype=np.uint8
+    )[12:].reshape(nv, rec)
+    for mi in (True, False):
+        b = score_native(packed, ns, w, flip, mean_impute=mi)
+        if b is None:
+            pytest.skip("native runtime unavailable")
+        a = score_numpy(packed, ns, w, flip, mean_impute=mi)
+        np.testing.assert_allclose(b.sums, a.sums, rtol=1e-12, atol=1e-10)
+        np.testing.assert_allclose(
+            b.dosage_sum, a.dosage_sum, rtol=1e-12, atol=1e-10
+        )
+        np.testing.assert_array_equal(b.allele_ct, a.allele_ct)
+        assert b.m_used == a.m_used
+        idx = rng.permutation(ns)[:20].astype(np.int32)
+        a2 = score_numpy(packed, ns, w, flip, mean_impute=mi,
+                         sample_idx=idx)
+        b2 = score_native(packed, ns, w, flip, mean_impute=mi,
+                          sample_idx=idx)
+        np.testing.assert_allclose(b2.sums, a2.sums, rtol=1e-12,
+                                   atol=1e-10)
+        np.testing.assert_array_equal(b2.allele_ct, a2.allele_ct)
+    # duplicated sample indices fall back to the numpy path
+    dup = np.array([0, 0, 1], dtype=np.int32)
+    assert score_native(packed, ns, w, flip, sample_idx=dup) is None
