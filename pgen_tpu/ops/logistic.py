@@ -434,6 +434,202 @@ class LogisticModResult(NamedTuple):
     firth: np.ndarray
 
 
+def _logistic_fit_counts(
+    packed: np.ndarray,
+    num_samples: int,
+    y: np.ndarray,
+    sample_idx,
+    max_iter: int,
+    tol: float,
+    firth: str,
+    gluts,
+):
+    """Covariate-free fast path: with k = 0, eta takes one value per
+    GENOTYPE CLASS, so each variant's likelihood depends only on its
+    2x3 table (cases/totals per class) — two native genotype-count
+    passes, then Newton/Firth vectorized over ALL variants at once on
+    (V, 3) class sums. Algebraically the same iteration as the
+    per-sample blocks (identical start, step caps, tolerance), ~100x
+    faster at cohort scale. Returns the _logistic_fit_multi tuple."""
+    from pgen_tpu.ops.gt_stats import gt_counts, gt_counts_subset
+
+    packed = np.asarray(packed, dtype=np.uint8)
+    nvar = packed.shape[0]
+    nm = len(gluts)
+    d = 1 + nm
+    # class genotype values under the (het, hom) recode; class design X3
+    gvals = np.array([[0.0, a1, a2] for (a1, a2) in gluts])  # (m, 3)
+    x3 = np.concatenate([np.ones((1, 3)), gvals], axis=0).T  # (3, d)
+    if sample_idx is None:
+        cohort = np.arange(num_samples)
+    else:
+        cohort = np.asarray(sample_idx)
+    case_rows = cohort[np.asarray(y) == 1.0].astype(np.int32)
+    if len(cohort) == num_samples and sample_idx is None:
+        c_all = gt_counts(packed, num_samples)
+    else:
+        c_all = gt_counts_subset(packed, cohort.astype(np.int32))
+    c_case = (
+        gt_counts_subset(packed, case_rows)
+        if len(case_rows)
+        else np.zeros_like(c_all)
+    )
+    nc = c_all[:, :3].astype(np.float64)   # (V, 3) class totals
+    yc = c_case[:, :3].astype(np.float64)  # (V, 3) cases per class
+    n = nc.sum(axis=1)
+    ncase = yc.sum(axis=1)
+    # estimability gates == _geno_gates on the class representation
+    ok = (n >= d + 1) & (ncase > 0) & (ncase < n)
+    nz = np.maximum(n, 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for t in range(nm):
+            s1 = (nc * gvals[t]).sum(axis=1)
+            s2 = (nc * gvals[t] ** 2).sum(axis=1)
+            ok &= (s2 - s1 * s1 / nz) > 1e-9 * nz
+        if nm == 2:
+            s10 = (nc * gvals[0]).sum(axis=1)
+            s20 = (nc * gvals[0] ** 2).sum(axis=1)
+            s11 = (nc * gvals[1]).sum(axis=1)
+            s21 = (nc * gvals[1] ** 2).sum(axis=1)
+            s01 = (nc * gvals[0] * gvals[1]).sum(axis=1)
+            c00 = s20 - s10**2 / nz
+            c11 = s21 - s11**2 / nz
+            c01 = s01 - s10 * s11 / nz
+            ok &= (c00 * c11 - c01 * c01) > 1e-9 * nz
+
+    def _newton(idx, firth_mode, iters, cap):
+        """Vectorized class-sum IRLS over the selected variants; returns
+        (beta (F,d), se (F,m), joint (F,), niter (F,), converged)."""
+        f = len(idx)
+        ncf, ycf = nc[idx], yc[idx]
+        nf, ncasef = n[idx], ncase[idx]
+        beta = np.zeros((f, d))
+        if firth_mode:
+            p0 = np.clip((ncasef + 0.5) / (nf + 1.0), 1e-12, 1 - 1e-12)
+        else:
+            p0 = np.clip(ncasef / np.maximum(nf, 1), 1e-12, 1 - 1e-12)
+        beta[:, 0] = np.log(p0 / (1.0 - p0))
+        se = np.full((f, nm), np.nan)
+        joint = np.full(f, np.nan)
+        niter = np.zeros(f, dtype=np.int32)
+        conv = np.zeros(f, dtype=bool)
+        active = np.arange(f)
+        for it in range(1, iters + 1):
+            if active.size == 0:
+                break
+            ba = beta[active]
+            eta = np.clip(ba @ x3.T, -30.0, 30.0)  # (A, 3)
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            wsc = mu * (1.0 - mu)                  # per-sample weight
+            w = ncf[active] * wsc                  # class-sum weight
+            hess = np.einsum("vc,ci,cj->vij", w, x3, x3)
+            if firth_mode:
+                ainv, inv_ok = _batched_inv(hess)
+                hat = wsc * np.einsum("ci,vij,cj->vc", x3, ainv, x3)
+                r = (
+                    ycf[active] - ncf[active] * mu
+                    + ncf[active] * hat * (0.5 - mu)
+                )
+                grad = r @ x3
+                with np.errstate(invalid="ignore"):
+                    delta = np.einsum("vij,vj->vi", ainv, grad)
+                bad_extra = ~inv_ok
+            else:
+                grad = (ycf[active] - ncf[active] * mu) @ x3
+                try:
+                    delta = np.linalg.solve(hess, grad[:, :, None])[:, :, 0]
+                except np.linalg.LinAlgError:
+                    delta = np.full_like(grad, np.nan)
+                    for i in range(active.size):
+                        try:
+                            delta[i] = np.linalg.solve(hess[i], grad[i])
+                        except np.linalg.LinAlgError:
+                            pass
+                bad_extra = np.zeros(active.size, dtype=bool)
+            scale = np.max(np.abs(delta), axis=1)
+            big = scale > cap
+            delta[big] *= (cap / scale[big])[:, None]
+            bad = ~np.isfinite(delta).all(axis=1) | bad_extra
+            beta[active] += np.where(bad[:, None], 0.0, delta)
+            niter[active] = it
+            done = (np.abs(delta).max(axis=1) < tol) & ~bad
+            if done.any() or bad.any():
+                fin = active[done]
+                conv[fin] = True
+                if fin.size:
+                    if firth_mode:
+                        zsol = ainv[done][:, :, 1:]
+                    else:
+                        hf = hess[done]
+                        eg = np.zeros((fin.size, d, nm))
+                        for t in range(nm):
+                            eg[:, 1 + t, t] = 1.0
+                        try:
+                            zsol = np.linalg.solve(hf, eg)
+                        except np.linalg.LinAlgError:
+                            zsol = np.full((fin.size, d, nm), np.nan)
+                            for i in range(fin.size):
+                                try:
+                                    zsol[i] = np.linalg.solve(hf[i], eg[i])
+                                except np.linalg.LinAlgError:
+                                    pass
+                    for t in range(nm):
+                        zg = zsol[:, 1 + t, t]
+                        se[fin, t] = np.sqrt(np.where(zg > 0, zg, np.nan))
+                    if nm == 2:
+                        joint[fin] = _joint_wald(
+                            zsol, beta[fin][:, 1:], 0, nm
+                        )
+                active = active[~(done | bad)]
+        return beta[:, 1:], se, joint, niter, conv
+
+    beta = np.full((nvar, nm), np.nan)
+    se = np.full((nvar, nm), np.nan)
+    joint = np.full(nvar, np.nan)
+    niter = np.zeros(nvar, dtype=np.int32)
+    conv = np.zeros(nvar, dtype=bool)
+    fused = np.zeros(nvar, dtype=bool)
+    idx = np.flatnonzero(ok)
+    firth_iter = max(max_iter, 256)
+    if idx.size:
+        if firth == "always":
+            fb, fs, fj, fi, fc = _newton(idx, True, firth_iter, 5.0)
+            beta[idx], se[idx], joint[idx] = fb, fs, fj
+            niter[idx], conv[idx] = fi, fc
+            fused[idx] = fc
+        else:
+            vb, vs, vj, vi, vc = _newton(idx, False, max_iter, 10.0)
+            beta[idx], se[idx], joint[idx] = vb, vs, vj
+            niter[idx], conv[idx] = vi, vc
+            if firth == "fallback":
+                retry = idx[~vc]
+                if retry.size:
+                    fb, fs, fj, fi, fc = _newton(
+                        retry, True, firth_iter, 5.0
+                    )
+                    beta[retry], se[retry], joint[retry] = fb, fs, fj
+                    niter[retry], conv[retry] = fi, fc
+                    fused[retry] = fc
+    good = conv & np.isfinite(se).all(axis=1)
+    beta = np.where(good[:, None], beta, np.nan)
+    se = np.where(good[:, None], se, np.nan)
+    joint = np.where(good, joint, np.nan)
+    with np.errstate(invalid="ignore"):
+        z = beta / se
+    p = normal_sf2(z)
+    if nm == 2:
+        with np.errstate(invalid="ignore", over="ignore"):
+            joint_p = np.where(
+                np.isfinite(joint), np.exp(-0.5 * joint), np.nan
+            )
+    else:
+        joint = joint_p = None
+    return (
+        n.astype(np.int64), beta, se, z, p, joint, joint_p, niter,
+        fused & good,
+    )
+
+
 def _logistic_fit_multi(
     packed: np.ndarray,
     num_samples: int,
@@ -464,6 +660,18 @@ def _logistic_fit_multi(
         )
     if not np.isin(y, (0.0, 1.0)).all():
         raise ValueError("logistic: y must be 0/1")
+    if covars.shape[1] == 0 and matmul is None and (
+        sample_idx is None
+        or len(np.unique(np.asarray(sample_idx))) == len(sample_idx)
+    ):
+        # covariate-free designs collapse to 2x3-table sufficient
+        # statistics: native count passes + fully vectorized Newton
+        # (a duplicated sample_idx needs the column-gather semantics of
+        # the per-sample path below)
+        return _logistic_fit_counts(
+            packed, num_samples, y, sample_idx, max_iter, tol, firth,
+            gluts,
+        )
     nm = len(gluts)
     cc = _cov_pairs(covars)
     n = np.empty(nvar)

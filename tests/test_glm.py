@@ -812,3 +812,53 @@ def test_native_moments_rejects_bad_shapes_and_dup_idx(tmp_path):
     assert glm_moments_native(
         packed, 8, np.zeros(3), np.zeros((3, 0)), sample_idx=dup
     ) is None
+
+
+def test_logistic_counts_fast_path_matches_per_sample(tmp_path):
+    """k = 0 logistic collapses to 2x3-table sufficient statistics
+    (_logistic_fit_counts): same Newton/Firth iteration on class sums,
+    ~100x faster — must agree with the per-sample block path in every
+    firth mode, on subsets, and for the 2-column hethom design."""
+    from pgen_tpu.ops.glm import MODIFIER_COLS
+    from pgen_tpu.ops.logistic import _ADD_GLUT, _logistic_fit_multi
+
+    rng = np.random.default_rng(91)
+    nv, ns = 30, 120
+    codes = rng.integers(0, 4, size=(nv, ns)).astype(np.uint8)
+    codes[2] = 0  # monomorphic -> NA both paths
+    y = (rng.random(ns) < 1.0 / (
+        1.0 + np.exp(-0.7 * (codes[5] == 2)))).astype(float)
+    packed = _pack(codes, tmp_path)
+    cov0 = np.zeros((ns, 0))
+    passthrough = lambda a, b: a @ b  # noqa: E731 - forces per-sample path
+
+    def _cmp(fast, slow, rtol=2e-6):
+        for i in (0, 1, 2, 3, 4):
+            a = np.asarray(fast[i], float)
+            b = np.asarray(slow[i], float)
+            np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+            fin = np.isfinite(a)
+            np.testing.assert_allclose(a[fin], b[fin], rtol=rtol,
+                                       atol=1e-9)
+        np.testing.assert_array_equal(fast[8], slow[8])  # firth flags
+
+    for firth in ("none", "fallback", "always"):
+        fast = _logistic_fit_multi(packed, ns, y, cov0, 4096, None, 24,
+                                   1e-7, None, firth, _ADD_GLUT)
+        slow = _logistic_fit_multi(packed, ns, y, cov0, 4096, None, 24,
+                                   1e-7, passthrough, firth, _ADD_GLUT)
+        _cmp(fast, slow)
+    idx = np.sort(rng.permutation(ns)[:80]).astype(np.int32)
+    fast = _logistic_fit_multi(packed, ns, y[idx], cov0[:80], 4096, idx,
+                               24, 1e-7, None, "fallback", _ADD_GLUT)
+    slow = _logistic_fit_multi(packed, ns, y[idx], cov0[:80], 4096, idx,
+                               24, 1e-7, passthrough, "fallback", _ADD_GLUT)
+    _cmp(fast, slow)
+    hh = MODIFIER_COLS["hethom"]
+    fast = _logistic_fit_multi(packed, ns, y, cov0, 4096, None, 24, 1e-7,
+                               None, "none", hh)
+    slow = _logistic_fit_multi(packed, ns, y, cov0, 4096, None, 24, 1e-7,
+                               passthrough, "none", hh)
+    _cmp(fast, slow)
+    jf = np.isfinite(fast[5]) & np.isfinite(slow[5])
+    np.testing.assert_allclose(fast[5][jf], slow[5][jf], rtol=2e-5)
