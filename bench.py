@@ -97,7 +97,7 @@ _COMPACT_KEYS = [
     "query_wall_s",
     "variants", "samples", "provider",
     "smoke_backend", "smoke_compile_ok",
-    "glm_host_wall_s", "glm_device_wall_s",
+    "glm_host_wall_s", "glm_logistic_host_wall_s", "glm_device_wall_s",
     "mxu_glm_mvar_s", "mxu_glm_chr22_moments_projected_s",
     "mxu_score_mvar_s", "mxu_score_chr22_projected_s",
     "sustained_mvar_s", "sustained_first_call_s",
@@ -1323,11 +1323,11 @@ def _glm_bench() -> dict:
     rng = np.random.default_rng(3)
     pheno = REPO / "data" / "realistic" / "bench_pheno.tsv"
     with open(pheno, "w") as fh:
-        fh.write("#IID\tQT\tC1\tC2\n")
+        fh.write("#IID\tQT\tC1\tC2\tCC\n")
         for iid in iids:
             fh.write(
                 f"{iid}\t{rng.normal():.6g}\t{rng.normal():.6g}\t"
-                f"{rng.normal():.6g}\n"
+                f"{rng.normal():.6g}\t{1 + int(rng.random() < 0.4)}\n"
             )
     out: dict = {"variants": nvar, "samples": len(iids)}
 
@@ -1357,6 +1357,18 @@ def _glm_bench() -> dict:
         f"(x{scale:.2f}; the moments loop is block-streamed, linear in "
         "V); r4's full-scale host measurement was 47.9 s"
     )
+    print(json.dumps(out), flush=True)  # checkpoint
+
+    # covariate-free case/control GWAS at FULL scale: the k=0 logistic
+    # collapses to 2x3-table sufficient statistics (class-sum Newton),
+    # so the whole chr22 runs in seconds on host
+    t0 = time.perf_counter()
+    res_l = glm_pfile(
+        prefix, pheno_name="CC", pheno_file=str(pheno),
+        provider="native", write=False,
+    )
+    out["logistic_host_wall_s"] = round(time.perf_counter() - t0, 2)
+    out["logistic_model"] = res_l.model
     print(json.dumps(out), flush=True)  # checkpoint
 
     import jax
