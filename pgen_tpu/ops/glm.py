@@ -256,7 +256,9 @@ def _scatter_cohort(pk, qk, sample_idx, num_samples: int):
             f"{len(rows)}"
         )
     if rows.size and (rows.min() < 0 or rows.max() >= s):
-        raise ValueError("glm: sample_idx out of range")
+        # negative/out-of-range indices: defer to numpy's fancy-index
+        # semantics (from-the-end / IndexError) for provider agreement
+        return None
     if len(np.unique(rows)) != len(rows):
         return None  # duplicated indices: numpy path semantics required
     keep = np.zeros(s, dtype=np.uint8)

@@ -231,15 +231,8 @@ def _irls_block(
             w.sum(axis=1), wq[:, :k], wq[:, k : k + kk],
             [wg.sum(axis=1) for wg in wgs], wgcs, hggs, k,
         )
-        try:
-            delta = np.linalg.solve(hess, grad[:, :, None])[:, :, 0]
-        except np.linalg.LinAlgError:
-            delta = np.full_like(grad, np.nan)
-            for i in range(active.size):
-                try:
-                    delta[i] = np.linalg.solve(hess[i], grad[i])
-                except np.linalg.LinAlgError:
-                    pass  # stays NaN -> retired as failed below
+        delta = _batched_solve(hess, grad[:, :, None])[:, :, 0]
+        # NaN rows (singular Hessians) retire as failed below
         # step-halving cap: |delta| <= 10 componentwise keeps early
         # iterations from overshooting into the flat tails
         scale = np.max(np.abs(delta), axis=1)
@@ -254,19 +247,10 @@ def _irls_block(
             converged[fin] = True
             # SE at the optimum: (H^-1)_gjgj via solves on the unit cols
             if fin.size:
-                hf = hess[done]
                 eg = np.zeros((fin.size, d, nm))
                 for t in range(nm):
                     eg[:, k + 1 + t, t] = 1.0
-                try:
-                    zsol = np.linalg.solve(hf, eg)
-                except np.linalg.LinAlgError:
-                    zsol = np.full((fin.size, d, nm), np.nan)
-                    for i in range(fin.size):
-                        try:
-                            zsol[i] = np.linalg.solve(hf[i], eg[i])
-                        except np.linalg.LinAlgError:
-                            pass
+                zsol = _batched_solve(hess[done], eg)
                 for t in range(nm):
                     zg = zsol[:, k + 1 + t, t]
                     se[fin, t] = np.sqrt(np.where(zg > 0, zg, np.nan))
@@ -277,6 +261,21 @@ def _irls_block(
             keep = ~(done | bad)
             active = active[keep]
     return n, beta[:, k + 1 :], se, niter, converged, ok, joint
+
+
+def _batched_solve(h: np.ndarray, b: np.ndarray):
+    """Batched np.linalg.solve with per-item singular fallback: singular
+    members come back NaN instead of poisoning the whole batch."""
+    try:
+        return np.linalg.solve(h, b)
+    except np.linalg.LinAlgError:
+        out = np.full(b.shape, np.nan)
+        for i in range(h.shape[0]):
+            try:
+                out[i] = np.linalg.solve(h[i], b[i])
+            except np.linalg.LinAlgError:
+                pass
+        return out
 
 
 def _batched_inv(h: np.ndarray):
@@ -465,7 +464,7 @@ def _logistic_fit_counts(
     else:
         cohort = np.asarray(sample_idx)
     case_rows = cohort[np.asarray(y) == 1.0].astype(np.int32)
-    if len(cohort) == num_samples and sample_idx is None:
+    if sample_idx is None:
         c_all = gt_counts(packed, num_samples)
     else:
         c_all = gt_counts_subset(packed, cohort.astype(np.int32))
@@ -536,15 +535,7 @@ def _logistic_fit_counts(
                 bad_extra = ~inv_ok
             else:
                 grad = (ycf[active] - ncf[active] * mu) @ x3
-                try:
-                    delta = np.linalg.solve(hess, grad[:, :, None])[:, :, 0]
-                except np.linalg.LinAlgError:
-                    delta = np.full_like(grad, np.nan)
-                    for i in range(active.size):
-                        try:
-                            delta[i] = np.linalg.solve(hess[i], grad[i])
-                        except np.linalg.LinAlgError:
-                            pass
+                delta = _batched_solve(hess, grad[:, :, None])[:, :, 0]
                 bad_extra = np.zeros(active.size, dtype=bool)
             scale = np.max(np.abs(delta), axis=1)
             big = scale > cap
@@ -560,19 +551,10 @@ def _logistic_fit_counts(
                     if firth_mode:
                         zsol = ainv[done][:, :, 1:]
                     else:
-                        hf = hess[done]
                         eg = np.zeros((fin.size, d, nm))
                         for t in range(nm):
                             eg[:, 1 + t, t] = 1.0
-                        try:
-                            zsol = np.linalg.solve(hf, eg)
-                        except np.linalg.LinAlgError:
-                            zsol = np.full((fin.size, d, nm), np.nan)
-                            for i in range(fin.size):
-                                try:
-                                    zsol[i] = np.linalg.solve(hf[i], eg[i])
-                                except np.linalg.LinAlgError:
-                                    pass
+                        zsol = _batched_solve(hess[done], eg)
                     for t in range(nm):
                         zg = zsol[:, 1 + t, t]
                         se[fin, t] = np.sqrt(np.where(zg > 0, zg, np.nan))

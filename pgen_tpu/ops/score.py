@@ -235,27 +235,36 @@ def score_native(
         )
     s = num_samples
     if sample_idx is None:
-        rows = np.arange(s)
+        rows = None
+        n_kept = s
         keep = np.ones(s, dtype=np.uint8)
     else:
         rows = np.asarray(sample_idx)
         if rows.size and (rows.min() < 0 or rows.max() >= s):
-            raise ValueError("score: sample_idx out of range")
+            # negative/out-of-range indices: defer to numpy's own
+            # fancy-index semantics (from-the-end / IndexError) so the
+            # providers never diverge on the same inputs
+            return None
         if len(np.unique(rows)) != len(rows):
             return None  # duplicated indices: numpy column-gather semantics
+        n_kept = len(rows)
         keep = np.zeros(s, dtype=np.uint8)
         keep[rows] = 1
     waug = np.ascontiguousarray(
         np.concatenate([weights, np.ones((nvar, 1))], axis=1)
     )
     sums_full, miss_full, base, m_used = native.score_moments(
-        packed, keep, flip.astype(np.uint8), waug, mean_impute,
-        int(len(rows)), s,
+        packed, keep, flip.astype(np.uint8), waug, mean_impute, n_kept, s,
     )
-    aug = sums_full[rows] + base[None, :]
-    miss = miss_full[rows]
+    if rows is None:
+        aug = sums_full
+        miss = miss_full
+    else:
+        aug = sums_full[rows]
+        miss = miss_full[rows]
+    aug += base[None, :]
     if mean_impute:
-        ct = np.full(len(rows), 2 * m_used, dtype=np.int64)
+        ct = np.full(n_kept, 2 * m_used, dtype=np.int64)
     else:
         ct = 2 * (m_used - miss)
     return ScoreResult(aug[:, :-1], aug[:, -1], ct, m_used)
