@@ -442,55 +442,87 @@ def _logistic_fit_counts(
     tol: float,
     firth: str,
     gluts,
+    covars=None,
+    group_inv=None,
+    uniq_covars=None,
 ):
-    """Covariate-free fast path: with k = 0, eta takes one value per
-    GENOTYPE CLASS, so each variant's likelihood depends only on its
-    2x3 table (cases/totals per class) — two native genotype-count
-    passes, then Newton/Firth vectorized over ALL variants at once on
-    (V, 3) class sums. Algebraically the same iteration as the
-    per-sample blocks (identical start, step caps, tolerance), ~100x
-    faster at cohort scale. Returns the _logistic_fit_multi tuple."""
+    """Sufficient-statistics fast path: when the linear predictor takes
+    one value per (GENOTYPE CLASS x COVARIATE GROUP) cell — always true
+    with k = 0 (3 cells), and with covariates whenever they take few
+    distinct row values (e.g. SEX, batch: 3G cells) — each variant's
+    likelihood depends only on its cases/totals table over the cells.
+    2G native genotype-count passes, then Newton/Firth vectorized over
+    ALL variants at once on (V, 3G) cell sums. Algebraically the same
+    iteration as the per-sample blocks (identical start, step caps,
+    tolerance), ~100x faster at cohort scale. Returns the
+    _logistic_fit_multi tuple."""
     from pgen_tpu.ops.gt_stats import gt_counts, gt_counts_subset
 
     packed = np.asarray(packed, dtype=np.uint8)
     nvar = packed.shape[0]
     nm = len(gluts)
-    d = 1 + nm
-    # class genotype values under the (het, hom) recode; class design X3
+    if uniq_covars is None:
+        uniq_covars = np.zeros((1, 0))
+    ng, k = uniq_covars.shape
+    d = 1 + k + nm
+    goff = 1 + k
+    # cell design: row (g, c) = [1, uniq[g], g_1(c)..g_m(c)]; cell order
+    # [g0c0, g0c1, g0c2, g1c0, ...]
     gvals = np.array([[0.0, a1, a2] for (a1, a2) in gluts])  # (m, 3)
-    x3 = np.concatenate([np.ones((1, 3)), gvals], axis=0).T  # (3, d)
+    xcells = np.empty((ng * 3, d))
+    for g in range(ng):
+        for c in range(3):
+            xcells[g * 3 + c, 0] = 1.0
+            xcells[g * 3 + c, 1 : 1 + k] = uniq_covars[g]
+            xcells[g * 3 + c, goff:] = gvals[:, c]
+    x3 = xcells
     if sample_idx is None:
         cohort = np.arange(num_samples)
     else:
         cohort = np.asarray(sample_idx)
-    case_rows = cohort[np.asarray(y) == 1.0].astype(np.int32)
-    if sample_idx is None:
-        c_all = gt_counts(packed, num_samples)
-    else:
-        c_all = gt_counts_subset(packed, cohort.astype(np.int32))
-    c_case = (
-        gt_counts_subset(packed, case_rows)
-        if len(case_rows)
-        else np.zeros_like(c_all)
-    )
-    nc = c_all[:, :3].astype(np.float64)   # (V, 3) class totals
-    yc = c_case[:, :3].astype(np.float64)  # (V, 3) cases per class
+    yv = np.asarray(y)
+    if group_inv is None:
+        group_inv = np.zeros(len(cohort), dtype=np.intp)
+    nc = np.empty((nvar, ng * 3))
+    yc = np.empty((nvar, ng * 3))
+    for g in range(ng):
+        sel = group_inv == g
+        rows_g = cohort[sel].astype(np.int32)
+        case_g = cohort[sel & (yv == 1.0)].astype(np.int32)
+        if sample_idx is None and ng == 1:
+            c_all = gt_counts(packed, num_samples)
+        else:
+            c_all = (
+                gt_counts_subset(packed, rows_g)
+                if len(rows_g)
+                else np.zeros((nvar, 4), dtype=np.int64)
+            )
+        c_case = (
+            gt_counts_subset(packed, case_g)
+            if len(case_g)
+            else np.zeros((nvar, 4), dtype=np.int64)
+        )
+        nc[:, g * 3 : g * 3 + 3] = c_all[:, :3]
+        yc[:, g * 3 : g * 3 + 3] = c_case[:, :3]
     n = nc.sum(axis=1)
     ncase = yc.sum(axis=1)
-    # estimability gates == _geno_gates on the class representation
+    # estimability gates == _geno_gates on the cell representation
+    # (gcell = each genotype column's value per cell, tiled over groups)
+    # (m, 3G) cell order [g0c0, g0c1, g0c2, g1c0, ...]
+    gcell = np.array([np.tile(gvals[t], ng) for t in range(nm)])
     ok = (n >= d + 1) & (ncase > 0) & (ncase < n)
     nz = np.maximum(n, 1)
     with np.errstate(invalid="ignore", divide="ignore"):
         for t in range(nm):
-            s1 = (nc * gvals[t]).sum(axis=1)
-            s2 = (nc * gvals[t] ** 2).sum(axis=1)
+            s1 = (nc * gcell[t]).sum(axis=1)
+            s2 = (nc * gcell[t] ** 2).sum(axis=1)
             ok &= (s2 - s1 * s1 / nz) > 1e-9 * nz
         if nm == 2:
-            s10 = (nc * gvals[0]).sum(axis=1)
-            s20 = (nc * gvals[0] ** 2).sum(axis=1)
-            s11 = (nc * gvals[1]).sum(axis=1)
-            s21 = (nc * gvals[1] ** 2).sum(axis=1)
-            s01 = (nc * gvals[0] * gvals[1]).sum(axis=1)
+            s10 = (nc * gcell[0]).sum(axis=1)
+            s20 = (nc * gcell[0] ** 2).sum(axis=1)
+            s11 = (nc * gcell[1]).sum(axis=1)
+            s21 = (nc * gcell[1] ** 2).sum(axis=1)
+            s01 = (nc * gcell[0] * gcell[1]).sum(axis=1)
             c00 = s20 - s10**2 / nz
             c11 = s21 - s11**2 / nz
             c01 = s01 - s10 * s11 / nz
@@ -517,7 +549,7 @@ def _logistic_fit_counts(
             if active.size == 0:
                 break
             ba = beta[active]
-            eta = np.clip(ba @ x3.T, -30.0, 30.0)  # (A, 3)
+            eta = np.clip(ba @ x3.T, -30.0, 30.0)  # (A, 3G)
             mu = 1.0 / (1.0 + np.exp(-eta))
             wsc = mu * (1.0 - mu)                  # per-sample weight
             w = ncf[active] * wsc                  # class-sum weight
@@ -549,21 +581,21 @@ def _logistic_fit_counts(
                 conv[fin] = True
                 if fin.size:
                     if firth_mode:
-                        zsol = ainv[done][:, :, 1:]
+                        zsol = ainv[done][:, :, goff:]
                     else:
                         eg = np.zeros((fin.size, d, nm))
                         for t in range(nm):
-                            eg[:, 1 + t, t] = 1.0
+                            eg[:, goff + t, t] = 1.0
                         zsol = _batched_solve(hess[done], eg)
                     for t in range(nm):
-                        zg = zsol[:, 1 + t, t]
+                        zg = zsol[:, goff + t, t]
                         se[fin, t] = np.sqrt(np.where(zg > 0, zg, np.nan))
                     if nm == 2:
                         joint[fin] = _joint_wald(
-                            zsol, beta[fin][:, 1:], 0, nm
+                            zsol, beta[fin][:, goff:], k, nm
                         )
                 active = active[~(done | bad)]
-        return beta[:, 1:], se, joint, niter, conv
+        return beta[:, goff:], se, joint, niter, conv
 
     beta = np.full((nvar, nm), np.nan)
     se = np.full((nvar, nm), np.nan)
@@ -642,18 +674,31 @@ def _logistic_fit_multi(
         )
     if not np.isin(y, (0.0, 1.0)).all():
         raise ValueError("logistic: y must be 0/1")
-    if covars.shape[1] == 0 and matmul is None and (
+    if matmul is None and (
         sample_idx is None
         or len(np.unique(np.asarray(sample_idx))) == len(sample_idx)
     ):
-        # covariate-free designs collapse to 2x3-table sufficient
-        # statistics: native count passes + fully vectorized Newton
-        # (a duplicated sample_idx needs the column-gather semantics of
-        # the per-sample path below)
-        return _logistic_fit_counts(
-            packed, num_samples, y, sample_idx, max_iter, tol, firth,
-            gluts,
-        )
+        # sufficient-statistics fast path: the likelihood depends only
+        # on per-(genotype class x covariate group) cell tables when the
+        # covariates take few distinct row values — always with k = 0,
+        # and e.g. SEX/batch designs. 2G count passes + class-sum Newton
+        # beat per-sample IRLS while 3G stays small. (A duplicated
+        # sample_idx needs the column-gather semantics of the per-sample
+        # path below.)
+        if covars.shape[1] == 0:
+            return _logistic_fit_counts(
+                packed, num_samples, y, sample_idx, max_iter, tol, firth,
+                gluts,
+            )
+        ns_cov = covars.shape[0]
+        if ns_cov and covars.shape[1] <= 4:
+            uniq, inv = np.unique(covars, axis=0, return_inverse=True)
+            if len(uniq) <= 16:
+                return _logistic_fit_counts(
+                    packed, num_samples, y, sample_idx, max_iter, tol,
+                    firth, gluts, covars=covars, group_inv=inv,
+                    uniq_covars=uniq,
+                )
     nm = len(gluts)
     cc = _cov_pairs(covars)
     n = np.empty(nvar)

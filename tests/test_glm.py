@@ -862,3 +862,41 @@ def test_logistic_counts_fast_path_matches_per_sample(tmp_path):
     _cmp(fast, slow)
     jf = np.isfinite(fast[5]) & np.isfinite(slow[5])
     np.testing.assert_allclose(fast[5][jf], slow[5][jf], rtol=2e-5)
+
+
+def test_logistic_grouped_covariate_fast_path(tmp_path):
+    """Few-unique-covariate-row designs (SEX, batch) also collapse to
+    cell sufficient statistics (3G cells): the grouped fast path must
+    agree with the per-sample IRLS in every firth mode; continuous
+    covariates (G > 16) must keep the per-sample path."""
+    from pgen_tpu.ops.logistic import _ADD_GLUT, _logistic_fit_multi
+
+    rng = np.random.default_rng(92)
+    nv, ns = 25, 160
+    codes = rng.integers(0, 4, size=(nv, ns)).astype(np.uint8)
+    sex = (rng.random(ns) < 0.5).astype(float)
+    batch = rng.integers(0, 3, ns).astype(float)
+    cov = np.column_stack([sex, batch])  # 6 unique rows
+    y = (rng.random(ns) < 1.0 / (1.0 + np.exp(
+        -(0.4 * sex + 0.6 * (codes[4] == 2))))).astype(float)
+    packed = _pack(codes, tmp_path)
+    passthrough = lambda a, b: a @ b  # noqa: E731
+    for firth in ("none", "fallback", "always"):
+        fast = _logistic_fit_multi(packed, ns, y, cov, 4096, None, 24,
+                                   1e-7, None, firth, _ADD_GLUT)
+        slow = _logistic_fit_multi(packed, ns, y, cov, 4096, None, 24,
+                                   1e-7, passthrough, firth, _ADD_GLUT)
+        for i in (0, 1, 2, 3, 4):
+            a = np.asarray(fast[i], float)
+            b = np.asarray(slow[i], float)
+            np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+            fin = np.isfinite(a)
+            np.testing.assert_allclose(a[fin], b[fin], rtol=5e-6,
+                                       atol=1e-9)
+        np.testing.assert_array_equal(fast[8], slow[8])
+    # continuous covariate: many unique rows, same answer either way
+    # (routed through the per-sample path — just confirm it still runs)
+    contc = rng.normal(size=(ns, 1))
+    r = _logistic_fit_multi(packed, ns, y, contc, 4096, None, 24, 1e-7,
+                            None, "none", _ADD_GLUT)
+    assert np.isfinite(r[1]).any()
