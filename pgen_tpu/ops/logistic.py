@@ -442,7 +442,6 @@ def _logistic_fit_counts(
     tol: float,
     firth: str,
     gluts,
-    covars=None,
     group_inv=None,
     uniq_covars=None,
 ):
@@ -469,13 +468,12 @@ def _logistic_fit_counts(
     # cell design: row (g, c) = [1, uniq[g], g_1(c)..g_m(c)]; cell order
     # [g0c0, g0c1, g0c2, g1c0, ...]
     gvals = np.array([[0.0, a1, a2] for (a1, a2) in gluts])  # (m, 3)
-    xcells = np.empty((ng * 3, d))
+    x3 = np.empty((ng * 3, d))
     for g in range(ng):
         for c in range(3):
-            xcells[g * 3 + c, 0] = 1.0
-            xcells[g * 3 + c, 1 : 1 + k] = uniq_covars[g]
-            xcells[g * 3 + c, goff:] = gvals[:, c]
-    x3 = xcells
+            x3[g * 3 + c, 0] = 1.0
+            x3[g * 3 + c, 1 : 1 + k] = uniq_covars[g]
+            x3[g * 3 + c, goff:] = gvals[:, c]
     if sample_idx is None:
         cohort = np.arange(num_samples)
     else:
@@ -690,14 +688,17 @@ def _logistic_fit_multi(
                 packed, num_samples, y, sample_idx, max_iter, tol, firth,
                 gluts,
             )
-        ns_cov = covars.shape[0]
-        if ns_cov and covars.shape[1] <= 4:
+        if covars.shape[0] and covars.shape[1] <= 4 and all(
+            # cheap per-column screen first: continuous covariates (PCs)
+            # can never qualify, and the full row-unique below lexsorts
+            len(np.unique(covars[:, j])) <= 16
+            for j in range(covars.shape[1])
+        ):
             uniq, inv = np.unique(covars, axis=0, return_inverse=True)
             if len(uniq) <= 16:
                 return _logistic_fit_counts(
                     packed, num_samples, y, sample_idx, max_iter, tol,
-                    firth, gluts, covars=covars, group_inv=inv,
-                    uniq_covars=uniq,
+                    firth, gluts, group_inv=inv, uniq_covars=uniq,
                 )
     nm = len(gluts)
     cc = _cov_pairs(covars)

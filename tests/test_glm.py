@@ -894,6 +894,17 @@ def test_logistic_grouped_covariate_fast_path(tmp_path):
             np.testing.assert_allclose(a[fin], b[fin], rtol=5e-6,
                                        atol=1e-9)
         np.testing.assert_array_equal(fast[8], slow[8])
+    # grouped + sample_idx subset together: cohort/group_inv positional
+    # alignment is the one spot the two single-feature tests miss
+    idx = np.sort(rng.permutation(ns)[:120]).astype(np.int32)
+    fast = _logistic_fit_multi(packed, ns, y[idx], cov[idx], 4096, idx,
+                               24, 1e-7, None, "fallback", _ADD_GLUT)
+    slow = _logistic_fit_multi(packed, ns, y[idx], cov[idx], 4096, idx,
+                               24, 1e-7, passthrough, "fallback",
+                               _ADD_GLUT)
+    fin = np.isfinite(fast[1]) & np.isfinite(slow[1])
+    np.testing.assert_allclose(fast[1][fin], slow[1][fin], rtol=5e-6,
+                               atol=1e-9)
     # continuous covariate: many unique rows, same answer either way
     # (routed through the per-sample path — just confirm it still runs)
     contc = rng.normal(size=(ns, 1))
