@@ -911,3 +911,48 @@ def test_logistic_grouped_covariate_fast_path(tmp_path):
     r = _logistic_fit_multi(packed, ns, y, contc, 4096, None, 24, 1e-7,
                             None, "none", _ADD_GLUT)
     assert np.isfinite(r[1]).any()
+
+
+@pytest.mark.parametrize("ns", [8, 9, 10, 11])  # every pad residue
+def test_native_moments_shape_fuzz(ns, tmp_path):
+    """Native sparse kernels vs numpy across pad-bit residues
+    (n_samples % 4 in {0,1,2,3}) and random shapes — the `lim` bound in
+    the C++ byte loop is the only thing between a pad bit and a wrong
+    moment."""
+    from pgen_tpu.ops.glm import (
+        glm_geno_moments_native,
+        glm_geno_moments_numpy,
+        glm_moments_native,
+    )
+    from pgen_tpu.ops.score import score_native, score_numpy
+
+    rng = np.random.default_rng(100 + ns)
+    for trial in range(3):
+        nv = int(rng.integers(1, 25))
+        k = int(rng.integers(0, 3))
+        codes = rng.integers(0, 4, size=(nv, ns)).astype(np.uint8)
+        y = rng.normal(size=ns)
+        cov = rng.normal(size=(ns, k))
+        packed = _pack(codes, tmp_path, name=f"f{ns}_{trial}").copy()
+        if ns % 4:
+            # force NONZERO pad bits: the writer zeroes them, but the
+            # format does not guarantee it — only the kernels' sample
+            # bound keeps them out of the moments
+            packed[:, -1] |= np.uint8((0xFF << (2 * (ns % 4))) & 0xFF)
+        b = glm_moments_native(packed, ns, y, cov)
+        if b is None:
+            pytest.skip("native runtime unavailable")
+        a = glm_moments_numpy(packed, ns, y, cov)
+        for x, z in zip(a, b):
+            np.testing.assert_allclose(x, z, rtol=1e-12, atol=1e-9)
+        g = glm_geno_moments_native(packed, ns, y, cov)
+        gn = glm_geno_moments_numpy(packed, ns, y, cov)
+        for x, z in zip(gn, g):
+            np.testing.assert_allclose(x, z, rtol=1e-12, atol=1e-9)
+        w = rng.normal(size=(nv, 2))
+        flip = rng.random(nv) < 0.5
+        s_nat = score_native(packed, ns, w, flip)
+        s_np = score_numpy(packed, ns, w, flip)
+        np.testing.assert_allclose(s_nat.sums, s_np.sums, rtol=1e-12,
+                                   atol=1e-10)
+        np.testing.assert_array_equal(s_nat.allele_ct, s_np.allele_ct)
