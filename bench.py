@@ -562,6 +562,8 @@ def main():
 
     _phase("cold", 90, cold, gate="PGEN_BENCH_COLD")
 
+    os.environ.setdefault("PGEN_BENCH_COLD_MITIGATED", "0")
+
     def cold_mitigated():
         # VERDICT r4 next #8: same fresh-output run with the env-gated
         # pre-touch (madvise(WILLNEED) + a read-ahead toucher thread,
@@ -595,7 +597,13 @@ def main():
             }
         )
 
-    _phase("cold_mitigated", 90, cold_mitigated, gate="PGEN_BENCH_COLD")
+    # the pre-touch experiment is a REPRODUCED NEGATIVE (3 sessions:
+    # 99.5 vs 21.2, 170 vs 47, 58 vs 27 — docs/BENCHMARKS.md round 5);
+    # default OFF so its 60-170 s fund the phases that still inform
+    _phase(
+        "cold_mitigated", 90, cold_mitigated,
+        gate="PGEN_BENCH_COLD_MITIGATED",
+    )
 
     _phase(
         "device_e2e", 60,
