@@ -455,8 +455,6 @@ def _logistic_fit_counts(
     iteration as the per-sample blocks (identical start, step caps,
     tolerance), ~100x faster at cohort scale. Returns the
     _logistic_fit_multi tuple."""
-    from pgen_tpu.ops.gt_stats import gt_counts, gt_counts_subset
-
     packed = np.asarray(packed, dtype=np.uint8)
     nvar = packed.shape[0]
     nm = len(gluts)
@@ -474,34 +472,9 @@ def _logistic_fit_counts(
             x3[g * 3 + c, 0] = 1.0
             x3[g * 3 + c, 1 : 1 + k] = uniq_covars[g]
             x3[g * 3 + c, goff:] = gvals[:, c]
-    if sample_idx is None:
-        cohort = np.arange(num_samples)
-    else:
-        cohort = np.asarray(sample_idx)
-    yv = np.asarray(y)
     if group_inv is None:
-        group_inv = np.zeros(len(cohort), dtype=np.intp)
-    nc = np.empty((nvar, ng * 3))
-    yc = np.empty((nvar, ng * 3))
-    for g in range(ng):
-        sel = group_inv == g
-        rows_g = cohort[sel].astype(np.int32)
-        case_g = cohort[sel & (yv == 1.0)].astype(np.int32)
-        if sample_idx is None and ng == 1:
-            c_all = gt_counts(packed, num_samples)
-        else:
-            c_all = (
-                gt_counts_subset(packed, rows_g)
-                if len(rows_g)
-                else np.zeros((nvar, 4), dtype=np.int64)
-            )
-        c_case = (
-            gt_counts_subset(packed, case_g)
-            if len(case_g)
-            else np.zeros((nvar, 4), dtype=np.int64)
-        )
-        nc[:, g * 3 : g * 3 + 3] = c_all[:, :3]
-        yc[:, g * 3 : g * 3 + 3] = c_case[:, :3]
+        group_inv = np.zeros(len(np.asarray(y)), dtype=np.intp)
+    nc, yc = _cell_tables(packed, num_samples, y, sample_idx, group_inv, ng)
     n = nc.sum(axis=1)
     ncase = yc.sum(axis=1)
     # estimability gates == _geno_gates on the cell representation
@@ -1049,6 +1022,131 @@ def _irls_int_block(
     return n, beta[:, tests], se, niter, converged, ok
 
 
+def _cell_tables(packed, num_samples, y, sample_idx, group_inv, ng):
+    """(V, 3G) totals/cases tables via 2G native genotype-count passes
+    (cell order [g0c0, g0c1, g0c2, g1c0, ...])."""
+    from pgen_tpu.ops.gt_stats import gt_counts, gt_counts_subset
+
+    nvar = packed.shape[0]
+    if sample_idx is None:
+        cohort = np.arange(num_samples)
+    else:
+        cohort = np.asarray(sample_idx)
+    yv = np.asarray(y)
+    nc = np.empty((nvar, ng * 3))
+    yc = np.empty((nvar, ng * 3))
+    for g in range(ng):
+        sel = group_inv == g
+        rows_g = cohort[sel].astype(np.int32)
+        case_g = cohort[sel & (yv == 1.0)].astype(np.int32)
+        if sample_idx is None and ng == 1:
+            c_all = gt_counts(packed, num_samples)
+        else:
+            c_all = (
+                gt_counts_subset(packed, rows_g)
+                if len(rows_g)
+                else np.zeros((nvar, 4), dtype=np.int64)
+            )
+        c_case = (
+            gt_counts_subset(packed, case_g)
+            if len(case_g)
+            else np.zeros((nvar, 4), dtype=np.int64)
+        )
+        nc[:, g * 3 : g * 3 + 3] = c_all[:, :3]
+        yc[:, g * 3 : g * 3 + 3] = c_case[:, :3]
+    return nc, yc
+
+
+def _logistic_int_counts(
+    packed, num_samples, y, sample_idx, max_iter, tol, uniq, inv
+) -> "LogisticIntResult":
+    """Cell fast path for the interaction design (see the dispatch site):
+    Newton on (V, 3G) cell sums, mirroring _irls_int_block's start,
+    cap, tolerance and gates exactly."""
+    packed = np.asarray(packed, dtype=np.uint8)
+    ng, k = uniq.shape
+    d = 2 * k + 2
+    gi = k + 1
+    tests = [gi] + list(range(gi + 1, d))
+    # cell design rows [1, C_g, g_c, g_c*C_g]
+    x3 = np.empty((ng * 3, d))
+    for g in range(ng):
+        for c in range(3):
+            row = x3[g * 3 + c]
+            row[0] = 1.0
+            row[1 : 1 + k] = uniq[g]
+            row[gi] = float(c)
+            row[gi + 1 :] = float(c) * uniq[g]
+    nc, yc = _cell_tables(packed, num_samples, y, sample_idx, inv, ng)
+    n = nc.sum(axis=1)
+    ncase = yc.sum(axis=1)
+    gcell = np.tile(np.array([0.0, 1.0, 2.0]), ng)
+    nz = np.maximum(n, 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s1 = (nc * gcell).sum(axis=1)
+        s2 = (nc * gcell**2).sum(axis=1)
+        gvar = s2 - s1 * s1 / nz
+    ok = (n >= d + 1) & (gvar > 1e-9 * nz) & (ncase > 0) & (ncase < n)
+    nvar = packed.shape[0]
+    beta_t = np.full((nvar, 1 + k), np.nan)
+    se = np.full((nvar, 1 + k), np.nan)
+    niter = np.zeros(nvar, dtype=np.int32)
+    conv = np.zeros(nvar, dtype=bool)
+    idx = np.flatnonzero(ok)
+    if idx.size:
+        f = len(idx)
+        ncf, ycf = nc[idx], yc[idx]
+        beta = np.zeros((f, d))
+        p0 = np.clip(ncase[idx] / np.maximum(n[idx], 1), 1e-12, 1 - 1e-12)
+        beta[:, 0] = np.log(p0 / (1.0 - p0))
+        active = np.arange(f)
+        se_f = np.full((f, 1 + k), np.nan)
+        nit_f = np.zeros(f, dtype=np.int32)
+        conv_f = np.zeros(f, dtype=bool)
+        for it in range(1, max_iter + 1):
+            if active.size == 0:
+                break
+            eta = np.clip(beta[active] @ x3.T, -30.0, 30.0)
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            w = ncf[active] * mu * (1.0 - mu)
+            hess = np.einsum("vc,ci,cj->vij", w, x3, x3)
+            grad = (ycf[active] - ncf[active] * mu) @ x3
+            delta = _batched_solve(hess, grad[:, :, None])[:, :, 0]
+            scale = np.max(np.abs(delta), axis=1)
+            big = scale > 10.0
+            delta[big] *= (10.0 / scale[big])[:, None]
+            bad = ~np.isfinite(delta).all(axis=1)
+            beta[active] += np.where(bad[:, None], 0.0, delta)
+            nit_f[active] = it
+            done = (np.abs(delta).max(axis=1) < tol) & ~bad
+            if done.any() or bad.any():
+                fin = active[done]
+                conv_f[fin] = True
+                if fin.size:
+                    eg = np.zeros((fin.size, d, 1 + k))
+                    for c, t in enumerate(tests):
+                        eg[:, t, c] = 1.0
+                    zsol = _batched_solve(hess[done], eg)
+                    diag = np.stack(
+                        [zsol[:, t, c] for c, t in enumerate(tests)],
+                        axis=1,
+                    )
+                    se_f[fin] = np.sqrt(np.where(diag > 0, diag, np.nan))
+                active = active[~(done | bad)]
+        beta_t[idx] = beta[:, tests]
+        se[idx] = se_f
+        niter[idx] = nit_f
+        conv[idx] = conv_f
+    good = conv[:, None] & np.isfinite(se)
+    beta_t = np.where(good, beta_t, np.nan)
+    se = np.where(good, se, np.nan)
+    with np.errstate(invalid="ignore"):
+        z = beta_t / se
+    return LogisticIntResult(
+        n.astype(np.int64), beta_t, se, z, normal_sf2(z), niter
+    )
+
+
 def glm_logistic_interaction(
     packed,
     num_samples: int,
@@ -1078,19 +1176,24 @@ def glm_logistic_interaction(
     if not np.isin(y, (0.0, 1.0)).all():
         raise ValueError("logistic: y must be 0/1")
     if provider == "device":
-        import jax
-        import jax.numpy as jnp
-
-        @jax.jit
-        def _mmj(a, b):
-            return jnp.matmul(
-                a.astype(jnp.float32), b.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-
-        matmul = lambda a, b: np.asarray(_mmj(a, b), np.float64)  # noqa: E731
+        matmul = _device_matmul()
         tol = max(tol, 1e-5)  # provider-matched tol (see glm_logistic)
+    elif matmul is None and covars.shape[0] and covars.shape[1] <= 4 and (
+        sample_idx is None
+        or len(np.unique(np.asarray(sample_idx))) == len(sample_idx)
+    ) and all(
+        len(np.unique(covars[:, j])) <= 16 for j in range(covars.shape[1])
+    ):
+        # interaction cells: [1, C_g, g_c, g_c*C_g] is fully determined
+        # by (genotype class, covariate group), so few-unique-covariate
+        # designs collapse to the same 3G-cell sufficient statistics as
+        # the base model (see _logistic_fit_counts)
+        uniq, inv = np.unique(covars, axis=0, return_inverse=True)
+        if len(uniq) <= 16:
+            return _logistic_int_counts(
+                packed, num_samples, y, sample_idx, max_iter, tol, uniq,
+                inv,
+            )
     packed = np.asarray(packed, dtype=np.uint8)
     nvar = packed.shape[0]
     k = covars.shape[1]

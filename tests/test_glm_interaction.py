@@ -254,3 +254,47 @@ def test_cli_glm_logistic_interaction(tmp_path):
         "glm", prefix, "--covar-name", "AGE", "--interaction", "--firth",
         "-o", str(out),
     ]) != 0
+
+
+def test_interaction_cell_fast_path_matches_per_sample(tmp_path):
+    """The interaction design [1, C, g, g*C] is cell-determined when
+    covariates take few distinct row values, so it rides the same
+    sufficient-statistics fast path as the base model — must agree with
+    the per-sample IRLS on full and subset cohorts (r5)."""
+    import numpy as np
+
+    from pgen_tpu.formats.writer import write_pgen
+    from pgen_tpu.ops.logistic import glm_logistic_interaction
+
+    rng = np.random.default_rng(95)
+    nv, ns = 20, 180
+    codes = rng.integers(0, 4, size=(nv, ns)).astype(np.uint8)
+    sex = (rng.random(ns) < 0.5).astype(float)
+    cov = sex[:, None]
+    y = (rng.random(ns) < 1.0 / (1.0 + np.exp(
+        -(0.3 * sex + 0.4 * (codes[3] == 2)
+          + 0.3 * sex * (codes[3] == 2))))).astype(float)
+    write_pgen(str(tmp_path / "i.pgen"), codes)
+    rec = (2 * ns + 7) // 8
+    packed = np.fromfile(
+        str(tmp_path / "i.pgen"), dtype=np.uint8
+    )[12:].reshape(nv, rec)
+    passthrough = lambda a, b: a @ b  # noqa: E731 - forces per-sample
+    fast = glm_logistic_interaction(packed, ns, y, cov)
+    slow = glm_logistic_interaction(packed, ns, y, cov,
+                                    matmul=passthrough)
+    for name in ("n_obs", "beta", "se", "z_stat", "p"):
+        a = np.asarray(getattr(fast, name), float)
+        b = np.asarray(getattr(slow, name), float)
+        np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+        fin = np.isfinite(a)
+        np.testing.assert_allclose(a[fin], b[fin], rtol=5e-6, atol=1e-9,
+                                   err_msg=name)
+    idx = np.sort(rng.permutation(ns)[:140]).astype(np.int32)
+    f2 = glm_logistic_interaction(packed, ns, y[idx], cov[idx],
+                                  sample_idx=idx)
+    s2 = glm_logistic_interaction(packed, ns, y[idx], cov[idx],
+                                  sample_idx=idx, matmul=passthrough)
+    fin = np.isfinite(f2.beta) & np.isfinite(s2.beta)
+    np.testing.assert_allclose(f2.beta[fin], s2.beta[fin], rtol=5e-6,
+                               atol=1e-9)
