@@ -802,7 +802,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="plink2 '--glm interaction': add dosage x covariate terms "
              "to the design and report each (ADD plus ADDxCOVAR rows in "
              "the TEST column). Linear solves closed-form; logistic runs "
-             "the interaction IRLS (vanilla Newton, no Firth rescue).",
+             "the interaction IRLS (firth-fallback, like the base "
+             "model).",
     )
     gl.add_argument(
         "--covar-variance-standardize", dest="covar_vs",

@@ -433,6 +433,87 @@ class LogisticModResult(NamedTuple):
     firth: np.ndarray
 
 
+def _cells_newton(
+    nc, yc, n, ncase, x3, tests, idx, firth_mode, iters, cap, tol,
+    joint_k=None,
+):
+    """Vectorized cell-sum Newton/Firth over the selected variants.
+
+    nc/yc: (V, cells) totals/cases; x3: (cells, d) cell design; tests:
+    design-column indices reported (beta + SE per column). joint_k:
+    when the two test columns form a 2-df genotype block at
+    [joint_k+1, joint_k+2], also return the joint Wald chi-square.
+    Mirrors the per-sample IRLS/Firth blocks exactly (start, clip,
+    step cap, tolerance, SE at the pre-final-step information).
+    Returns (beta_tests (F, T), se (F, T), joint (F,), niter, conv)."""
+    d = x3.shape[1]
+    nt = len(tests)
+    f = len(idx)
+    ncf, ycf = nc[idx], yc[idx]
+    nf, ncasef = n[idx], ncase[idx]
+    beta = np.zeros((f, d))
+    if firth_mode:
+        p0 = np.clip((ncasef + 0.5) / (nf + 1.0), 1e-12, 1 - 1e-12)
+    else:
+        p0 = np.clip(ncasef / np.maximum(nf, 1), 1e-12, 1 - 1e-12)
+    beta[:, 0] = np.log(p0 / (1.0 - p0))
+    se = np.full((f, nt), np.nan)
+    joint = np.full(f, np.nan)
+    niter = np.zeros(f, dtype=np.int32)
+    conv = np.zeros(f, dtype=bool)
+    active = np.arange(f)
+    for it in range(1, iters + 1):
+        if active.size == 0:
+            break
+        eta = np.clip(beta[active] @ x3.T, -30.0, 30.0)  # (A, cells)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        wsc = mu * (1.0 - mu)              # per-sample weight
+        w = ncf[active] * wsc              # cell-sum weight
+        hess = np.einsum("vc,ci,cj->vij", w, x3, x3)
+        if firth_mode:
+            ainv, inv_ok = _batched_inv(hess)
+            hat = wsc * np.einsum("ci,vij,cj->vc", x3, ainv, x3)
+            r = (
+                ycf[active] - ncf[active] * mu
+                + ncf[active] * hat * (0.5 - mu)
+            )
+            grad = r @ x3
+            with np.errstate(invalid="ignore"):
+                delta = np.einsum("vij,vj->vi", ainv, grad)
+            bad_extra = ~inv_ok
+        else:
+            grad = (ycf[active] - ncf[active] * mu) @ x3
+            delta = _batched_solve(hess, grad[:, :, None])[:, :, 0]
+            bad_extra = np.zeros(active.size, dtype=bool)
+        scale = np.max(np.abs(delta), axis=1)
+        big = scale > cap
+        delta[big] *= (cap / scale[big])[:, None]
+        bad = ~np.isfinite(delta).all(axis=1) | bad_extra
+        beta[active] += np.where(bad[:, None], 0.0, delta)
+        niter[active] = it
+        done = (np.abs(delta).max(axis=1) < tol) & ~bad
+        if done.any() or bad.any():
+            fin = active[done]
+            conv[fin] = True
+            if fin.size:
+                if firth_mode:
+                    zsol = ainv[done][:, :, tests]
+                else:
+                    eg = np.zeros((fin.size, d, nt))
+                    for c, t in enumerate(tests):
+                        eg[:, t, c] = 1.0
+                    zsol = _batched_solve(hess[done], eg)
+                for c, t in enumerate(tests):
+                    zg = zsol[:, t, c]
+                    se[fin, c] = np.sqrt(np.where(zg > 0, zg, np.nan))
+                if joint_k is not None and nt == 2:
+                    joint[fin] = _joint_wald(
+                        zsol, beta[fin][:, tests], joint_k, nt
+                    )
+            active = active[~(done | bad)]
+    return beta[:, tests], se, joint, niter, conv
+
+
 def _logistic_fit_counts(
     packed: np.ndarray,
     num_samples: int,
@@ -499,74 +580,13 @@ def _logistic_fit_counts(
             c01 = s01 - s10 * s11 / nz
             ok &= (c00 * c11 - c01 * c01) > 1e-9 * nz
 
+    tests = list(range(goff, goff + nm))
+
     def _newton(idx, firth_mode, iters, cap):
-        """Vectorized class-sum IRLS over the selected variants; returns
-        (beta (F,d), se (F,m), joint (F,), niter (F,), converged)."""
-        f = len(idx)
-        ncf, ycf = nc[idx], yc[idx]
-        nf, ncasef = n[idx], ncase[idx]
-        beta = np.zeros((f, d))
-        if firth_mode:
-            p0 = np.clip((ncasef + 0.5) / (nf + 1.0), 1e-12, 1 - 1e-12)
-        else:
-            p0 = np.clip(ncasef / np.maximum(nf, 1), 1e-12, 1 - 1e-12)
-        beta[:, 0] = np.log(p0 / (1.0 - p0))
-        se = np.full((f, nm), np.nan)
-        joint = np.full(f, np.nan)
-        niter = np.zeros(f, dtype=np.int32)
-        conv = np.zeros(f, dtype=bool)
-        active = np.arange(f)
-        for it in range(1, iters + 1):
-            if active.size == 0:
-                break
-            ba = beta[active]
-            eta = np.clip(ba @ x3.T, -30.0, 30.0)  # (A, 3G)
-            mu = 1.0 / (1.0 + np.exp(-eta))
-            wsc = mu * (1.0 - mu)                  # per-sample weight
-            w = ncf[active] * wsc                  # class-sum weight
-            hess = np.einsum("vc,ci,cj->vij", w, x3, x3)
-            if firth_mode:
-                ainv, inv_ok = _batched_inv(hess)
-                hat = wsc * np.einsum("ci,vij,cj->vc", x3, ainv, x3)
-                r = (
-                    ycf[active] - ncf[active] * mu
-                    + ncf[active] * hat * (0.5 - mu)
-                )
-                grad = r @ x3
-                with np.errstate(invalid="ignore"):
-                    delta = np.einsum("vij,vj->vi", ainv, grad)
-                bad_extra = ~inv_ok
-            else:
-                grad = (ycf[active] - ncf[active] * mu) @ x3
-                delta = _batched_solve(hess, grad[:, :, None])[:, :, 0]
-                bad_extra = np.zeros(active.size, dtype=bool)
-            scale = np.max(np.abs(delta), axis=1)
-            big = scale > cap
-            delta[big] *= (cap / scale[big])[:, None]
-            bad = ~np.isfinite(delta).all(axis=1) | bad_extra
-            beta[active] += np.where(bad[:, None], 0.0, delta)
-            niter[active] = it
-            done = (np.abs(delta).max(axis=1) < tol) & ~bad
-            if done.any() or bad.any():
-                fin = active[done]
-                conv[fin] = True
-                if fin.size:
-                    if firth_mode:
-                        zsol = ainv[done][:, :, goff:]
-                    else:
-                        eg = np.zeros((fin.size, d, nm))
-                        for t in range(nm):
-                            eg[:, goff + t, t] = 1.0
-                        zsol = _batched_solve(hess[done], eg)
-                    for t in range(nm):
-                        zg = zsol[:, goff + t, t]
-                        se[fin, t] = np.sqrt(np.where(zg > 0, zg, np.nan))
-                    if nm == 2:
-                        joint[fin] = _joint_wald(
-                            zsol, beta[fin][:, goff:], k, nm
-                        )
-                active = active[~(done | bad)]
-        return beta[:, goff:], se, joint, niter, conv
+        return _cells_newton(
+            nc, yc, n, ncase, x3, tests, idx, firth_mode, iters, cap, tol,
+            joint_k=(k if nm == 2 else None),
+        )
 
     beta = np.full((nvar, nm), np.nan)
     se = np.full((nvar, nm), np.nan)
@@ -852,6 +872,7 @@ class LogisticIntResult(NamedTuple):
     z_stat: np.ndarray  # (V, 1+k) f64
     p: np.ndarray       # (V, 1+k) f64
     n_iter: np.ndarray  # (V,) i32
+    firth: np.ndarray = None  # (V,) bool: site fit by Firth regression
 
 
 def _assemble_hess_int(
@@ -1058,11 +1079,12 @@ def _cell_tables(packed, num_samples, y, sample_idx, group_inv, ng):
 
 
 def _logistic_int_counts(
-    packed, num_samples, y, sample_idx, max_iter, tol, uniq, inv
+    packed, num_samples, y, sample_idx, max_iter, tol, uniq, inv,
+    firth="none",
 ) -> "LogisticIntResult":
-    """Cell fast path for the interaction design (see the dispatch site):
-    Newton on (V, 3G) cell sums, mirroring _irls_int_block's start,
-    cap, tolerance and gates exactly."""
+    """Cell fast path for the interaction design (see the dispatch
+    site): Newton/Firth on (V, 3G) cell sums via the shared
+    _cells_newton core, mirroring _irls_int_block/_firth_int_block."""
     packed = np.asarray(packed, dtype=np.uint8)
     ng, k = uniq.shape
     d = 2 * k + 2
@@ -1092,59 +1114,161 @@ def _logistic_int_counts(
     se = np.full((nvar, 1 + k), np.nan)
     niter = np.zeros(nvar, dtype=np.int32)
     conv = np.zeros(nvar, dtype=bool)
+    fused = np.zeros(nvar, dtype=bool)
     idx = np.flatnonzero(ok)
+    firth_iter = max(max_iter, 256)
     if idx.size:
-        f = len(idx)
-        ncf, ycf = nc[idx], yc[idx]
-        beta = np.zeros((f, d))
-        p0 = np.clip(ncase[idx] / np.maximum(n[idx], 1), 1e-12, 1 - 1e-12)
-        beta[:, 0] = np.log(p0 / (1.0 - p0))
-        active = np.arange(f)
-        se_f = np.full((f, 1 + k), np.nan)
-        nit_f = np.zeros(f, dtype=np.int32)
-        conv_f = np.zeros(f, dtype=bool)
-        for it in range(1, max_iter + 1):
-            if active.size == 0:
-                break
-            eta = np.clip(beta[active] @ x3.T, -30.0, 30.0)
-            mu = 1.0 / (1.0 + np.exp(-eta))
-            w = ncf[active] * mu * (1.0 - mu)
-            hess = np.einsum("vc,ci,cj->vij", w, x3, x3)
-            grad = (ycf[active] - ncf[active] * mu) @ x3
-            delta = _batched_solve(hess, grad[:, :, None])[:, :, 0]
-            scale = np.max(np.abs(delta), axis=1)
-            big = scale > 10.0
-            delta[big] *= (10.0 / scale[big])[:, None]
-            bad = ~np.isfinite(delta).all(axis=1)
-            beta[active] += np.where(bad[:, None], 0.0, delta)
-            nit_f[active] = it
-            done = (np.abs(delta).max(axis=1) < tol) & ~bad
-            if done.any() or bad.any():
-                fin = active[done]
-                conv_f[fin] = True
-                if fin.size:
-                    eg = np.zeros((fin.size, d, 1 + k))
-                    for c, t in enumerate(tests):
-                        eg[:, t, c] = 1.0
-                    zsol = _batched_solve(hess[done], eg)
-                    diag = np.stack(
-                        [zsol[:, t, c] for c, t in enumerate(tests)],
-                        axis=1,
+        if firth == "always":
+            fb, fs, _, fi, fc = _cells_newton(
+                nc, yc, n, ncase, x3, tests, idx, True, firth_iter, 5.0,
+                tol,
+            )
+            beta_t[idx], se[idx], niter[idx], conv[idx] = fb, fs, fi, fc
+            fused[idx] = fc
+        else:
+            vb, vs, _, vi, vc = _cells_newton(
+                nc, yc, n, ncase, x3, tests, idx, False, max_iter, 10.0,
+                tol,
+            )
+            beta_t[idx], se[idx], niter[idx], conv[idx] = vb, vs, vi, vc
+            if firth == "fallback":
+                retry = idx[~vc]
+                if retry.size:
+                    fb, fs, _, fi, fc = _cells_newton(
+                        nc, yc, n, ncase, x3, tests, retry, True,
+                        firth_iter, 5.0, tol,
                     )
-                    se_f[fin] = np.sqrt(np.where(diag > 0, diag, np.nan))
-                active = active[~(done | bad)]
-        beta_t[idx] = beta[:, tests]
-        se[idx] = se_f
-        niter[idx] = nit_f
-        conv[idx] = conv_f
+                    beta_t[retry], se[retry] = fb, fs
+                    niter[retry], conv[retry] = fi, fc
+                    fused[retry] = fc
     good = conv[:, None] & np.isfinite(se)
     beta_t = np.where(good, beta_t, np.nan)
     se = np.where(good, se, np.nan)
     with np.errstate(invalid="ignore"):
         z = beta_t / se
     return LogisticIntResult(
-        n.astype(np.int64), beta_t, se, z, normal_sf2(z), niter
+        n.astype(np.int64), beta_t, se, z, normal_sf2(z), niter,
+        fused & good.all(axis=1),
     )
+
+
+def _firth_int_block(
+    codes: np.ndarray,   # (Vb, S) u8, 3 = missing
+    y: np.ndarray,
+    covars: np.ndarray,
+    cc: np.ndarray,
+    idx: np.ndarray,     # block-local variant indices to (re)fit
+    max_iter: int,
+    tol: float,
+    matmul=None,
+):
+    """Firth-penalized Newton over the interaction design for the
+    selected variants. With A = (X'WX)^-1 and x_s = u_s + g_s v_s
+    (u = [1, C_s, 0..0], v = [0..0, 1, C_s]), the hat quadratic splits
+        x'Ax = u'Au + 2 g u'Av + g^2 v'Av
+    — three covariate quadratics over the matching A blocks, each
+    expressed through the shared cc pair columns; the cross block is
+    NON-symmetric, so its pair weights are M_ij + M_ji. SE from the
+    penalized A's test-column diagonals (logistf/plink2 convention)."""
+    mm = matmul if matmul is not None else lambda a, b: a @ b
+    k = covars.shape[1]
+    kk = cc.shape[1]
+    d = 2 * k + 2
+    gi = k + 1
+    tests = [gi] + list(range(gi + 1, d))
+    cal = codes[idx] != 3
+    m = cal.astype(np.float64)
+    g = codes[idx].astype(np.float64) * cal
+    n = m.sum(axis=1)
+    ncase = m @ y
+    q = np.concatenate([covars, cc], axis=1)
+    nb = len(idx)
+    beta = np.zeros((nb, d), dtype=np.float64)
+    p0 = np.clip((ncase + 0.5) / (n + 1.0), 1e-12, 1 - 1e-12)
+    beta[:, 0] = np.log(p0 / (1.0 - p0))
+    se = np.full((nb, 1 + k), np.nan)
+    niter = np.zeros(nb, dtype=np.int32)
+    converged = np.zeros(nb, dtype=bool)
+    active = np.arange(nb)
+    ii = np.array([i for i in range(k) for j in range(i, k)], dtype=np.intp)
+    jj = np.array([j for i in range(k) for j in range(i, k)], dtype=np.intp)
+    pw = np.where(ii == jj, 1.0, 2.0)
+    for it in range(1, max_iter + 1):
+        if active.size == 0:
+            break
+        ba = beta[active]
+        ma, ga = m[active], g[active]
+        eta = (
+            ba[:, [0]]
+            + ba[:, 1 : 1 + k] @ covars.T
+            + ga * (ba[:, [gi]] + ba[:, gi + 1 :] @ covars.T)
+        )
+        np.clip(eta, -30.0, 30.0, out=eta)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1.0 - mu) * ma
+        wg = w * ga
+        wg2 = wg * ga
+        wq = mm(w, q)
+        wgq = mm(wg, q)
+        wg2q = mm(wg2, q)
+        hess = _assemble_hess_int(
+            w.sum(axis=1), wq[:, :k], wq[:, k : k + kk],
+            wg.sum(axis=1), wgq[:, :k], wgq[:, k : k + kk],
+            wg2.sum(axis=1), wg2q[:, :k], wg2q[:, k : k + kk], k,
+        )
+        ainv, inv_ok = _batched_inv(hess)
+        na = len(active)
+        zero_p = np.zeros((na, 0))
+        a00 = ainv[:, 0, 0]
+        a0c = ainv[:, 0, 1 : 1 + k]
+        accp = (ainv[:, 1 + ii, 1 + jj] * pw) if kk else zero_p
+        a0g = ainv[:, 0, gi]
+        a0i = ainv[:, 0, gi + 1 :]
+        acg = ainv[:, 1 : 1 + k, gi]
+        cross = ainv[:, 1 : 1 + k, gi + 1 :]
+        crossp = (
+            cross[:, ii, jj] + np.where(ii != jj, cross[:, jj, ii], 0.0)
+        ) if kk else zero_p
+        agg = ainv[:, gi, gi]
+        agi = ainv[:, gi, gi + 1 :]
+        iblk = ainv[:, gi + 1 :, gi + 1 :]
+        ipairs = (iblk[:, ii, jj] * pw) if kk else zero_p
+        with np.errstate(invalid="ignore"):
+            uau = a00[:, None] + 2.0 * (a0c @ covars.T) + (accp @ cc.T)
+            vav = agg[:, None] + 2.0 * (agi @ covars.T) + (ipairs @ cc.T)
+            uav = (
+                a0g[:, None] + a0i @ covars.T + acg @ covars.T
+                + crossp @ cc.T
+            )
+            xax = uau + ga * (2.0 * uav) + ga * ga * vav
+            h = w * xax
+            r = (y[None, :] - mu + h * (0.5 - mu)) * ma
+        rg = r * ga
+        rc = mm(r, covars)
+        rgc = mm(rg, covars)
+        grad = np.concatenate(
+            [r.sum(axis=1)[:, None], rc, rg.sum(axis=1)[:, None], rgc],
+            axis=1,
+        )
+        with np.errstate(invalid="ignore"):
+            delta = np.einsum("vij,vj->vi", ainv, grad)
+        scale = np.max(np.abs(delta), axis=1)
+        big = scale > 5.0
+        delta[big] *= (5.0 / scale[big])[:, None]
+        bad = ~np.isfinite(delta).all(axis=1) | ~inv_ok
+        beta[active] += np.where(bad[:, None], 0.0, delta)
+        niter[active] = it
+        done = (np.abs(delta).max(axis=1) < tol) & ~bad
+        if done.any() or bad.any():
+            fin = active[done]
+            converged[fin] = True
+            if fin.size:
+                diag = np.stack(
+                    [ainv[done][:, t, t] for t in tests], axis=1
+                )
+                se[fin] = np.sqrt(np.where(diag > 0, diag, np.nan))
+            active = active[~(done | bad)]
+    return n, beta[:, tests], se, niter, converged
 
 
 def glm_logistic_interaction(
@@ -1158,14 +1282,18 @@ def glm_logistic_interaction(
     max_iter: int = 48,
     tol: float = 1e-7,
     matmul=None,
+    firth: str = "fallback",
 ) -> LogisticIntResult:
     """plink2 `--glm interaction` for the logistic model: per variant,
     case status on [1, C, g, g*C]; one (beta, SE, Wald Z, p) row per
-    dosage term [ADD, ADDxC_1..]. Vanilla IRLS only — non-converged
-    (separated) sites report NA; there is no Firth rescue on the
-    interaction design (documented subset of plink2)."""
+    dosage term [ADD, ADDxC_1..]. firth follows the base model
+    (plink2's firth-fallback default): non-converged (separated) sites
+    re-fit with the Jeffreys penalty via _firth_int_block, whose hat
+    quadratic splits over the interaction design's A blocks."""
     from pgen_tpu.ops.unpack_host import unpack_codes_numpy
 
+    if firth not in ("fallback", "always", "none"):
+        raise ValueError(f"logistic: unknown firth mode {firth!r}")
     y = np.asarray(y, dtype=np.float64)
     covars = np.asarray(covars, dtype=np.float64)
     if covars.ndim != 2 or covars.shape[1] == 0:
@@ -1192,7 +1320,7 @@ def glm_logistic_interaction(
         if len(uniq) <= 16:
             return _logistic_int_counts(
                 packed, num_samples, y, sample_idx, max_iter, tol, uniq,
-                inv,
+                inv, firth=firth,
             )
     packed = np.asarray(packed, dtype=np.uint8)
     nvar = packed.shape[0]
@@ -1203,15 +1331,26 @@ def glm_logistic_interaction(
     se = np.empty((nvar, 1 + k))
     niter = np.empty(nvar, dtype=np.int32)
     conv = np.empty(nvar, dtype=bool)
+    fused = np.zeros(nvar, dtype=bool)
     bv = min(block_variants, max(nvar, 1))
+    firth_iter = max(max_iter, 256)  # see glm_logistic_numpy's rationale
     for lo in range(0, nvar, bv):
         codes = unpack_codes_numpy(packed[lo : lo + bv], num_samples)
         if sample_idx is not None:
             codes = codes[:, sample_idx]
         sl = slice(lo, lo + codes.shape[0])
-        nb, bb, sb, ib, cb, _ = _irls_int_block(
-            codes, y, covars, cc, max_iter, tol, matmul
+        nb, bb, sb, ib, cb, okb = _irls_int_block(
+            codes, y, covars, cc,
+            0 if firth == "always" else max_iter, tol, matmul,
         )
+        if firth != "none":
+            retry = np.flatnonzero(okb & ~cb)
+            if retry.size:
+                _, fb, fs, fi, fc = _firth_int_block(
+                    codes, y, covars, cc, retry, firth_iter, tol, matmul
+                )
+                bb[retry], sb[retry], ib[retry], cb[retry] = fb, fs, fi, fc
+                fused[lo + retry] = fc
         n[sl], beta[sl], se[sl], niter[sl], conv[sl] = nb, bb, sb, ib, cb
     good = conv[:, None] & np.isfinite(se)
     beta = np.where(good, beta, np.nan)
@@ -1219,5 +1358,6 @@ def glm_logistic_interaction(
     with np.errstate(invalid="ignore"):
         z = beta / se
     return LogisticIntResult(
-        n.astype(np.int64), beta, se, z, normal_sf2(z), niter
+        n.astype(np.int64), beta, se, z, normal_sf2(z), niter,
+        fused & good.all(axis=1),
     )

@@ -420,8 +420,9 @@ def glm_pfile(
         # plink2 `--glm interaction`: the design grows to [1, C, g, g*C];
         # each dosage term (ADD + every ADDxC_i) is reported as its own
         # TEST row. Linear runs the closed-form interaction OLS; logistic
-        # runs the interaction IRLS (vanilla Newton — no Firth rescue on
-        # the interaction design, a documented subset of plink2).
+        # runs the interaction IRLS with the same firth-fallback rescue
+        # as the base model (r5; the hat quadratic splits over the
+        # interaction design's A blocks).
         if k == 0:
             raise ValueError(
                 "glm: --interaction needs at least one covariate"
@@ -434,16 +435,16 @@ def glm_pfile(
         if model == "logistic":
             from pgen_tpu.ops.logistic import glm_logistic_interaction
 
-            if firth == "always":
-                raise ValueError(
-                    "glm: --firth with --interaction is not supported "
-                    "(no Firth rescue on the interaction design); use "
-                    "the default or --no-firth"
-                )
             with timer.stage("irls", kept.shape[0] * rec):
                 lint = glm_logistic_interaction(
                     kept, header.num_samples, y, covars,
-                    provider=provider, sample_idx=subset, **kw,
+                    provider=provider, sample_idx=subset, firth=firth,
+                    **kw,
+                )
+            if lint.firth is not None and lint.firth.any():
+                log.info(
+                    "glm: %d site(s) fit by Firth regression (%s)",
+                    int(lint.firth.sum()), firth,
                 )
 
             class _LIntView:  # normalize z_stat -> t_stat column name

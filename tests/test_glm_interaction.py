@@ -12,6 +12,7 @@ from tests.oracle import t_sf2_oracle
 
 from pgen_tpu.formats.writer import write_pgen
 from pgen_tpu.ops.glm import glm_linear_interaction
+from pgen_tpu.ops.logistic import glm_logistic_interaction
 
 
 def _pack(codes, tmp_path, name="gi"):
@@ -249,11 +250,14 @@ def test_cli_glm_logistic_interaction(tmp_path):
     # the planted main effect shows up as OR > 1 on rs2's ADD row
     add_rs2 = next(r for r in rows if r[2] == "rs2" and r[6] == "ADD")
     assert float(add_rs2[8]) > 1.2
-    # --firth with --interaction on a logistic phenotype errors cleanly
+    # --firth with --interaction works (r5: the Firth hat quadratic
+    # splits over the interaction design's A blocks)
     assert run_cli([
         "glm", prefix, "--covar-name", "AGE", "--interaction", "--firth",
         "-o", str(out),
-    ]) != 0
+    ]) == 0
+    rows = [ln.split("\t") for ln in out.read_text().splitlines()[1:]]
+    assert any(r[8] != "NA" for r in rows)
 
 
 def test_interaction_cell_fast_path_matches_per_sample(tmp_path):
@@ -298,3 +302,76 @@ def test_interaction_cell_fast_path_matches_per_sample(tmp_path):
     fin = np.isfinite(f2.beta) & np.isfinite(s2.beta)
     np.testing.assert_allclose(f2.beta[fin], s2.beta[fin], rtol=5e-6,
                                atol=1e-9)
+
+
+def _firth_oracle(x, yy, iters=2000, tol=1e-11):
+    """Independent penalized-likelihood Newton (no step caps — the
+    stationary point is algorithm-independent)."""
+    b = np.zeros(x.shape[1])
+    ncs = yy.sum()
+    b[0] = np.log((ncs + 0.5) / (len(yy) - ncs + 0.5))
+    for _ in range(iters):
+        eta = np.clip(x @ b, -30, 30)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1.0 - mu)
+        h = x.T @ (w[:, None] * x)
+        try:
+            a = np.linalg.inv(h)
+        except np.linalg.LinAlgError:
+            return None
+        hat = w * np.einsum("si,ij,sj->s", x, a, x)
+        d = a @ (x.T @ (yy - mu + hat * (0.5 - mu)))
+        nrm = np.abs(d).max()
+        if nrm > 1.0:
+            d *= 1.0 / nrm
+        b = b + d
+        if nrm < tol:
+            return b, a
+    return None
+
+
+@pytest.mark.parametrize("covkind", ["categorical", "continuous"])
+def test_interaction_firth_matches_penalized_oracle(covkind, tmp_path):
+    """firth='always' interaction fits equal an independent
+    penalized-likelihood Newton on both the cell fast path (categorical
+    covariate) and the per-sample path (continuous); firth-fallback
+    rescues an engineered separated site that vanilla reports NA."""
+    rng = np.random.default_rng(23)
+    nv, ns = 10, 90
+    codes = rng.integers(0, 3, size=(nv, ns)).astype(np.uint8)
+    y = np.zeros(ns)
+    y[:40] = 1.0
+    codes[2] = 0
+    codes[2, :15] = 2  # every hom-alt is a case: separation at v2
+    cov = (
+        (rng.random(ns) < 0.5).astype(float)[:, None]
+        if covkind == "categorical"
+        else rng.normal(size=(ns, 1))
+    )
+    packed = _pack(codes, tmp_path)
+    res = glm_logistic_interaction(packed, ns, y, cov, firth="always")
+    checked = 0
+    for v in range(nv):
+        if not np.isfinite(res.beta[v]).all():
+            continue
+        cal = codes[v] != 3
+        g = codes[v][cal].astype(float)
+        x = np.column_stack(
+            [np.ones(int(cal.sum())), cov[cal], g, g * cov[cal, 0]]
+        )
+        o = _firth_oracle(x, y[cal])
+        if o is None:
+            continue
+        b, a = o
+        checked += 1
+        np.testing.assert_allclose(res.beta[v, 0], b[2], rtol=2e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(res.beta[v, 1], b[3], rtol=2e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(res.se[v, 0], np.sqrt(a[2, 2]),
+                                   rtol=2e-4)
+    assert checked >= nv // 2
+    none_r = glm_logistic_interaction(packed, ns, y, cov, firth="none")
+    fb_r = glm_logistic_interaction(packed, ns, y, cov, firth="fallback")
+    assert np.isnan(none_r.beta[2, 0])
+    assert np.isfinite(fb_r.beta[2, 0]) and fb_r.firth[2]
