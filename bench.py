@@ -150,8 +150,11 @@ def _on_kill(signum, frame):  # pragma: no cover - exercised by timeouts
     os._exit(0)
 
 
-def _phase(name: str, est_s: float, fn, gate: str | None = None) -> None:
-    if gate and os.environ.get(gate, "1") != "1":
+def _phase(
+    name: str, est_s: float, fn, gate: str | None = None,
+    gate_default: str = "1",
+) -> None:
+    if gate and os.environ.get(gate, gate_default) != "1":
         SKIPPED.append(f"{name}(env)")
         return
     if _remaining() < est_s:
@@ -562,8 +565,6 @@ def main():
 
     _phase("cold", 90, cold, gate="PGEN_BENCH_COLD")
 
-    os.environ.setdefault("PGEN_BENCH_COLD_MITIGATED", "0")
-
     def cold_mitigated():
         # VERDICT r4 next #8: same fresh-output run with the env-gated
         # pre-touch (madvise(WILLNEED) + a read-ahead toucher thread,
@@ -602,7 +603,7 @@ def main():
     # default OFF so its 60-170 s fund the phases that still inform
     _phase(
         "cold_mitigated", 90, cold_mitigated,
-        gate="PGEN_BENCH_COLD_MITIGATED",
+        gate="PGEN_BENCH_COLD_MITIGATED", gate_default="0",
     )
 
     _phase(

@@ -514,6 +514,40 @@ def _cells_newton(
     return beta[:, tests], se, joint, niter, conv
 
 
+def _cells_triage(
+    nc, yc, n, ncase, x3, tests, idx, firth, max_iter, tol, joint_k=None
+):
+    """Run the vanilla/Firth triage over the selected variants with the
+    shared _cells_newton core: firth='always' fits everything penalized;
+    'fallback' retries only non-converged sites; 'none' leaves them NA.
+    Returns (beta, se, joint, niter, conv, fused) indexed like `idx`."""
+    firth_iter = max(max_iter, 256)
+    f = len(idx)
+    fused = np.zeros(f, dtype=bool)
+    if firth == "always":
+        beta, se, joint, niter, conv = _cells_newton(
+            nc, yc, n, ncase, x3, tests, idx, True, firth_iter, 5.0, tol,
+            joint_k=joint_k,
+        )
+        fused[:] = conv
+        return beta, se, joint, niter, conv, fused
+    beta, se, joint, niter, conv = _cells_newton(
+        nc, yc, n, ncase, x3, tests, idx, False, max_iter, 10.0, tol,
+        joint_k=joint_k,
+    )
+    if firth == "fallback":
+        retry = np.flatnonzero(~conv)
+        if retry.size:
+            fb, fs, fj, fi, fc = _cells_newton(
+                nc, yc, n, ncase, x3, tests, idx[retry], True, firth_iter,
+                5.0, tol, joint_k=joint_k,
+            )
+            beta[retry], se[retry], joint[retry] = fb, fs, fj
+            niter[retry], conv[retry] = fi, fc
+            fused[retry] = fc
+    return beta, se, joint, niter, conv, fused
+
+
 def _logistic_fit_counts(
     packed: np.ndarray,
     num_samples: int,
@@ -582,12 +616,6 @@ def _logistic_fit_counts(
 
     tests = list(range(goff, goff + nm))
 
-    def _newton(idx, firth_mode, iters, cap):
-        return _cells_newton(
-            nc, yc, n, ncase, x3, tests, idx, firth_mode, iters, cap, tol,
-            joint_k=(k if nm == 2 else None),
-        )
-
     beta = np.full((nvar, nm), np.nan)
     se = np.full((nvar, nm), np.nan)
     joint = np.full(nvar, np.nan)
@@ -595,26 +623,12 @@ def _logistic_fit_counts(
     conv = np.zeros(nvar, dtype=bool)
     fused = np.zeros(nvar, dtype=bool)
     idx = np.flatnonzero(ok)
-    firth_iter = max(max_iter, 256)
     if idx.size:
-        if firth == "always":
-            fb, fs, fj, fi, fc = _newton(idx, True, firth_iter, 5.0)
-            beta[idx], se[idx], joint[idx] = fb, fs, fj
-            niter[idx], conv[idx] = fi, fc
-            fused[idx] = fc
-        else:
-            vb, vs, vj, vi, vc = _newton(idx, False, max_iter, 10.0)
-            beta[idx], se[idx], joint[idx] = vb, vs, vj
-            niter[idx], conv[idx] = vi, vc
-            if firth == "fallback":
-                retry = idx[~vc]
-                if retry.size:
-                    fb, fs, fj, fi, fc = _newton(
-                        retry, True, firth_iter, 5.0
-                    )
-                    beta[retry], se[retry], joint[retry] = fb, fs, fj
-                    niter[retry], conv[retry] = fi, fc
-                    fused[retry] = fc
+        (beta[idx], se[idx], joint[idx], niter[idx], conv[idx],
+         fused[idx]) = _cells_triage(
+            nc, yc, n, ncase, x3, tests, idx, firth, max_iter, tol,
+            joint_k=(k if nm == 2 else None),
+        )
     good = conv & np.isfinite(se).all(axis=1)
     beta = np.where(good[:, None], beta, np.nan)
     se = np.where(good[:, None], se, np.nan)
@@ -1116,31 +1130,11 @@ def _logistic_int_counts(
     conv = np.zeros(nvar, dtype=bool)
     fused = np.zeros(nvar, dtype=bool)
     idx = np.flatnonzero(ok)
-    firth_iter = max(max_iter, 256)
     if idx.size:
-        if firth == "always":
-            fb, fs, _, fi, fc = _cells_newton(
-                nc, yc, n, ncase, x3, tests, idx, True, firth_iter, 5.0,
-                tol,
-            )
-            beta_t[idx], se[idx], niter[idx], conv[idx] = fb, fs, fi, fc
-            fused[idx] = fc
-        else:
-            vb, vs, _, vi, vc = _cells_newton(
-                nc, yc, n, ncase, x3, tests, idx, False, max_iter, 10.0,
-                tol,
-            )
-            beta_t[idx], se[idx], niter[idx], conv[idx] = vb, vs, vi, vc
-            if firth == "fallback":
-                retry = idx[~vc]
-                if retry.size:
-                    fb, fs, _, fi, fc = _cells_newton(
-                        nc, yc, n, ncase, x3, tests, retry, True,
-                        firth_iter, 5.0, tol,
-                    )
-                    beta_t[retry], se[retry] = fb, fs
-                    niter[retry], conv[retry] = fi, fc
-                    fused[retry] = fc
+        (beta_t[idx], se[idx], _, niter[idx], conv[idx],
+         fused[idx]) = _cells_triage(
+            nc, yc, n, ncase, x3, tests, idx, firth, max_iter, tol,
+        )
     good = conv[:, None] & np.isfinite(se)
     beta_t = np.where(good, beta_t, np.nan)
     se = np.where(good, se, np.nan)
