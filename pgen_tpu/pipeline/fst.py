@@ -42,6 +42,7 @@ Outputs (plink2 file layout; VARIANT_CT is an extension column):
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass, field
 
@@ -245,7 +246,11 @@ def fst_pfile(
                     fcell = "NA" if np.isnan(fst) else f"{fst:.6g}"
                     sfh.write(f"{pops[i]}\t{pops[j]}\t{fcell}\t{used}\n")
                     if report_variants:
-                        vpath = f"{base}.{pops[i]}.{pops[j]}.fst.var"
+                        # cohort labels are user data: a path separator
+                        # in one must not change the output directory
+                        s1 = pops[i].replace(os.sep, "_")
+                        s2 = pops[j].replace(os.sep, "_")
+                        vpath = f"{base}.{s1}.{s2}.fst.var"
                         out_paths.append(vpath)
                         with np.errstate(invalid="ignore", divide="ignore"):
                             pv = np.where(ok, num / np.where(den == 0, 1, den),
